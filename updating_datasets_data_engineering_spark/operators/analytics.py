@@ -1,0 +1,259 @@
+"""Relational analytics surface: aggregates, joins, windows, set ops.
+
+The reference has NO aggregates/joins/windows (SURVEY.md §2.7) — its
+only analytical op is the merge dedup — but the engine ships a full
+surface because that's what the north-star contract demands.  Every
+function is a declarative DataFrame build; Catalyst owns the physical
+strategy (broadcast vs SMJ, AQE partition sizing, pushdown).
+
+Scale notes (100 TB) per query are in each docstring; the recurring
+themes: small dims broadcast (region/nation/supplier at TPC-H ratios),
+partial aggregation before every shuffle, windows partitioned on
+high-cardinality keys, explicit tie-breaks so top-k is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape: scan-side filter + 2-key hash aggregate.
+
+    Map-side partial agg means the single shuffle carries only
+    (flag, status) groups — a few rows per task regardless of input
+    size.  The date filter pushes into the Parquet scan.
+    """
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k.
+
+    customer(BUILDING) is small → broadcast into orders; the
+    orders⋈lineitem join shuffles on o_orderkey (uniform).  Top-10 is a
+    TakeOrdered, not a full sort.  Tie-break on o_orderkey for
+    determinism.
+    """
+    return (
+        customer.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < F.lit("1997-06-01"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > F.lit("1997-06-01"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+def q5_regional_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with co-located customer/supplier
+    nation predicate.
+
+    region/nation/supplier/customer all broadcast at TPC-H ratios; only
+    orders⋈lineitem shuffles.  Catalyst reorders the joins; AQE picks
+    broadcast at runtime when sizes allow.
+    """
+    return (
+        region.join(nation, F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(customer, F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def rollup_revenue(
+    region: DataFrame, nation: DataFrame, customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """ROLLUP(region, nation) over order totals — grouping-sets surface.
+
+    Spark expands the rollup into grouping sets inside one aggregate;
+    still a single shuffle with partial aggregation.
+    """
+    joined = (
+        region.join(nation, F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(customer, F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+def window_top_customers(customer: DataFrame, nation: DataFrame, k: int = 3) -> DataFrame:
+    """Ranking window: top-k customers by balance per nation.
+
+    Window partitions on n_nationkey (uniform); at scale this is the
+    canonical 'top-k per group' — no global sort, one shuffle.
+    """
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        customer.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("n_name", "rank")
+    )
+
+
+def window_running_total(orders: DataFrame) -> DataFrame:
+    """Analytic window with frame: per-customer running order total.
+
+    Partition by customer (high cardinality → uniform shuffle), order
+    by date with key tie-break, unbounded-preceding frame.
+    """
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ).alias("order_seq"),
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Anti-join surface: customers that never ordered, per segment.
+
+    left_anti against the distinct o_custkey set; Catalyst broadcasts
+    the smaller side.  At 100 TB: pre-aggregate orders to distinct keys
+    first (done here) so the anti-join probe side is minimal.
+    """
+    order_keys = orders.select("o_custkey").distinct()
+    return (
+        customer.join(order_keys, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers_no_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def nation_key_set_ops(customer: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Set-op surface: nation keys with customers ∩/∖ nation keys with
+    suppliers, tagged.  intersect/exceptAll map to hash-based set ops
+    with one shuffle each over tiny distinct sets.
+    """
+    c = customer.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = supplier.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = c.intersect(s).withColumn("tag", F.lit("both"))
+    only_c = c.exceptAll(s).withColumn("tag", F.lit("customer_only"))
+    return both.unionByName(only_c).orderBy("tag", "nationkey")
+
+
+def distinct_counts(lineitem: DataFrame) -> DataFrame:
+    """Multi-distinct aggregate: exact distinct counts in one pass.
+
+    Spark plans multi-distinct as expand+two-phase aggregate; at scale
+    prefer approx_count_distinct (HLL) — provided alongside for the
+    non-oracle path.
+    """
+    return lineitem.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def events_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling-window aggregate (batch twin of the streaming windowed
+    agg in streaming/pipeline.py — same combinator runs under
+    readStream with a watermark).
+    """
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Session assignment via gap detection: lag + conditional cumsum.
+
+    Two windows over the same (user_id, ts) partitioning — one shuffle
+    total; the classic scalable sessionization (no UDF, no state).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros).over(w)
+    with_flag = events.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
+    )
+    with_id = with_flag.withColumn("session_seq", F.sum("new_session").over(w))
+    return (
+        with_id.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

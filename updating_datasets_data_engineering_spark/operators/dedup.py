@@ -1,0 +1,153 @@
+"""Document deduplication operators (training-data pipeline tier).
+
+Five strategies, all hash-deterministic (md5-based) so the DuckDB
+oracle can replay them where SQL can express them:
+
+  * exact          — md5(text) group, keep min id.          (1 shuffle)
+  * ngram Jaccard  — blocked candidate pairs, exact word-set
+                     Jaccard verify.                        (join on block key)
+  * MinHash + LSH  — k-permutation signature, banded bucket
+                     join, exact-Jaccard verify.            (explode bands, 1 join)
+  * SimHash        — 32-bit signature collision.            (1 shuffle)
+  * embedding      — SRP-LSH bucketed cosine near-dup
+                     (similarity.py holds the vector ops).
+
+Scale notes (100 TB): every strategy is block/bucket-first — no
+all-pairs O(n²) stage ever materializes.  The band/bucket join keys are
+high-cardinality hashes, so the shuffle is uniform; band width tunes
+recall vs join fan-out.  Verify stages only see candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: one representative (min id) per identical text.
+
+    Hash-groupBy on md5(text): map-side partial agg then one shuffle on
+    the 128-bit hash — uniform keys, no skew at any scale.
+    """
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang", "n_chars"),
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs by word-set Jaccard within cheap blocks.
+
+    Blocking on ``block_cols`` keeps the candidate join linear-ish; the
+    Jaccard itself is array_intersect/array_union on distinct tokens —
+    JVM-side, no UDF.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        TXT.distinct_words(F.col(text_col)).alias("toks"),
+    )
+    left = toks.alias("a")
+    right = toks.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    cond.append(F.col("a.id") < F.col("b.id"))
+    pairs = left.join(right, cond)
+    inter = F.size(F.array_intersect("a.toks", "b.toks"))
+    union = F.size(F.array_union("a.toks", "b.toks"))
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs with exact-Jaccard verification.
+
+    shingle -> k minhashes -> bands -> bucket self-join -> verify.
+    The band join key is (band_index, concat(band hashes)) — uniform
+    hash keys, so the single shuffle is skew-free.  Candidate fan-out is
+    controlled by band_size (r): P(candidate) = 1-(1-J^r)^(k/r).
+
+    md5-based permutations keep it oracle-replayable in SQL.
+    """
+    assert num_hashes % band_size == 0
+    sig = TXT.minhash_signature(F.col(text_col), k=num_hashes)
+    n_bands = num_hashes // band_size
+    band_cols = [
+        F.concat_ws("|", *sig[b * band_size : (b + 1) * band_size]).alias(f"band_{b}")
+        for b in range(n_bands)
+    ]
+    with_bands = docs.select(
+        F.col(id_col).alias("id"),
+        TXT.distinct_words(F.col(text_col)).alias("toks"),
+        *band_cols,
+    )
+    banded = with_bands.select(
+        "id",
+        "toks",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_no"), F.col(f"band_{b}").alias("band_key"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "toks", "band.band_no", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.toks").alias("toks_a"),
+            F.col("b.toks").alias("toks_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    jac = inter / F.greatest(union, F.lit(1))
+    return candidates.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+
+
+def simhash_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash-collision dedup groups: documents sharing a 32-bit
+    SimHash are near-dup candidates; returns collision groups with >1
+    member.  One uniform shuffle on the signature."""
+    sigs = docs.select(F.col(id_col), TXT.simhash32(F.col(text_col)).alias("simhash"))
+    return (
+        sigs.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )

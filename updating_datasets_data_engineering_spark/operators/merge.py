@@ -1,0 +1,84 @@
+"""Archive ∪ delta upsert-merge operators.
+
+The reference's whole update model is
+``archive(season) <- dedup(archive(season) ∪ delta)`` on the natural key
+``(game_id, time_remaining, quarter)`` (scripts/spark_merge_dfs.py:82-83).
+
+Three variants:
+
+  * :func:`merge_reference` — byte-faithful ``unionByName`` +
+    ``dropDuplicates`` (keeps an arbitrary row per key, like the
+    reference).
+  * :func:`merge_deterministic` — window ``row_number`` over an explicit
+    source-priority ordering: delta-wins (or archive-wins), reproducible
+    — the variant the correctness oracle uses.
+  * :func:`merge_anti_join` — ``delta ∪ (archive ⟕anti delta)``: same
+    delta-wins semantics as an anti-join, often cheaper than the window
+    when the delta is small enough to broadcast.
+
+Scale notes (100 TB): all variants shuffle once on the merge key.  For
+a daily delta of ~10^3 rows against a ~10^8-row season archive, the
+anti-join variant with ``broadcast(delta_keys)`` turns the shuffle into
+a broadcast hash join — zero archive movement.  With the archive stored
+bucketed by the key, even the window variant is shuffle-free on the
+archive side.  AQE skew-join handles hot keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SHOT_KEY: tuple[str, ...] = ("game_id", "time_remaining", "quarter")
+
+
+def merge_reference(archive: DataFrame, delta: DataFrame, key: Sequence[str] = SHOT_KEY) -> DataFrame:
+    """Reference-faithful merge: schema-tolerant union, arbitrary-winner
+    dedup (scripts/spark_merge_dfs.py:82-83)."""
+    return archive.unionByName(delta, allowMissingColumns=True).dropDuplicates(list(key))
+
+
+def merge_deterministic(
+    archive: DataFrame,
+    delta: DataFrame,
+    key: Sequence[str] = SHOT_KEY,
+    delta_wins: bool = True,
+    tiebreak: Sequence[str] | None = None,
+) -> DataFrame:
+    """Deterministic upsert: tag each side with a priority, keep the
+    highest-priority row per key via ``row_number``.  Exactly one
+    shuffle (the window's hash partitioning on the key).
+
+    ``tiebreak`` columns order rows *within* the same priority so the
+    result is reproducible even when distinct rows collide on the key
+    (``dropDuplicates`` would pick arbitrarily there — the reference's
+    nondeterminism, SURVEY.md §7.3).
+    """
+    a = archive.withColumn("_src_priority", F.lit(0 if delta_wins else 1))
+    d = delta.withColumn("_src_priority", F.lit(1 if delta_wins else 0))
+    unioned = a.unionByName(d, allowMissingColumns=True)
+    order = [F.col("_src_priority").desc()] + [F.col(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(*key).orderBy(*order)
+    return (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_src_priority")
+    )
+
+
+def merge_anti_join(
+    archive: DataFrame,
+    delta: DataFrame,
+    key: Sequence[str] = SHOT_KEY,
+    broadcast_delta: bool = True,
+) -> DataFrame:
+    """Delta-wins upsert as ``delta ∪ (archive anti-join delta)``.
+
+    With a small delta (the daily-scrape case) the anti-join broadcasts:
+    the archive never shuffles — the right plan at 100 TB.
+    """
+    d = F.broadcast(delta) if broadcast_delta else delta
+    survivors = archive.join(d.select(*key), on=list(key), how="left_anti")
+    return survivors.unionByName(delta, allowMissingColumns=True)

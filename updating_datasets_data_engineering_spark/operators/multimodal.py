@@ -1,0 +1,87 @@
+"""Multimodal column plumbing: opaque BINARY payloads + typed metadata.
+
+The container has no image/audio codecs, so the *decode* kernels are
+deterministic stand-ins (clearly marked), but everything Spark-level is
+real and tested: the binary schema, the Arrow-batched ``mapInPandas``
+exchange, the output schema contract, and the partitioning story.
+
+Scale notes (100 TB): media payloads dominate row size, so the
+pipeline keeps them in one column, never shuffles them (all transforms
+are map-only ``mapInPandas``), and projects them away as soon as the
+features are extracted.  ``spark.sql.files.maxPartitionBytes`` bounds
+scan-task memory; feature extraction streams Arrow batches, never
+materializing a partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id LONG, media_type STRING, n_bytes LONG, sha256 STRING, "
+    "width INT, height INT"
+)
+
+
+def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model a media asset as an opaque binary column + typed metadata
+    struct.  (Here the bytes are the utf-8 text — a deterministic
+    stand-in for image/audio bytes; the schema is the contract.)"""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return docs.withColumns(
+        {
+            "payload": payload,
+            "media": F.struct(
+                F.lit("image/fake").alias("media_type"),
+                F.octet_length(payload).alias("n_bytes"),
+            ),
+        }
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int]:
+    """STAND-IN decode kernel.  A real deployment would call PIL /
+    ffmpeg here; this container has neither, so dimensions are derived
+    deterministically from the byte length.  Raise NotImplementedError
+    to make the substitution explicit for real media types."""
+    n = len(payload)
+    return (n % 640) + 1, (n % 480) + 1
+
+
+def extract_features(docs_with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    ``mapInPandas`` streams Arrow record batches through Python — the
+    only sanctioned Python hot path in this engine.  Output schema is a
+    fixed contract so downstream plans don't depend on Python code.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            payloads = pdf["payload"]
+            dims = [_fake_decode(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media"].map(lambda m: m["media_type"]),
+                    "n_bytes": payloads.map(len),
+                    "sha256": payloads.map(lambda p: hashlib.sha256(bytes(p)).hexdigest()),
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                }
+            )
+
+    return docs_with_payload.select("doc_id", "payload", "media").mapInPandas(
+        batches, schema=FEATURE_SCHEMA
+    )
+
+
+def multimodal_features(docs: DataFrame) -> DataFrame:
+    """documents -> binary payload -> Arrow-batched features."""
+    return extract_features(attach_binary_payload(docs))

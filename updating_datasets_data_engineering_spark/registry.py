@@ -1,0 +1,503 @@
+"""Query registry: every engine operator exposed as a named query with
+a matching DuckDB oracle (the driver's correctness gate).
+
+Each spec pairs
+  * ``fn(spark, sf_dir) -> DataFrame`` — the Spark-first implementation
+  * ``oracle`` — independent ANSI SQL for DuckDB over the same parquet
+    tables (views: region nation customer supplier part orders lineitem
+    events documents embeddings)
+
+Column names and types are aligned on both sides (the driver hashes
+values under sorted column names).  Aggregates over doubles are rounded
+identically on both sides; raw columns are never rounded.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import analytics as A
+from .operators import dedup as D
+from .operators import ingest as I
+from .operators import merge as M
+from .operators import multimodal as MM
+from .operators import similarity as SIM
+from .sources import shot_synth as SS
+from .tables import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # None -> non-SQL-expressible, rows-only check
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Shot pipeline (reference parity)
+# ---------------------------------------------------------------------------
+
+def shot_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2-F10 play parsing as native expressions over synthesized plays."""
+    shots = SS.synth_shot_events(_t(spark, sf_dir, "events"))
+    from .functions import play_parser as P
+
+    enriched = P.enrich(shots)
+    return enriched.select(
+        "event_id",
+        "quarter",
+        "time_remaining",
+        "shots_by",
+        "outcome",
+        "attempt",
+        "distance",
+        "team",
+        "winner_score",
+        "loser_score",
+    )
+
+
+# DuckDB-side independent play parser (1-based list indexing).
+_ORACLE_PARSE_CTES = """
+s1 AS (
+    SELECT event_id, game_id, winner, loser, x, y, play,
+           string_split(play, ' ') AS toks,
+           string_split(play, '<br>') AS segs
+    FROM shots
+),
+s2 AS (
+    SELECT *, string_split(segs[2], ' ') AS t2, string_split(segs[3], ' ') AS d,
+           CASE WHEN string_split(segs[3], ' ')[1] IN ('LA','New','San','Golden')
+                THEN 2 ELSE 1 END AS base
+    FROM s1
+),
+s3 AS (
+    SELECT *,
+           CASE WHEN d[base+1] IN ('leads','trails') THEN d[base+2]
+                WHEN d[base+2] IN ('leads','trails') THEN d[base+3]
+                WHEN d[base+1] = 'tied' THEN d[base+2]
+                ELSE d[base+3] END AS pair,
+           NOT (d[base+1] IN ('leads','trails') OR d[base+2] IN ('leads','trails')) AS is_tied
+    FROM s2
+),
+parsed AS (
+    SELECT event_id, game_id, winner, loser, x, y, play,
+           substr(toks[1], 1, 1) AS quarter,
+           toks[3] AS time_remaining,
+           t2[1] || ' ' || t2[2] AS shots_by,
+           regexp_extract(segs[2], 'made|missed') AS outcome,
+           regexp_extract(segs[2], '[0-9]-pointer?') AS attempt,
+           t2[-2] || t2[-1] AS distance,
+           CASE WHEN base = 2 THEN d[1] || ' ' || d[2] ELSE d[1] END AS team,
+           CASE WHEN is_tied THEN string_split(pair, '-')[1]
+                WHEN winner = (CASE WHEN base = 2 THEN d[1] || ' ' || d[2] ELSE d[1] END)
+                THEN string_split(pair, '-')[1]
+                ELSE string_split(pair, '-')[2] END AS winner_score,
+           CASE WHEN is_tied THEN string_split(pair, '-')[1]
+                WHEN loser = (CASE WHEN base = 2 THEN d[1] || ' ' || d[2] ELSE d[1] END)
+                THEN string_split(pair, '-')[1]
+                ELSE string_split(pair, '-')[2] END AS loser_score
+    FROM s3
+)
+"""
+
+
+def _oracle_shot_parse_sql() -> str:
+    return f"""
+WITH shots AS (
+    {SS.duckdb_shot_cte()}
+),
+{_ORACLE_PARSE_CTES}
+SELECT event_id, quarter, time_remaining, shots_by, outcome, attempt, distance, team,
+       winner_score, loser_score
+FROM parsed
+"""
+
+
+def shot_ingest_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P3: Kafka-shaped records -> from_json parse -> flatten, with
+    malformed-row guard (truncated values dropped)."""
+    records = SS.synth_kafka_records(_t(spark, sf_dir, "events"))
+    return I.parse_shot_events(records)
+
+
+def _oracle_shot_ingest_sql() -> str:
+    return f"""
+WITH recs AS (
+    SELECT CASE WHEN event_id % 25 = 24 THEN substring(({SS.JSON_VALUE_EXPR}), 1, 20)
+                ELSE ({SS.JSON_VALUE_EXPR}) END AS value
+    FROM events
+)
+SELECT json_extract_string(value, '$.game_id') AS game_id,
+       json_extract_string(value, '$.year') AS year,
+       json_extract_string(value, '$.month') AS month,
+       json_extract_string(value, '$.day') AS day,
+       json_extract_string(value, '$.winner') AS winner,
+       json_extract_string(value, '$.loser') AS loser,
+       json_extract_string(value, '$.x') AS x,
+       json_extract_string(value, '$.y') AS y,
+       json_extract_string(value, '$.play') AS play
+FROM recs
+WHERE json_valid(value) AND json_extract_string(value, '$.play') IS NOT NULL
+"""
+
+
+_MERGE_COLS = "event_id, user_id, event_type, value"
+
+
+def merge_dedup_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-faithful unionByName+dropDuplicates merge (M1+M2).
+    Overlap rows are byte-identical on both sides so the arbitrary
+    winner is still content-deterministic."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    archive = ev.where(F.col("event_id") % 10 < 8)
+    delta = ev.where(F.col("event_id") % 10 >= 5)
+    return M.merge_reference(archive, delta, key=["event_id"])
+
+
+_ORACLE_MERGE_REFERENCE = f"""
+SELECT {_MERGE_COLS} FROM events WHERE event_id % 10 < 8
+UNION
+SELECT {_MERGE_COLS} FROM events WHERE event_id % 10 >= 5
+"""
+
+
+def merge_upsert_delta_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic delta-wins upsert: delta carries conflicting values
+    (value*2); merged result must show delta values on the overlap."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    archive = ev.where(F.col("event_id") % 10 < 8)
+    delta = ev.where(F.col("event_id") % 10 >= 5).withColumn("value", F.col("value") * 2)
+    return M.merge_deterministic(archive, delta, key=["event_id"], delta_wins=True)
+
+
+_ORACLE_MERGE_UPSERT = f"""
+SELECT {_MERGE_COLS} FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY src DESC) AS rn FROM (
+        SELECT event_id, user_id, event_type, value, 0 AS src
+        FROM events WHERE event_id % 10 < 8
+        UNION ALL
+        SELECT event_id, user_id, event_type, value * 2, 1 AS src
+        FROM events WHERE event_id % 10 >= 5
+    )
+) WHERE rn = 1
+"""
+
+
+def merge_upsert_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same delta-wins semantics via broadcast anti-join (the 100 TB
+    plan: archive never shuffles)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    archive = ev.where(F.col("event_id") % 10 < 8)
+    delta = ev.where(F.col("event_id") % 10 >= 5).withColumn("value", F.col("value") * 2)
+    return M.merge_anti_join(archive, delta, key=["event_id"])
+
+
+def shot_team_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: records -> parse -> enrich -> archive∪delta merge ->
+    per-(team, quarter) aggregate.  Exercises every reference semantic
+    (S1 P1-P3 F2-F10 M1 M2 + aggregation) in one plan."""
+    ev = _t(spark, sf_dir, "events")
+    archive_recs = SS.synth_kafka_records(ev.where(F.col("event_id") % 10 < 8))
+    delta_recs = SS.synth_kafka_records(ev.where(F.col("event_id") % 10 >= 5))
+    archive = I.ingest_pipeline(archive_recs)
+    delta = I.ingest_pipeline(delta_recs)
+    merged = M.merge_deterministic(
+        archive, delta, key=M.SHOT_KEY, tiebreak=["play", "winner", "x", "y"]
+    )
+    return (
+        merged.groupBy("team", "quarter")
+        .agg(
+            F.count(F.lit(1)).alias("n_shots"),
+            F.count(F.when(F.col("outcome") == "made", 1)).alias("n_made"),
+            F.round(
+                F.avg(F.regexp_extract("distance", "[0-9]+", 0).cast("int")), 6
+            ).alias("avg_dist_ft"),
+            F.max(
+                F.abs(F.col("winner_score").cast("int") - F.col("loser_score").cast("int"))
+            ).alias("max_margin"),
+        )
+        .orderBy("team", "quarter")
+    )
+
+
+def _oracle_shot_team_summary_sql() -> str:
+    return f"""
+WITH shots AS (
+    SELECT * FROM (
+        {SS.duckdb_shot_cte()}
+    ) WHERE event_id % 25 <> 24
+),
+{_ORACLE_PARSE_CTES},
+expanded AS (
+    -- rows in the overlap [5,8) appear on BOTH sides, like the Spark union
+    SELECT p.*, 1 AS src FROM parsed p WHERE event_id % 10 >= 5
+    UNION ALL
+    SELECT p.*, 0 AS src FROM parsed p WHERE event_id % 10 < 8
+),
+merged AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY game_id, time_remaining, quarter
+            ORDER BY src DESC, play, winner, x, y
+        ) AS rn
+        FROM expanded
+    ) WHERE rn = 1
+)
+SELECT team, quarter,
+       COUNT(*) AS n_shots,
+       COUNT(CASE WHEN outcome = 'made' THEN 1 END) AS n_made,
+       round(avg(CAST(regexp_extract(distance, '[0-9]+') AS INT)), 6) AS avg_dist_ft,
+       MAX(abs(CAST(winner_score AS INT) - CAST(loser_score AS INT))) AS max_margin
+FROM merged
+GROUP BY team, quarter
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational analytics (SURVEY.md §7 stage 8)
+# ---------------------------------------------------------------------------
+
+def q1(spark, sf_dir):
+    return A.q1_pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+_ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3(spark, sf_dir):
+    return A.q3_shipping_priority(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+_ORACLE_Q3 = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+  AND l_shipdate > TIMESTAMP '1997-06-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5(spark, sf_dir):
+    return A.q5_regional_revenue(
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+_ORACLE_Q5 = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM region
+JOIN nation ON r_regionkey = n_regionkey
+JOIN customer ON n_nationkey = c_nationkey
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+GROUP BY r_name, n_name
+"""
+
+
+def rollup_revenue(spark, sf_dir):
+    return A.rollup_revenue(
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+    )
+
+
+_ORACLE_ROLLUP = """
+SELECT r_name, n_name,
+       round(sum(o_totalprice), 2) AS total_revenue,
+       count(*) AS n_orders
+FROM region
+JOIN nation ON r_regionkey = n_regionkey
+JOIN customer ON n_nationkey = c_nationkey
+JOIN orders ON c_custkey = o_custkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def window_top_customers(spark, sf_dir):
+    return A.window_top_customers(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation"))
+
+
+_ORACLE_WINDOW_TOP = """
+SELECT n_name, c_custkey, c_name, c_acctbal, rank FROM (
+    SELECT n_name, c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+           CAST(ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rank
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+) WHERE rank <= 3
+"""
+
+
+def window_running_total(spark, sf_dir):
+    return A.window_running_total(_t(spark, sf_dir, "orders"))
+
+
+_ORACLE_WINDOW_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+FROM orders
+"""
+
+
+def customers_without_orders(spark, sf_dir):
+    return A.customers_without_orders(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"))
+
+
+_ORACLE_ANTI = """
+SELECT c_mktsegment, count(*) AS n_customers_no_orders
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def nation_key_set_ops(spark, sf_dir):
+    return A.nation_key_set_ops(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier"))
+
+
+_ORACLE_SET_OPS = """
+SELECT nationkey, 'both' AS tag FROM (
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT DISTINCT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT nationkey, 'customer_only' AS tag FROM (
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT DISTINCT s_nationkey FROM supplier
+)
+"""
+
+
+def distinct_counts(spark, sf_dir):
+    return A.distinct_counts(_t(spark, sf_dir, "lineitem"))
+
+
+_ORACLE_DISTINCT = """
+SELECT count(DISTINCT l_orderkey) AS n_orders,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(*) AS n_rows
+FROM lineitem
+"""
+
+
+def events_hourly(spark, sf_dir):
+    return A.events_hourly(_t(spark, sf_dir, "events"))
+
+
+_ORACLE_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def sessionize(spark, sf_dir):
+    return A.sessionize(_t(spark, sf_dir, "events"))
+
+
+_ORACLE_SESSIONIZE = """
+WITH flagged AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+with_id AS (
+    SELECT user_id, value,
+           CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+    FROM flagged
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM with_id
+GROUP BY user_id, session_seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("shot_parse", shot_parse, _oracle_shot_parse_sql()),
+    QuerySpec("shot_ingest_json", shot_ingest_json, _oracle_shot_ingest_sql()),
+    QuerySpec("merge_dedup_reference", merge_dedup_reference, _ORACLE_MERGE_REFERENCE),
+    QuerySpec("merge_upsert_delta_wins", merge_upsert_delta_wins, _ORACLE_MERGE_UPSERT),
+    QuerySpec("merge_upsert_anti_join", merge_upsert_anti_join, _ORACLE_MERGE_UPSERT),
+    QuerySpec("shot_team_summary", shot_team_summary, _oracle_shot_team_summary_sql()),
+    QuerySpec("q1_pricing_summary", q1, _ORACLE_Q1),
+    QuerySpec("q3_shipping_priority", q3, _ORACLE_Q3),
+    QuerySpec("q5_regional_revenue", q5, _ORACLE_Q5),
+    QuerySpec("rollup_revenue", rollup_revenue, _ORACLE_ROLLUP),
+    QuerySpec("window_top_customers", window_top_customers, _ORACLE_WINDOW_TOP),
+    QuerySpec("window_running_total", window_running_total, _ORACLE_WINDOW_RUNNING),
+    QuerySpec("customers_without_orders", customers_without_orders, _ORACLE_ANTI),
+    QuerySpec("nation_key_set_ops", nation_key_set_ops, _ORACLE_SET_OPS),
+    QuerySpec("distinct_counts", distinct_counts, _ORACLE_DISTINCT),
+    QuerySpec("events_hourly", events_hourly, _ORACLE_HOURLY),
+    QuerySpec("events_sessionize", sessionize, _ORACLE_SESSIONIZE),
+]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {s.name: s.fn for s in SPECS}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {s.name: s.oracle for s in SPECS if s.oracle is not None}

@@ -1,0 +1,56 @@
+"""Typed loaders for the fixture tables (TESTDATA.md).
+
+All tables are columnar Parquet; ``spark.read.parquet`` gives Catalyst
+full pushdown/pruning freedom — filters and projections land in the
+scan node (check ``PushedFilters`` / ``ReadSchema`` in ``.explain``).
+
+At 100 TB these tables would be partitioned (orders/lineitem by date,
+events by day) and the loaders below would point at the partitioned
+roots unchanged — partition pruning is free once predicates are
+declarative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import prep_session
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# The fixture parquet stores timestamps as INT64 TIMESTAMP(NANOS), which
+# Spark's vectorized reader rejects; we read nanos as long (legacy conf)
+# and convert to TIMESTAMP (truncating to micros, same as DuckDB does).
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prep_session(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANO_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            # integer `div` keeps full precision (float division would
+            # lose low bits at 1e18-nano magnitudes)
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
