@@ -116,13 +116,16 @@ def doc_fingerprint(text: Column) -> Column:
     return F.array_min(hashes)
 
 
+def _salted_hash_fn(salt: str):
+    # factory closure: a default arg (lambda w, i=i) would change the
+    # lambda's arity and make Spark pass the array index into it
+    return lambda w: word_md5_prefix(w, salt=salt)
+
+
 def minhash_signature(text: Column, k: int = 16) -> list[Column]:
     """k-permutation MinHash signature columns (md5-salted)."""
     toks = distinct_words(text)
-    return [
-        F.array_min(F.transform(toks, lambda w, i=i: word_md5_prefix(w, salt=f"{i}:")))
-        for i in range(k)
-    ]
+    return [F.array_min(F.transform(toks, _salted_hash_fn(f"{i}:"))) for i in range(k)]
 
 
 def simhash32(text: Column) -> Column:
@@ -131,13 +134,13 @@ def simhash32(text: Column) -> Column:
     is positive."""
     toks = distinct_words(text)
     hashes = F.transform(toks, lambda w: F.conv(word_md5_prefix(w), 16, 10).cast("long"))
+
+    def bit_term(mask: int):
+        return lambda acc, h: acc + (h.bitwiseAND(F.lit(mask)) != 0).cast("long") * 2 - 1
+
     out = F.lit(0).cast("long")
     for j in range(32):
-        bit_sum = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h, j=j: acc + (h.bitwiseAND(F.lit(1 << j)) != 0).cast("long") * 2 - 1,
-        )
+        bit_sum = F.aggregate(hashes, F.lit(0).cast("long"), bit_term(1 << j))
         out = out + F.when(bit_sum > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
     return out
 

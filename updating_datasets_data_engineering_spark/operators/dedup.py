@@ -45,17 +45,22 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     block_cols: tuple[str, ...] = ("lang", "n_chars"),
     threshold: float = 0.5,
+    ngram: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by word-set Jaccard within cheap blocks.
+    """Near-dup pairs by token-set Jaccard within cheap blocks.
 
-    Blocking on ``block_cols`` keeps the candidate join linear-ish; the
-    Jaccard itself is array_intersect/array_union on distinct tokens —
-    JVM-side, no UDF.
+    ``ngram=N`` switches the token set from distinct words to distinct
+    word N-gram shingles (the classic dedup feature).  Blocking on
+    ``block_cols`` keeps the candidate join linear-ish; the Jaccard
+    itself is array_intersect/array_union — JVM-side, no UDF.
     """
+    tok_expr = (
+        TXT.shingles(F.col(text_col), ngram) if ngram else TXT.distinct_words(F.col(text_col))
+    )
     toks = docs.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
-        TXT.distinct_words(F.col(text_col)).alias("toks"),
+        tok_expr.alias("toks"),
     )
     left = toks.alias("a")
     right = toks.alias("b")

@@ -1,0 +1,225 @@
+"""DuckDB oracle SQL generators for the extension tier.
+
+These mirror the engine's md5-based hashing and double-precision fold
+arithmetic exactly, so value hashes match bit-for-bit:
+
+  * token sets: string_split_regex + list_filter (same as Spark's
+    split + filter)
+  * hashes: substr(md5(...), 1, 8) — identical on both engines
+  * cosine/dot: explicit left-associated SQL chains over
+    CAST(x AS DOUBLE) — same fold order as Spark's ``aggregate``
+    (DuckDB's list_cosine_similarity computes in float32 and would
+    NOT match; measured 2.7e-8 off).
+"""
+
+from __future__ import annotations
+
+WORDS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+DWORDS = f"list_distinct({WORDS})"
+
+EN_STOP_SQL = (
+    "('the','and','of','to','in','is','that','it','for','was',"
+    "'a','an','on','at','by','with','as','be')"
+)
+
+LANG_MARKER_SQL = {
+    "en": "('the','and','of','to','in','is','that','it','for','was')",
+    "es": "('el','la','de','que','y','los','en','un','por','con')",
+    "fr": "('le','la','de','et','les','des','un','une','est','dans')",
+    "de": "('der','die','und','das','ist','von','mit','den','im','ein')",
+}
+
+
+def text_metrics_sql() -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, text, {WORDS} AS w FROM documents
+)
+SELECT doc_id,
+       CAST(len(w) AS INT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_tokens_bpe,
+       round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / greatest(length(text), 1), 6) AS punct_ratio,
+       round(len(list_filter(w, x -> x IN {EN_STOP_SQL})) / greatest(len(w), 1), 6) AS stopword_ratio,
+       round(CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) / greatest(len(w), 1), 6) AS mean_word_len,
+       round((least(length(text) / 500.0, 1.0)
+              + (1.0 - least((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / greatest(length(text), 1)) * 4, 1.0))
+              + least((len(list_filter(w, x -> x IN {EN_STOP_SQL})) / greatest(len(w), 1)) * 5, 1.0)) / 3, 6) AS quality
+FROM toks
+"""
+
+
+def lang_id_sql() -> str:
+    scores = {
+        code: f"len(list_filter(w, x -> x IN {markers}))"
+        for code, markers in LANG_MARKER_SQL.items()
+    }
+    best = f"greatest({scores['de']}, {scores['en']}, {scores['es']}, {scores['fr']})"
+    return f"""
+WITH toks AS (
+    SELECT doc_id, lang, {WORDS} AS w FROM documents
+),
+pred AS (
+    SELECT doc_id, lang,
+           CASE WHEN {best} = 0 THEN 'und'
+                WHEN {scores['de']} = {best} THEN 'de'
+                WHEN {scores['en']} = {best} THEN 'en'
+                WHEN {scores['es']} = {best} THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM toks
+)
+SELECT lang, pred_lang, count(*) AS n_docs
+FROM pred GROUP BY lang, pred_lang
+"""
+
+
+def fingerprint_sql() -> str:
+    return f"""
+SELECT doc_id,
+       list_min(list_transform({DWORDS}, x -> substr(md5(x), 1, 8))) AS fingerprint,
+       CAST(len({DWORDS}) AS INT) AS n_distinct_tokens
+FROM documents
+"""
+
+
+def dedup_exact_sql() -> str:
+    return """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _shingles_sql(n: int = 3) -> str:
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"list_distinct(list_transform(generate_series(1, len(w) - {n - 1}), i -> {gram})) "
+        f"ELSE [] END"
+    )
+
+
+def ngram_jaccard_sql(threshold: float = 0.5, n: int = 3) -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, lang, n_chars, {_shingles_sql(n)} AS s
+    FROM (SELECT doc_id, lang, n_chars, {WORDS} AS w FROM documents)
+),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s)) / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) AS jaccard
+    FROM toks a JOIN toks b
+      ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {threshold}
+"""
+
+
+def minhash_lsh_sql(num_hashes: int = 16, band_size: int = 4, threshold: float = 0.4) -> str:
+    sigs = ",\n           ".join(
+        f"list_min(list_transform(dw, x -> substr(md5('{i}:' || x), 1, 8))) AS sig_{i}"
+        for i in range(num_hashes)
+    )
+    n_bands = num_hashes // band_size
+    band_selects = "\n    UNION ALL\n    ".join(
+        "SELECT doc_id, dw, {b} AS band_no, ".format(b=b)
+        + " || '|' || ".join(f"sig_{b * band_size + j}" for j in range(band_size))
+        + " AS band_key FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {DWORDS} AS dw FROM documents
+),
+sigs AS (
+    SELECT doc_id, dw,
+           {sigs}
+    FROM toks
+),
+banded AS (
+    {band_selects}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_no = b.band_no AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+verified AS (
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(ta.dw, tb.dw)) / greatest(len(list_distinct(list_concat(ta.dw, tb.dw))), 1), 6) AS jaccard
+    FROM cand c
+    JOIN toks ta ON ta.doc_id = c.id_a
+    JOIN toks tb ON tb.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
+"""
+
+
+def simhash_sql() -> str:
+    h = "(('0x' || substr(md5(x), 1, 8))::BIGINT)"
+    bit_terms = " + ".join(
+        f"(CASE WHEN CAST(list_sum(list_transform(dw, x -> CASE WHEN ({h} >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(32)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {DWORDS} AS dw FROM documents
+),
+sigs AS (
+    SELECT doc_id, ({bit_terms}) AS simhash FROM toks
+)
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM sigs GROUP BY simhash HAVING count(*) > 1
+"""
+
+
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    return " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))" for i in range(1, dim + 1)
+    )
+
+
+def cosine_sql(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"(({_dot_sql(a, b, dim)}) / "
+        f"(sqrt({_dot_sql(a, a, dim)}) * sqrt({_dot_sql(b, b, dim)})))"
+    )
+
+
+def knn_bruteforce_sql(k: int = 5, n_queries: int = 5, dim: int = 64) -> str:
+    cos = cosine_sql("q.embedding", "c.embedding", dim)
+    return f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {cos} AS cos_sim
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {n_queries}
+),
+ranked AS (
+    SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def embedding_near_dup_sql(threshold: float = 0.5, dim: int = 64) -> str:
+    cos = cosine_sql("a.embedding", "b.embedding", dim)
+    return f"""
+SELECT id_a, id_b, cos_sim FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos_sim,
+           {cos} AS raw_cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE raw_cos >= {threshold}
+"""
+
+
+def multimodal_sql() -> str:
+    return """
+SELECT doc_id,
+       'image/fake' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256,
+       CAST((octet_length(encode(text)) % 640) + 1 AS INT) AS width,
+       CAST((octet_length(encode(text)) % 480) + 1 AS INT) AS height
+FROM documents
+"""

@@ -20,6 +20,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import oracles_ext as OE
 from .operators import analytics as A
 from .operators import dedup as D
 from .operators import ingest as I
@@ -471,6 +472,124 @@ GROUP BY user_id, session_seq
 
 
 # ---------------------------------------------------------------------------
+# Extension tier: text analysis / dedup / similarity / multimodal
+# (SURVEY.md §7 stage 9; oracles in oracles_ext.py mirror the md5-based
+# hashing and double fold arithmetic bit-for-bit)
+# ---------------------------------------------------------------------------
+
+def text_metrics(spark, sf_dir):
+    """Quality scoring: token counts (ws + BPE-ish), punctuation and
+    stopword ratios, composite quality — all native expressions."""
+    from .functions import text as TXT
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TXT.token_count_ws(t).alias("n_tokens_ws"),
+        TXT.token_count_bpe(t).alias("n_tokens_bpe"),
+        F.round(TXT.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(TXT.stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(TXT.mean_word_length(t), 6).alias("mean_word_len"),
+        TXT.quality_score(t).alias("quality"),
+    )
+
+
+def text_langid(spark, sf_dir):
+    """n-gram/stopword-marker language ID vs the labeled lang column."""
+    from .functions import text as TXT
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TXT.lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def doc_fingerprints(spark, sf_dir):
+    """Rolling min-hash document fingerprint (md5-based, oracle-exact)."""
+    from .functions import text as TXT
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TXT.doc_fingerprint(t).alias("fingerprint"),
+        F.size(TXT.distinct_words(t)).alias("n_distinct_tokens"),
+    )
+
+
+def dedup_exact_q(spark, sf_dir):
+    return D.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+def dedup_ngram_jaccard_q(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), ngram=3, threshold=0.5)
+
+
+def dedup_minhash_lsh_q(spark, sf_dir):
+    return D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=16, band_size=4, threshold=0.4
+    )
+
+
+def dedup_simhash_q(spark, sf_dir):
+    return D.simhash_groups(_t(spark, sf_dir, "documents"))
+
+
+def knn_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
+def knn_ann_srp(spark, sf_dir):
+    """Approximate (SRP-LSH) top-k — rows-only check: recall < 1 by
+    design, so no SQL oracle can reproduce it exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.srp_ann_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
+def embedding_near_dup(spark, sf_dir):
+    return SIM.embedding_near_dup_exact(_t(spark, sf_dir, "embeddings"), threshold=0.5)
+
+
+def embedding_near_dup_ann(spark, sf_dir):
+    """SRP-bucketed near-dup (the 100 TB path) — rows-only check."""
+    return SIM.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.5)
+
+
+def multimodal_features_q(spark, sf_dir):
+    return MM.multimodal_features(_t(spark, sf_dir, "documents"))
+
+
+def parts_by_brand(spark, sf_dir):
+    """Broadcast-hint join surface: fact ⋈ broadcast(dim) aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_ORACLE_PARTS_BY_BRAND = """
+SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items,
+       round(avg(l_quantity), 6) AS avg_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -492,6 +611,19 @@ SPECS: list[QuerySpec] = [
     QuerySpec("distinct_counts", distinct_counts, _ORACLE_DISTINCT),
     QuerySpec("events_hourly", events_hourly, _ORACLE_HOURLY),
     QuerySpec("events_sessionize", sessionize, _ORACLE_SESSIONIZE),
+    QuerySpec("parts_by_brand", parts_by_brand, _ORACLE_PARTS_BY_BRAND),
+    QuerySpec("text_metrics", text_metrics, OE.text_metrics_sql()),
+    QuerySpec("text_langid", text_langid, OE.lang_id_sql()),
+    QuerySpec("doc_fingerprints", doc_fingerprints, OE.fingerprint_sql()),
+    QuerySpec("dedup_exact", dedup_exact_q, OE.dedup_exact_sql()),
+    QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard_q, OE.ngram_jaccard_sql(0.5, 3)),
+    QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh_q, OE.minhash_lsh_sql(16, 4, 0.4)),
+    QuerySpec("dedup_simhash", dedup_simhash_q, OE.simhash_sql()),
+    QuerySpec("knn_bruteforce", knn_bruteforce, OE.knn_bruteforce_sql(5, 5, 64)),
+    QuerySpec("knn_ann_srp", knn_ann_srp, None),
+    QuerySpec("embedding_near_dup", embedding_near_dup, OE.embedding_near_dup_sql(0.5, 64)),
+    QuerySpec("embedding_near_dup_ann", embedding_near_dup_ann, None),
+    QuerySpec("multimodal_features", multimodal_features_q, OE.multimodal_sql()),
 ]
 
 
