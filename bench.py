@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver-side result materialization).  A warmup pass of the first query
+absorbs JVM/codegen startup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from updating_datasets_data_engineering_spark.registry import queries  # noqa: E402
+from updating_datasets_data_engineering_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family; the all-pairs near-dup and the
+# LSH pair-explosion queries are exercised through their scale-path
+# variants (ANN / exact dedup) to keep bench representative of the
+# 100 TB design, not of O(n^2) verification baselines.
+HEADLINE = [
+    "shot_parse",
+    "shot_ingest_json",
+    "shot_team_summary",
+    "merge_upsert_delta_wins",
+    "merge_upsert_anti_join",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "parts_by_brand",
+    "rollup_revenue",
+    "window_top_customers",
+    "window_running_total",
+    "customers_without_orders",
+    "distinct_counts",
+    "events_hourly",
+    "events_sessionize",
+    "text_metrics",
+    "text_langid",
+    "doc_fingerprints",
+    "dedup_exact",
+    "dedup_simhash",
+    "knn_bruteforce",
+    "knn_ann_srp",
+    "embedding_near_dup_ann",
+    "multimodal_features",
+]
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("updating-datasets-bench")
+    qs = queries()
+
+    force(qs[HEADLINE[0]](spark, sf_dir))  # warmup: JVM + codegen + IO path
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        force(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
