@@ -1,0 +1,93 @@
+"""Streaming-variant tests (SURVEY.md §5.2 item 5): file-source
+availableNow runs with checkpointing must equal the batch path, and a
+second run must be a no-op (exactly-once-equivalent)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from updating_datasets_data_engineering_spark.operators import ingest as I
+from updating_datasets_data_engineering_spark.operators import merge as M
+from updating_datasets_data_engineering_spark.sources import shot_synth as SS
+from updating_datasets_data_engineering_spark.streaming import pipeline as SP
+from updating_datasets_data_engineering_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def record_files(spark, sf_dir, tmp_path_factory):
+    """Kafka-shaped JSON values written as text files (one per line)."""
+    src = str(tmp_path_factory.mktemp("records"))
+    records = SS.synth_kafka_records(load_table(spark, sf_dir, "events"))
+    records.select("value").coalesce(2).write.mode("overwrite").text(src)
+    return src
+
+
+def _sorted_rows(df, cols):
+    return sorted(
+        (tuple((x is None, str(x)) for x in (r[c] for c in cols)) for r in df.collect())
+    )
+
+
+def test_streaming_matches_batch(spark, sf_dir, record_files, tmp_path):
+    archive = str(tmp_path / "archive")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = SP.read_json_record_stream(spark, record_files)
+    enriched = SP.streaming_enriched_shots(stream)
+    SP.run_available_now(enriched, archive, ckpt)
+
+    got = spark.read.parquet(archive)
+    # batch twin: same combinators, batch source, batch dedup
+    batch = I.typed_shot_events(
+        I.ingest_pipeline(SS.synth_kafka_records(load_table(spark, sf_dir, "events")))
+    )
+    batch = batch.withColumn("event_time", F.col("game_date").cast("timestamp"))
+    expected = batch.dropDuplicates([*M.SHOT_KEY, "event_time"]).drop("event_time")
+
+    assert got.count() == expected.count()
+    cols = sorted(expected.columns)
+    assert set(got.columns) == set(expected.columns)
+    assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(expected.select(*cols), cols)
+
+
+def test_second_run_is_noop(spark, record_files, tmp_path):
+    archive = str(tmp_path / "archive2")
+    ckpt = str(tmp_path / "ckpt2")
+    for _ in range(2):  # second run: checkpoint says nothing new
+        stream = SP.read_json_record_stream(spark, record_files)
+        SP.run_available_now(SP.streaming_enriched_shots(stream), archive, ckpt)
+        count = spark.read.parquet(archive).count()
+    assert spark.read.parquet(archive).count() == count
+
+
+def test_streaming_hourly_window(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_json")
+    events.select("ts", "event_type", "value").coalesce(2).write.mode("overwrite").json(src)
+    schema = "ts TIMESTAMP, event_type STRING, value DOUBLE"
+    stream = spark.readStream.schema(schema).json(src)
+    agg = SP.streaming_hourly_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hourly_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM hourly_test")
+    expected = (
+        events.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    cols = sorted(expected.columns)
+    assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(expected.select(*cols), cols)
