@@ -1,0 +1,60 @@
+"""Plan-shape assertions: the scale properties the engine claims must
+be visible in the physical plan, not just in docstrings."""
+
+from __future__ import annotations
+
+from updating_datasets_data_engineering_spark.plans.audit import analyze
+from updating_datasets_data_engineering_spark.registry import queries
+
+Q = queries()
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    f = analyze(Q["q1_pricing_summary"](spark, sf_dir))
+    assert f.pushed_filters, "date filter must reach the parquet scan"
+    assert any("l_shipdate" in p for p in f.pushed_filters)
+    # projection pruning: the scan must not read all 11 lineitem columns
+    assert f.read_schemas and "l_orderkey" not in f.read_schemas[0]
+    assert not f.has_python_udf
+
+
+def test_q3_broadcasts_dimension(spark, sf_dir):
+    f = analyze(Q["q3_shipping_priority"](spark, sf_dir))
+    assert f.n_broadcast_joins >= 1, "filtered customer dim must broadcast"
+    assert any("c_mktsegment" in p for p in f.pushed_filters)
+
+
+def test_q5_join_strategy(spark, sf_dir):
+    f = analyze(Q["q5_regional_revenue"](spark, sf_dir))
+    assert f.n_broadcast_joins >= 3, "region/nation/customer/supplier should broadcast"
+
+
+def test_merge_anti_join_broadcasts(spark, sf_dir):
+    f = analyze(Q["merge_upsert_anti_join"](spark, sf_dir))
+    assert f.n_broadcast_joins >= 1, "delta keys must broadcast (archive never shuffles)"
+
+
+def test_play_parser_is_native(spark, sf_dir):
+    """The reference's ten Python UDFs are native expressions here: no
+    BatchEvalPython anywhere in the parse/enrich plan."""
+    f = analyze(Q["shot_parse"](spark, sf_dir))
+    assert not f.has_python_udf
+    assert not f.has_arrow_python
+    assert f.n_exchanges == 0, "parse/enrich is map-only — zero shuffles"
+
+
+def test_flagship_no_python(spark, sf_dir):
+    f = analyze(Q["shot_team_summary"](spark, sf_dir))
+    assert not f.has_python_udf
+
+
+def test_multimodal_uses_arrow_not_row_python(spark, sf_dir):
+    f = analyze(Q["multimodal_features"](spark, sf_dir))
+    assert f.has_arrow_python, "decode path must be Arrow-batched mapInPandas"
+    assert not f.has_python_udf
+
+
+def test_text_metrics_map_only(spark, sf_dir):
+    f = analyze(Q["text_metrics"](spark, sf_dir))
+    assert f.n_exchanges == 0
+    assert not f.has_python_udf

@@ -1,0 +1,88 @@
+"""Physical-plan auditing: the ".explain and iterate" loop as code.
+
+Every scale claim in this engine is checkable on the plan text:
+filters reach the Parquet scan (PushedFilters), projections prune the
+scan (ReadSchema), small dimensions broadcast (BroadcastHashJoin),
+expressions stay inside WholeStageCodegen, and Python appears only in
+the sanctioned Arrow paths (MapInPandas / ArrowEvalPython) — never as
+BatchEvalPython row-at-a-time UDFs.
+
+``plan_report`` renders the audit for every registered query; the
+repo-root PLANS.md artifact is generated from it.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # same text as .explain("formatted")
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@dataclass
+class PlanFacts:
+    n_exchanges: int
+    n_broadcast_joins: int
+    n_sortmerge_joins: int
+    n_codegen_stages: int
+    pushed_filters: list[str]
+    read_schemas: list[str]
+    has_python_udf: bool          # BatchEvalPython — the slow path
+    has_arrow_python: bool        # ArrowEvalPython / MapInPandas — sanctioned
+    aqe: bool
+
+
+def analyze(df: DataFrame) -> PlanFacts:
+    text = formatted_plan(df)
+    pushed = [
+        m.group(1).strip()
+        for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text)
+        if m.group(1).strip()
+    ]
+    schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", text)
+    return PlanFacts(
+        # "(N) Operator" counts plan NODES (the AQE summary would
+        # otherwise double-count operator names)
+        n_exchanges=len(re.findall(r"\(\d+\) Exchange", text)),
+        n_broadcast_joins=len(re.findall(r"\(\d+\) BroadcastHashJoin", text)),
+        n_sortmerge_joins=len(re.findall(r"\(\d+\) SortMergeJoin", text)),
+        n_codegen_stages=len(set(re.findall(r"\[codegen id : (\d+)\]", text))),
+        pushed_filters=pushed,
+        read_schemas=schemas,
+        has_python_udf=bool(re.search(r"BatchEvalPython", text)),
+        has_arrow_python=bool(re.search(r"ArrowEvalPython|MapInPandas", text)),
+        aqe=bool(re.search(r"AdaptiveSparkPlan", text)),
+    )
+
+
+def plan_report(spark, sf_dir: str) -> str:
+    """Markdown audit of every registered query's physical plan."""
+    from ..registry import SPECS
+
+    lines = [
+        "# PLANS — physical-plan audit",
+        "",
+        f"Generated against `{sf_dir}`.  Facts extracted from",
+        '`.explain("formatted")` for every registered query: shuffles,',
+        "join strategies, codegen stages, scan pushdown, Python exchange.",
+        "",
+        "| query | exchanges | bcast joins | SMJ | codegen stages | pushed filters | python |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for spec in SPECS:
+        f = analyze(spec.fn(spark, sf_dir))
+        pf = "; ".join(f.pushed_filters)[:80] or "—"
+        py = (
+            "row-UDF!" if f.has_python_udf else ("arrow" if f.has_arrow_python else "none")
+        )
+        lines.append(
+            f"| {spec.name} | {f.n_exchanges} | {f.n_broadcast_joins} | "
+            f"{f.n_sortmerge_joins} | {f.n_codegen_stages} | {pf} | {py} |"
+        )
+    return "\n".join(lines) + "\n"
