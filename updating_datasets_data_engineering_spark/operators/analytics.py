@@ -236,6 +236,111 @@ def events_hourly(events: DataFrame) -> DataFrame:
     )
 
 
+def events_props_json(events: DataFrame) -> DataFrame:
+    """from_json over a real JSON column (P2 parity on fixture data):
+    parse ``props`` and aggregate the extracted field per event type."""
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def cube_order_stats(orders: DataFrame) -> DataFrame:
+    """CUBE grouping-sets surface over order priority × status."""
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(), F.col("o_orderstatus").asc_nulls_first()
+        )
+    )
+
+
+def above_avg_customers(customer: DataFrame) -> DataFrame:
+    """Correlated-subquery pattern (customers richer than their nation's
+    average) — decorrelated declaratively as a window average, the plan
+    Catalyst itself would rewrite the subquery into."""
+    w = Window.partitionBy("c_nationkey")
+    return (
+        customer.withColumn("nation_avg", F.avg("c_acctbal").over(w))
+        .where(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal", F.round("nation_avg", 6).alias("nation_avg"))
+    )
+
+
+def price_quantiles(lineitem: DataFrame) -> DataFrame:
+    """Exact percentiles (sort-based, order-independent) per return flag."""
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q1_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def nation_segments(customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Ordered string aggregation: per nation, the sorted distinct
+    market segments (deterministic listagg)."""
+    return (
+        customer.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def orders_by_month(orders: DataFrame) -> DataFrame:
+    """Date-part extraction surface: per (year, month) order stats."""
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+def scalar_function_census(events: DataFrame) -> DataFrame:
+    """One row per event exercising the §2.6 scalar-function census:
+    split/element_at/substring/concat_ws/regexp_extract/when+isin/
+    cast/md5/conv — every function the reference's UDFs needed, as
+    native expressions (reference: scripts/spark_processing.py:137-246)."""
+    return events.select(
+        "event_id",
+        F.substring("event_type", 1, 3).alias("type_prefix"),
+        F.element_at(F.split("event_type", ""), -1).alias("type_last_char"),
+        F.concat_ws("-", "event_type", F.col("user_id").cast("string")).alias("type_user"),
+        F.regexp_extract("props", "[0-9]+", 0).alias("first_num"),
+        F.when(F.col("event_type").isin("click", "view"), "web")
+        .otherwise("other")
+        .alias("type_class"),
+        F.md5("event_type").alias("type_md5"),
+        F.conv(F.substring(F.md5("event_type"), 1, 4), 16, 10).alias("md5_prefix_dec"),
+        F.hour("ts").cast("int").alias("hr"),
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Session assignment via gap detection: lag + conditional cumsum.
 

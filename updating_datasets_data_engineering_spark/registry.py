@@ -471,6 +471,96 @@ GROUP BY user_id, session_seq
 """
 
 
+def events_props_json(spark, sf_dir):
+    return A.events_props_json(_t(spark, sf_dir, "events"))
+
+
+_ORACLE_PROPS_JSON = """
+SELECT event_type, count(*) AS n, min(k) AS min_k, max(k) AS max_k, round(avg(k), 6) AS avg_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
+def cube_order_stats(spark, sf_dir):
+    return A.cube_order_stats(_t(spark, sf_dir, "orders"))
+
+
+_ORACLE_CUBE = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+def above_avg_customers(spark, sf_dir):
+    return A.above_avg_customers(_t(spark, sf_dir, "customer"))
+
+
+_ORACLE_ABOVE_AVG = """
+SELECT c_custkey, c_nationkey, c_acctbal, round(nation_avg, 6) AS nation_avg FROM (
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS nation_avg
+    FROM customer
+) WHERE c_acctbal > nation_avg
+"""
+
+
+def price_quantiles(spark, sf_dir):
+    return A.price_quantiles(_t(spark, sf_dir, "lineitem"))
+
+
+_ORACLE_QUANTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+       round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def nation_segments(spark, sf_dir):
+    return A.nation_segments(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation"))
+
+
+_ORACLE_NATION_SEGMENTS = """
+SELECT n_name,
+       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+       count(DISTINCT c_mktsegment) AS n_segments
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def orders_by_month(spark, sf_dir):
+    return A.orders_by_month(_t(spark, sf_dir, "orders"))
+
+
+_ORACLE_BY_MONTH = """
+SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY 1, 2
+"""
+
+
+def scalar_function_census(spark, sf_dir):
+    return A.scalar_function_census(_t(spark, sf_dir, "events"))
+
+
+_ORACLE_SCALAR_CENSUS = """
+SELECT event_id,
+       substr(event_type, 1, 3) AS type_prefix,
+       string_split(event_type, '')[-1] AS type_last_char,
+       concat_ws('-', event_type, CAST(user_id AS STRING)) AS type_user,
+       regexp_extract(props, '[0-9]+') AS first_num,
+       CASE WHEN event_type IN ('click', 'view') THEN 'web' ELSE 'other' END AS type_class,
+       md5(event_type) AS type_md5,
+       CAST(('0x' || substr(md5(event_type), 1, 4))::BIGINT AS STRING) AS md5_prefix_dec,
+       CAST(hour(ts) AS INT) AS hr
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # Extension tier: text analysis / dedup / similarity / multimodal
 # (SURVEY.md §7 stage 9; oracles in oracles_ext.py mirror the md5-based
@@ -612,6 +702,13 @@ SPECS: list[QuerySpec] = [
     QuerySpec("events_hourly", events_hourly, _ORACLE_HOURLY),
     QuerySpec("events_sessionize", sessionize, _ORACLE_SESSIONIZE),
     QuerySpec("parts_by_brand", parts_by_brand, _ORACLE_PARTS_BY_BRAND),
+    QuerySpec("events_props_json", events_props_json, _ORACLE_PROPS_JSON),
+    QuerySpec("cube_order_stats", cube_order_stats, _ORACLE_CUBE),
+    QuerySpec("above_avg_customers", above_avg_customers, _ORACLE_ABOVE_AVG),
+    QuerySpec("price_quantiles", price_quantiles, _ORACLE_QUANTILES),
+    QuerySpec("nation_segments", nation_segments, _ORACLE_NATION_SEGMENTS),
+    QuerySpec("orders_by_month", orders_by_month, _ORACLE_BY_MONTH),
+    QuerySpec("scalar_function_census", scalar_function_census, _ORACLE_SCALAR_CENSUS),
     QuerySpec("text_metrics", text_metrics, OE.text_metrics_sql()),
     QuerySpec("text_langid", text_langid, OE.lang_id_sql()),
     QuerySpec("doc_fingerprints", doc_fingerprints, OE.fingerprint_sql()),
