@@ -471,6 +471,34 @@ GROUP BY user_id, session_seq
 """
 
 
+def q6_revenue_change(spark, sf_dir):
+    """SQL-surface entry: the engine is equally drivable through
+    ``spark.sql`` — register the table, run ANSI SQL, Catalyst plans
+    it identically to the DataFrame build (filter-heavy scan: every
+    predicate lands in PushedFilters)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem_v
+        WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+_ORACLE_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 def events_props_json(spark, sf_dir):
     return A.events_props_json(_t(spark, sf_dir, "events"))
 
@@ -702,6 +730,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("events_hourly", events_hourly, _ORACLE_HOURLY),
     QuerySpec("events_sessionize", sessionize, _ORACLE_SESSIONIZE),
     QuerySpec("parts_by_brand", parts_by_brand, _ORACLE_PARTS_BY_BRAND),
+    QuerySpec("q6_revenue_change", q6_revenue_change, _ORACLE_Q6),
     QuerySpec("events_props_json", events_props_json, _ORACLE_PROPS_JSON),
     QuerySpec("cube_order_stats", cube_order_stats, _ORACLE_CUBE),
     QuerySpec("above_avg_customers", above_avg_customers, _ORACLE_ABOVE_AVG),
