@@ -1,0 +1,38 @@
+"""End-to-end job-shape test: the reference's daily cycle (process ->
+merge -> re-merge) on local storage through the engine's entry points."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from updating_datasets_data_engineering_spark import jobs, sinks
+from updating_datasets_data_engineering_spark.sources import shot_synth as SS
+from updating_datasets_data_engineering_spark.tables import load_table
+
+
+def test_daily_cycle(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    day1 = SS.synth_kafka_records(ev.where(F.col("event_id") % 2 == 0))
+    day2 = SS.synth_kafka_records(ev.where(F.col("event_id") % 3 == 0))  # overlaps day1
+
+    delta1, delta2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    arch1, arch2 = str(tmp_path / "a1"), str(tmp_path / "a2")
+
+    jobs.run_processing_job(day1, delta1)
+    jobs.run_merge_job(spark, str(tmp_path / "missing"), delta1, arch1)
+    n1 = spark.read.parquet(arch1).count()
+    assert n1 > 0
+
+    jobs.run_processing_job(day2, delta2)
+    tgz = str(tmp_path / "shots-2025.tgz")
+    jobs.run_merge_job(spark, arch1, delta2, arch2, export_tgz=tgz)
+    merged = spark.read.parquet(arch2)
+
+    # key-uniqueness invariant of the upsert
+    keys = ["game_id", "time_remaining", "quarter"]
+    assert merged.count() == merged.select(*keys).distinct().count()
+    assert merged.count() >= n1
+
+    # archive-format parity export reads back
+    back = sinks.read_season_tgz(spark, tgz)
+    assert back.count() == merged.count()

@@ -74,11 +74,16 @@ def merge_anti_join(
     key: Sequence[str] = SHOT_KEY,
     broadcast_delta: bool = True,
 ) -> DataFrame:
-    """Delta-wins upsert as ``delta ∪ (archive anti-join delta)``.
+    """Delta-wins upsert as ``dedup(delta) ∪ (archive anti-join delta)``.
 
-    With a small delta (the daily-scrape case) the anti-join broadcasts:
-    the archive never shuffles — the right plan at 100 TB.
+    The delta is deduped on the key first (a scrape window can carry
+    internal duplicates — the reference's ``dropDuplicates`` absorbed
+    those too); without it the merged archive would violate key
+    uniqueness.  With a small delta (the daily-scrape case) the
+    anti-join broadcasts: the archive never shuffles — the right plan
+    at 100 TB.
     """
-    d = F.broadcast(delta) if broadcast_delta else delta
+    delta_unique = delta.dropDuplicates(list(key))
+    d = F.broadcast(delta_unique) if broadcast_delta else delta_unique
     survivors = archive.join(d.select(*key), on=list(key), how="left_anti")
-    return survivors.unionByName(delta, allowMissingColumns=True)
+    return survivors.unionByName(delta_unique, allowMissingColumns=True)

@@ -203,13 +203,20 @@ def merge_upsert_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shot_team_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: records -> parse -> enrich -> archive∪delta merge ->
-    per-(team, quarter) aggregate.  Exercises every reference semantic
-    (S1 P1-P3 F2-F10 M1 M2 + aggregation) in one plan."""
+    """Flagship: the realistic pipeline shape — the archive side comes
+    from storage already parsed (it was ingested on previous runs),
+    only the delta flows through the Kafka-JSON parse path; then
+    deterministic upsert-merge -> per-(team, quarter) aggregate.
+    Exercises every reference semantic (S1 P1-P3 F2-F10 M1 M2 +
+    aggregation) in one plan without re-parsing the archive."""
     ev = _t(spark, sf_dir, "events")
-    archive_recs = SS.synth_kafka_records(ev.where(F.col("event_id") % 10 < 8))
+    archive_raw = SS.synth_shot_events(
+        # %25 filter: the archive holds only records that survived the
+        # malformed-JSON guard when they were originally ingested
+        ev.where((F.col("event_id") % 10 < 8) & (F.col("event_id") % 25 != 24))
+    ).drop("event_id")
+    archive = I.enrich_shot_events(archive_raw)
     delta_recs = SS.synth_kafka_records(ev.where(F.col("event_id") % 10 >= 5))
-    archive = I.ingest_pipeline(archive_recs)
     delta = I.ingest_pipeline(delta_recs)
     merged = M.merge_deterministic(
         archive, delta, key=M.SHOT_KEY, tiebreak=["play", "winner", "x", "y"]
