@@ -34,8 +34,18 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_regional_revenue",
+    "q6_revenue_change",
     "parts_by_brand",
     "rollup_revenue",
+    "cube_order_stats",
+    "above_avg_customers",
+    "price_quantiles",
+    "orders_by_month",
+    "events_pivot",
+    "events_props_json",
+    "events_type_stats_salted",
+    "scalar_function_census",
+    "word_counts",
     "window_top_customers",
     "window_running_total",
     "customers_without_orders",

@@ -341,6 +341,37 @@ def scalar_function_census(events: DataFrame) -> DataFrame:
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(events: DataFrame) -> DataFrame:
+    """Pivot surface: events per (hour-of-day × event_type) as columns.
+    Explicit pivot values keep the plan static (no extra pass to
+    discover them) — required practice at scale."""
+    return (
+        events.groupBy(F.hour("ts").cast("int").alias("hr"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0)
+        .orderBy("hr")
+    )
+
+
+def word_counts(documents: DataFrame, k: int = 50) -> DataFrame:
+    """The canonical explode+aggregate: corpus token frequencies, top-k
+    with deterministic tie-break.  Explode is map-side; the single
+    shuffle carries (word, partial count) — uniform keys."""
+    from ..functions import text as TXT
+
+    return (
+        documents.select(F.explode(TXT.words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(k)
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Session assignment via gap detection: lag + conditional cumsum.
 

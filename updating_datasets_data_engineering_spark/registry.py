@@ -596,6 +596,61 @@ FROM events
 """
 
 
+def events_pivot(spark, sf_dir):
+    return A.events_pivot(_t(spark, sf_dir, "events"))
+
+
+_ORACLE_PIVOT = """
+SELECT CAST(hour(ts) AS INT) AS hr,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events GROUP BY 1
+"""
+
+
+def word_counts(spark, sf_dir):
+    return A.word_counts(_t(spark, sf_dir, "documents"), k=50)
+
+
+_ORACLE_WORD_COUNTS = f"""
+SELECT word, count(*) AS n
+FROM (SELECT unnest({OE.WORDS}) AS word FROM documents)
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 50
+"""
+
+
+def events_type_stats_salted(spark, sf_dir):
+    """Skew pattern: two-stage salted aggregation over a 5-value hot
+    key; must equal the plain GROUP BY (the oracle)."""
+    from .operators import skew
+
+    return skew.salted_agg(
+        _t(spark, sf_dir, "events").select("event_type", "value"),
+        key=["event_type"],
+        aggs={
+            "n": ("value", "count"),
+            "sum_value": ("value", "sum"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+        n_salts=16,
+    ).select(
+        "event_type", "n", F.round("sum_value", 2).alias("sum_value"), "min_value", "max_value"
+    )
+
+
+_ORACLE_SALTED = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Extension tier: text analysis / dedup / similarity / multimodal
 # (SURVEY.md §7 stage 9; oracles in oracles_ext.py mirror the md5-based
@@ -745,6 +800,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("nation_segments", nation_segments, _ORACLE_NATION_SEGMENTS),
     QuerySpec("orders_by_month", orders_by_month, _ORACLE_BY_MONTH),
     QuerySpec("scalar_function_census", scalar_function_census, _ORACLE_SCALAR_CENSUS),
+    QuerySpec("events_pivot", events_pivot, _ORACLE_PIVOT),
+    QuerySpec("word_counts", word_counts, _ORACLE_WORD_COUNTS),
+    QuerySpec("events_type_stats_salted", events_type_stats_salted, _ORACLE_SALTED),
     QuerySpec("text_metrics", text_metrics, OE.text_metrics_sql()),
     QuerySpec("text_langid", text_langid, OE.lang_id_sql()),
     QuerySpec("doc_fingerprints", doc_fingerprints, OE.fingerprint_sql()),
