@@ -101,3 +101,21 @@ def test_typed_extensions(spark):
     assert row["secs"] == pytest.approx(11 * 60 + 30.0)
     assert row["dft"] == 25
     assert row["ts"] is not None  # '%H:%M.%S'-style parse of 11:30.0
+
+
+def test_malformed_play_yields_nulls_not_crash(spark):
+    """Robustness the reference lacks: its UDFs raise IndexError on
+    malformed plays (scripts/spark_processing.py:137-246 index blindly);
+    native expressions degrade to null/empty values instead."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(play="garbage", winner="A", loser="B"),
+            Row(play="", winner="A", loser="B"),
+            Row(play="1st quarter, 1:00.0 remaining", winner="A", loser="B"),  # 1 segment
+        ]
+    )
+    rows = P.enrich(df).collect()  # must not raise
+    assert len(rows) == 3
+    assert rows[0]["outcome"] in (None, "")
