@@ -32,8 +32,13 @@ TWO_WORD_CITY_TOKENS = ("LA", "New", "San", "Golden")
 
 
 def _seg(play: Column, i: int) -> Column:
-    """i-th (0-based) ``<br>``-separated segment of the play string."""
-    return F.split(play, "<br>").getItem(i)
+    """i-th (0-based) ``<br>``-separated segment of the play string.
+
+    ``F.get`` (null on out-of-bounds) instead of ``getItem``: under
+    Spark's default ANSI mode an index error would fail the whole job —
+    one malformed record must degrade to nulls, not kill a 100 TB run.
+    """
+    return F.get(F.split(play, "<br>"), i)
 
 
 def quarter(play: Column) -> Column:
@@ -41,7 +46,7 @@ def quarter(play: Column) -> Column:
 
     Reference: scripts/spark_processing.py:140-141.
     """
-    return F.substring(F.split(play, " ").getItem(0), 1, 1)
+    return F.substring(F.get(F.split(play, " "), 0), 1, 1)
 
 
 def time_remaining(play: Column) -> Column:
@@ -49,7 +54,7 @@ def time_remaining(play: Column) -> Column:
 
     Reference: scripts/spark_processing.py:143-144.
     """
-    return F.split(play, " ").getItem(2)
+    return F.get(F.split(play, " "), 2)
 
 
 def time_remaining_ts(play: Column) -> Column:
@@ -64,8 +69,8 @@ def seconds_remaining(play: Column) -> Column:
     """Engine extension: time remaining as a number (seconds), the
     typed column the all-string reference never materialized."""
     t = time_remaining(play)
-    mins = F.split(t, ":").getItem(0).cast("double")
-    secs = F.split(t, ":").getItem(1).cast("double")
+    mins = F.get(F.split(t, ":"), 0).cast("double")
+    secs = F.get(F.split(t, ":"), 1).cast("double")
     return mins * 60 + secs
 
 
@@ -75,7 +80,7 @@ def shots_by(play: Column) -> Column:
     Reference: scripts/spark_processing.py:146-147.
     """
     toks = F.split(_seg(play, 1), " ")
-    return F.concat_ws(" ", toks.getItem(0), toks.getItem(1))
+    return F.concat_ws(" ", F.get(toks, 0), F.get(toks, 1))
 
 
 def outcome(play: Column) -> Column:
@@ -100,17 +105,17 @@ def distance(play: Column) -> Column:
     Reference: scripts/spark_processing.py:155-156.
     """
     toks = F.split(_seg(play, 1), " ")
-    return F.concat(F.element_at(toks, -2), F.element_at(toks, -1))
+    return F.concat(F.try_element_at(toks, F.lit(-2)), F.try_element_at(toks, F.lit(-1)))
 
 
 def distance_ft(play: Column) -> Column:
     """Engine extension: shot distance as an INT (feet)."""
     toks = F.split(_seg(play, 1), " ")
-    return F.element_at(toks, -2).cast("int")
+    return F.try_element_at(toks, F.lit(-2)).cast("int")
 
 
 def _is_two_word_team(desc: Column) -> Column:
-    return desc.getItem(0).isin(*TWO_WORD_CITY_TOKENS)
+    return F.get(desc, 0).isin(*TWO_WORD_CITY_TOKENS)
 
 
 def team(play: Column) -> Column:
@@ -123,8 +128,8 @@ def team(play: Column) -> Column:
     desc = F.split(_seg(play, 2), " ")
     return F.when(
         _is_two_word_team(desc),
-        F.concat_ws(" ", desc.getItem(0), desc.getItem(1)),
-    ).otherwise(desc.getItem(0))
+        F.concat_ws(" ", F.get(desc, 0), F.get(desc, 1)),
+    ).otherwise(F.get(desc, 0))
 
 
 def _score_components(play: Column) -> tuple[Column, Column, Column]:
@@ -142,19 +147,19 @@ def _score_components(play: Column) -> tuple[Column, Column, Column]:
     desc = F.split(_seg(play, 2), " ")
     two_word = _is_two_word_team(desc)
     base = F.when(two_word, F.lit(2)).otherwise(F.lit(1))
-    verb0 = F.element_at(desc, base + 1)  # element_at is 1-based
-    verb1 = F.element_at(desc, base + 2)
+    verb0 = F.try_element_at(desc, base + 1)  # 1-based, null on OOB
+    verb1 = F.try_element_at(desc, base + 2)
     direct = verb0.isin("leads", "trails")
     shifted = verb1.isin("leads", "trails")
     tied_direct = verb0 == "tied"
     pair = (
-        F.when(direct, F.element_at(desc, base + 2))
-        .when(shifted, F.element_at(desc, base + 3))
-        .when(tied_direct, F.element_at(desc, base + 2))
-        .otherwise(F.element_at(desc, base + 3))  # "now tied"
+        F.when(direct, F.try_element_at(desc, base + 2))
+        .when(shifted, F.try_element_at(desc, base + 3))
+        .when(tied_direct, F.try_element_at(desc, base + 2))
+        .otherwise(F.try_element_at(desc, base + 3))  # "now tied"
     )
-    first = F.split(pair, "-").getItem(0)
-    second = F.split(pair, "-").getItem(1)
+    first = F.get(F.split(pair, "-"), 0)
+    second = F.get(F.split(pair, "-"), 1)
     is_tied = ~(direct | shifted)
     return first, second, is_tied
 
