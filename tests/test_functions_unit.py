@@ -117,3 +117,29 @@ def test_multimodal_feature_contract(spark):
     assert row["width"] == (11 % 640) + 1
     assert row["height"] == (11 % 480) + 1
     assert row["media_type"] == "image/fake"
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    from pyspark.sql import Row
+
+    from updating_datasets_data_engineering_spark.operators.multimodal import (
+        attach_binary_payload,
+        frame_sample,
+        resize,
+    )
+
+    docs = attach_binary_payload(
+        spark.createDataFrame([Row(doc_id=1, text="x" * 1000), Row(doc_id=2, text="short")])
+    )
+    resized = {r["doc_id"]: r for r in resize(docs, target_bytes=256).collect()}
+    assert resized[1]["n_bytes"] == 256  # truncated
+    assert resized[2]["n_bytes"] == 256  # zero-padded
+    assert bytes(resized[2]["payload"])[:5] == b"short"
+
+    frames = frame_sample(docs, n_frames=4).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 4  # one row fans out to n_frames rows
+    assert [r["frame_no"] for r in sorted(by_doc[1], key=lambda r: r["frame_no"])] == [0, 1, 2, 3]
+    assert all(len(bytes(r["frame"])) == 250 for r in by_doc[1])  # 1000 // 4

@@ -91,3 +91,32 @@ def test_streaming_hourly_window(spark, sf_dir, tmp_path):
     )
     cols = sorted(expected.columns)
     assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(expected.select(*cols), cols)
+
+
+def test_stateful_running_totals(spark, sf_dir, tmp_path):
+    """applyInPandasWithState custom operator: final per-user state must
+    equal the batch aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "state_src")
+    events.select("user_id", "value").coalesce(2).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema("user_id LONG, value DOUBLE").json(src)
+    totals = SP.running_user_totals(stream)
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("state_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last emitted row per user is the final state
+    got = spark.sql(
+        "SELECT user_id, max_by(n_events, n_events) AS n_events,"
+        " max_by(total_value, n_events) AS total_value"
+        " FROM state_test GROUP BY user_id"
+    )
+    expected = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+    cols = sorted(expected.columns)
+    assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(expected.select(*cols), cols)

@@ -122,10 +122,15 @@ def _salted_hash_fn(salt: str):
     return lambda w: word_md5_prefix(w, salt=salt)
 
 
+def minhash_signature_of(features: Column, k: int = 16) -> list[Column]:
+    """k-permutation MinHash signature over an arbitrary feature array
+    (words, shingles, ...), md5-salted per permutation."""
+    return [F.array_min(F.transform(features, _salted_hash_fn(f"{i}:"))) for i in range(k)]
+
+
 def minhash_signature(text: Column, k: int = 16) -> list[Column]:
-    """k-permutation MinHash signature columns (md5-salted)."""
-    toks = distinct_words(text)
-    return [F.array_min(F.transform(toks, _salted_hash_fn(f"{i}:"))) for i in range(k)]
+    """k-permutation MinHash signature columns over distinct words."""
+    return minhash_signature_of(distinct_words(text), k)
 
 
 def simhash32(text: Column) -> Column:

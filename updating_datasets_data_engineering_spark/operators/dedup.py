@@ -87,18 +87,24 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     band_size: int = 4,
     threshold: float = 0.4,
+    ngram: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs with exact-Jaccard verification.
 
     shingle -> k minhashes -> bands -> bucket self-join -> verify.
-    The band join key is (band_index, concat(band hashes)) — uniform
-    hash keys, so the single shuffle is skew-free.  Candidate fan-out is
+    ``ngram=N`` hashes word N-gram shingles (the classic, far more
+    discriminative feature set); default hashes distinct words.  The
+    band join key is (band_index, concat(band hashes)) — uniform hash
+    keys, so the single shuffle is skew-free.  Candidate fan-out is
     controlled by band_size (r): P(candidate) = 1-(1-J^r)^(k/r).
 
     md5-based permutations keep it oracle-replayable in SQL.
     """
     assert num_hashes % band_size == 0
-    sig = TXT.minhash_signature(F.col(text_col), k=num_hashes)
+    feature = (
+        TXT.shingles(F.col(text_col), ngram) if ngram else TXT.distinct_words(F.col(text_col))
+    )
+    sig = TXT.minhash_signature_of(feature, k=num_hashes)
     n_bands = num_hashes // band_size
     band_cols = [
         F.concat_ws("|", *sig[b * band_size : (b + 1) * band_size]).alias(f"band_{b}")
@@ -106,7 +112,7 @@ def minhash_lsh_pairs(
     ]
     with_bands = docs.select(
         F.col(id_col).alias("id"),
-        TXT.distinct_words(F.col(text_col)).alias("toks"),
+        feature.alias("toks"),
         *band_cols,
     )
     banded = with_bands.select(

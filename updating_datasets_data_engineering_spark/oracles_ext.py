@@ -113,7 +113,9 @@ SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {threshold}
 """
 
 
-def minhash_lsh_sql(num_hashes: int = 16, band_size: int = 4, threshold: float = 0.4) -> str:
+def minhash_lsh_sql(
+    num_hashes: int = 16, band_size: int = 4, threshold: float = 0.4, ngram: int | None = None
+) -> str:
     sigs = ",\n           ".join(
         f"list_min(list_transform(dw, x -> substr(md5('{i}:' || x), 1, 8))) AS sig_{i}"
         for i in range(num_hashes)
@@ -125,9 +127,16 @@ def minhash_lsh_sql(num_hashes: int = 16, band_size: int = 4, threshold: float =
         + " AS band_key FROM sigs"
         for b in range(n_bands)
     )
+    if ngram:
+        feature_cte = (
+            f"SELECT doc_id, {_shingles_sql(ngram)} AS dw\n"
+            f"    FROM (SELECT doc_id, {WORDS} AS w FROM documents)"
+        )
+    else:
+        feature_cte = f"SELECT doc_id, {DWORDS} AS dw FROM documents"
     return f"""
 WITH toks AS (
-    SELECT doc_id, {DWORDS} AS dw FROM documents
+    {feature_cte}
 ),
 sigs AS (
     SELECT doc_id, dw,

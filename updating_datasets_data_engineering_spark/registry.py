@@ -709,8 +709,10 @@ def dedup_ngram_jaccard_q(spark, sf_dir):
 
 
 def dedup_minhash_lsh_q(spark, sf_dir):
+    """Shingle-based MinHash+LSH (3-gram shingles → 16 md5 permutations
+    → 4-hash bands → bucket join → exact-Jaccard verify ≥ 0.4)."""
     return D.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), num_hashes=16, band_size=4, threshold=0.4
+        _t(spark, sf_dir, "documents"), num_hashes=16, band_size=4, threshold=0.4, ngram=3
     )
 
 
@@ -808,7 +810,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("doc_fingerprints", doc_fingerprints, OE.fingerprint_sql()),
     QuerySpec("dedup_exact", dedup_exact_q, OE.dedup_exact_sql()),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard_q, OE.ngram_jaccard_sql(0.5, 3)),
-    QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh_q, OE.minhash_lsh_sql(16, 4, 0.4)),
+    QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh_q, OE.minhash_lsh_sql(16, 4, 0.4, ngram=3)),
     QuerySpec("dedup_simhash", dedup_simhash_q, OE.simhash_sql()),
     QuerySpec("knn_bruteforce", knn_bruteforce, OE.knn_bruteforce_sql(5, 5, 64)),
     QuerySpec("knn_ann_srp", knn_ann_srp, None),

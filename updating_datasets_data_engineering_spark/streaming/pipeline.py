@@ -112,6 +112,48 @@ def run_available_now(
     query.awaitTermination()
 
 
+def running_user_totals(events: DataFrame, timeout_minutes: int | None = None) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running event count + value sum maintained in explicit
+    state (what built-in streaming aggregation can't express once the
+    update logic grows arbitrary Python).
+
+    ``timeout_minutes`` bounds state for long-running service mode
+    (idle users evicted).  Leave ``None`` for run-to-completion
+    (``availableNow``) jobs: a processing-time timeout there makes the
+    trigger loop on state-cleanup batches and never terminate
+    (observed: "No new data but cleaning up state" forever).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id LONG, n_events LONG, total_value DOUBLE"
+    state_schema = "n LONG, total DOUBLE"
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]})
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
 def streaming_hourly_counts(events: DataFrame, watermark_delay: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window aggregate — the streaming twin of
     operators.analytics.events_hourly (same logical result on bounded
