@@ -135,12 +135,14 @@ def window_top_customers(customer: DataFrame, nation: DataFrame, k: int = 3) -> 
     Window partitions on n_nationkey (uniform); at scale this is the
     canonical 'top-k per group' — no global sort, one shuffle.
     """
+    # rank over the RAW balance (the oracle's window also sees the raw
+    # column); round only in the projection
     w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
     return (
         customer.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
-        .select("n_name", "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
+        .select("n_name", "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "rank")
         .orderBy("n_name", "rank")
     )
 
@@ -163,7 +165,7 @@ def window_running_total(orders: DataFrame) -> DataFrame:
         F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
         F.row_number().over(
             Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-        ).alias("order_seq"),
+        ).cast("long").alias("order_seq"),  # match the oracle's BIGINT
     )
 
 
