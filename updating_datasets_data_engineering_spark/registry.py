@@ -506,6 +506,35 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-0
 """
 
 
+def orders_with_big_items(spark, sf_dir):
+    """Correlated EXISTS subquery through the SQL surface — Catalyst
+    decorrelates it into a semi-join (visible in the plan)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sub_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders_v
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem_sub_v
+            WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+_ORACLE_EXISTS = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000
+)
+GROUP BY o_orderpriority
+"""
+
+
 def events_props_json(spark, sf_dir):
     return A.events_props_json(_t(spark, sf_dir, "events"))
 
@@ -795,6 +824,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("events_sessionize", sessionize, _ORACLE_SESSIONIZE),
     QuerySpec("parts_by_brand", parts_by_brand, _ORACLE_PARTS_BY_BRAND),
     QuerySpec("q6_revenue_change", q6_revenue_change, _ORACLE_Q6),
+    QuerySpec("orders_with_big_items", orders_with_big_items, _ORACLE_EXISTS),
     QuerySpec("events_props_json", events_props_json, _ORACLE_PROPS_JSON),
     QuerySpec("cube_order_stats", cube_order_stats, _ORACLE_CUBE),
     QuerySpec("above_avg_customers", above_avg_customers, _ORACLE_ABOVE_AVG),
