@@ -12,6 +12,12 @@ oracle can replay them where SQL can express them:
   * embedding      — SRP-LSH bucketed cosine near-dup
                      (similarity.py holds the vector ops).
 
+Algorithms are the public classics: MinHash resemblance sketching
+(Broder, "On the resemblance and containment of documents", 1997),
+LSH banding (Indyk & Motwani 1998; banding analysis as in Leskovec/
+Rajaraman/Ullman, Mining of Massive Datasets ch.3), SimHash random
+hyperplane signatures (Charikar, STOC 2002).
+
 Scale notes (100 TB): every strategy is block/bucket-first — no
 all-pairs O(n²) stage ever materializes.  The band/bucket join keys are
 high-cardinality hashes, so the shuffle is uniform; band width tunes

@@ -1,5 +1,11 @@
 """Similarity search over embedding columns (ARRAY<FLOAT>).
 
+SRP-LSH follows Charikar's random-hyperplane scheme (STOC 2002);
+multi-probe follows Lv et al., "Multi-Probe LSH" (VLDB 2007) —
+probing neighbor buckets instead of shrinking them.  Top-k pruning
+strategy per the distributed top-k similarity-search literature
+(cf. EDBT 2020 incremental top-k; REPOSE, ICDE 2021 — PAPERS.md).
+
 Two tiers:
 
   * :func:`brute_force_topk` — exact cosine top-k: cross join queries ×
