@@ -535,6 +535,40 @@ GROUP BY o_orderpriority
 """
 
 
+def nation_balance_full_outer(spark, sf_dir):
+    """Full-outer join surface: per-nation customer vs supplier counts,
+    keeping nations present on either side only."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("s_key"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        c.join(s, c.nationkey == s.s_key, "full_outer")
+        .select(
+            F.coalesce("nationkey", "s_key").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+_ORACLE_FULL_OUTER = """
+SELECT coalesce(c.nationkey, s.s_key) AS nationkey,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers FROM customer GROUP BY 1) c
+FULL OUTER JOIN (SELECT s_nationkey AS s_key, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+  ON c.nationkey = s.s_key
+"""
+
+
 def events_props_json(spark, sf_dir):
     return A.events_props_json(_t(spark, sf_dir, "events"))
 
@@ -825,6 +859,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("parts_by_brand", parts_by_brand, _ORACLE_PARTS_BY_BRAND),
     QuerySpec("q6_revenue_change", q6_revenue_change, _ORACLE_Q6),
     QuerySpec("orders_with_big_items", orders_with_big_items, _ORACLE_EXISTS),
+    QuerySpec("nation_balance_full_outer", nation_balance_full_outer, _ORACLE_FULL_OUTER),
     QuerySpec("events_props_json", events_props_json, _ORACLE_PROPS_JSON),
     QuerySpec("cube_order_stats", cube_order_stats, _ORACLE_CUBE),
     QuerySpec("above_avg_customers", above_avg_customers, _ORACLE_ABOVE_AVG),
