@@ -143,3 +143,16 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert len(by_doc[1]) == 4  # one row fans out to n_frames rows
     assert [r["frame_no"] for r in sorted(by_doc[1], key=lambda r: r["frame_no"])] == [0, 1, 2, 3]
     assert all(len(bytes(r["frame"])) == 250 for r in by_doc[1])  # 1000 // 4
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """The 100 TB path for distinct counts is HLL; its error must stay
+    within the configured rsd against the exact count."""
+    from updating_datasets_data_engineering_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.06  # 3x rsd
