@@ -1,0 +1,71 @@
+"""Updating-dataset maintenance: incremental aggregates, compaction,
+salted joins — each checked against its full-recompute equivalent."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from updating_datasets_data_engineering_spark.operators import incremental as INC
+from updating_datasets_data_engineering_spark.operators import maintenance as MNT
+from updating_datasets_data_engineering_spark.operators import skew
+from updating_datasets_data_engineering_spark.tables import load_table
+
+AGGS = {
+    "n": ("value", "count"),
+    "sum_value": ("value", "sum"),
+    "min_value": ("value", "min"),
+    "max_value": ("value", "max"),
+}
+
+
+def _norm(df):
+    cols = sorted(df.columns)
+    return sorted(
+        (tuple((x is None, str(round(x, 6)) if isinstance(x, float) else str(x)) for x in (r[c] for c in cols))
+         for r in df.collect())
+    )
+
+
+def test_incremental_agg_equals_full_recompute(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    day1 = events.where(F.col("event_id") % 3 != 0)
+    day2 = events.where(F.col("event_id") % 3 == 0)
+
+    state = INC.partial_agg(day1, ["event_type"], AGGS)
+    updated = INC.incremental_update(state, day2, ["event_type"], AGGS)
+    full = INC.partial_agg(events, ["event_type"], AGGS)
+    assert _norm(updated) == _norm(full)
+
+
+def test_incremental_update_new_groups(spark):
+    from pyspark.sql import Row
+
+    prev_rows = [Row(event_type="click", value=1.0)]
+    delta_rows = [Row(event_type="brand_new", value=5.0), Row(event_type="click", value=3.0)]
+    prev = INC.partial_agg(spark.createDataFrame(prev_rows), ["event_type"], AGGS)
+    updated = INC.incremental_update(prev, spark.createDataFrame(delta_rows), ["event_type"], AGGS)
+    got = {r["event_type"]: r for r in updated.collect()}
+    assert got["brand_new"]["n"] == 1 and got["brand_new"]["sum_value"] == 5.0
+    assert got["click"]["n"] == 2 and got["click"]["sum_value"] == 4.0
+    assert got["click"]["min_value"] == 1.0 and got["click"]["max_value"] == 3.0
+
+
+def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "fragmented")
+    # simulate many daily upsert writes -> fragmented layout
+    events.repartition(40).write.mode("overwrite").parquet(path)
+    before, after = MNT.compact(spark, path, target_file_bytes=8 * 1024 * 1024)
+    assert before == 40
+    assert after < before
+    assert spark.read.parquet(path).count() == events.count()
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")  # event_type: 5 hot values
+    dim = events.select("event_type").distinct().withColumn(
+        "type_code", F.md5("event_type")
+    )
+    plain = events.join(dim, "event_type").select("event_id", "type_code")
+    salted = skew.salted_join(events, dim, on=["event_type"]).select("event_id", "type_code")
+    assert _norm(plain) == _norm(salted)
