@@ -44,6 +44,9 @@ HEADLINE = [
     "events_pivot",
     "events_props_json",
     "events_type_stats_salted",
+    "incremental_events_summary",
+    "events_moving_avg",
+    "events_gaps",
     "scalar_function_census",
     "word_counts",
     "window_top_customers",

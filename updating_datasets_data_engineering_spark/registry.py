@@ -714,6 +714,84 @@ FROM events GROUP BY event_type
 """
 
 
+def incremental_events_summary(spark, sf_dir):
+    """Incremental aggregate maintenance: day-1 state ⊕ day-2 delta.
+    The oracle is the FULL recompute — proving state-combination gives
+    byte-equal results without rescanning day-1."""
+    from .operators import incremental as INC
+
+    aggs = {
+        "n": ("value", "count"),
+        "sum_value": ("value", "sum"),
+        "min_value": ("value", "min"),
+        "max_value": ("value", "max"),
+    }
+    events = _t(spark, sf_dir, "events")
+    day1 = events.where(F.col("event_id") % 3 != 0)
+    day2 = events.where(F.col("event_id") % 3 == 0)
+    state = INC.partial_agg(day1, ["event_type"], aggs)
+    updated = INC.incremental_update(state, day2, ["event_type"], aggs)
+    return updated.select(
+        "event_type", "n", F.round("sum_value", 2).alias("sum_value"), "min_value", "max_value"
+    )
+
+
+_ORACLE_INCREMENTAL = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def events_moving_avg(spark, sf_dir):
+    """Sliding-frame analytic window: 4-row moving average per user."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("moving_avg"),
+    )
+
+
+_ORACLE_MOVING_AVG = """
+SELECT user_id, event_id,
+       round(avg(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+FROM events
+"""
+
+
+def events_gaps(spark, sf_dir):
+    """lead/lag surface: microsecond gap to the previous event per user
+    (exact integer arithmetic — no fp concerns)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    return _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        (micros - F.lag(micros).over(w)).alias("gap_us"),
+        (F.lead(micros).over(w) - micros).alias("next_gap_us"),
+    )
+
+
+_ORACLE_GAPS = """
+SELECT user_id, event_id,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+       LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS next_gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Extension tier: text analysis / dedup / similarity / multimodal
 # (SURVEY.md §7 stage 9; oracles in oracles_ext.py mirror the md5-based
@@ -870,6 +948,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("events_pivot", events_pivot, _ORACLE_PIVOT),
     QuerySpec("word_counts", word_counts, _ORACLE_WORD_COUNTS),
     QuerySpec("events_type_stats_salted", events_type_stats_salted, _ORACLE_SALTED),
+    QuerySpec("incremental_events_summary", incremental_events_summary, _ORACLE_INCREMENTAL),
+    QuerySpec("events_moving_avg", events_moving_avg, _ORACLE_MOVING_AVG),
+    QuerySpec("events_gaps", events_gaps, _ORACLE_GAPS),
     QuerySpec("text_metrics", text_metrics, OE.text_metrics_sql()),
     QuerySpec("text_langid", text_langid, OE.lang_id_sql()),
     QuerySpec("doc_fingerprints", doc_fingerprints, OE.fingerprint_sql()),
