@@ -36,3 +36,33 @@ def test_daily_cycle(spark, sf_dir, tmp_path):
     # archive-format parity export reads back
     back = sinks.read_season_tgz(spark, tgz)
     assert back.count() == merged.count()
+
+
+def test_cli_process_then_merge(spark, sf_dir, tmp_path, monkeypatch):
+    """The spark-submit-parity CLI: process then merge via jobs.main()."""
+    import sys
+
+    from updating_datasets_data_engineering_spark.sources import shot_synth as SS
+
+    ev = load_table(spark, sf_dir, "events")
+    records_dir = str(tmp_path / "records")
+    SS.synth_kafka_records(ev).select("value").coalesce(1).write.mode("overwrite").text(records_dir)
+
+    delta = str(tmp_path / "cli_delta")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["jobs", "process", "--records-json-dir", records_dir, "--delta-path", delta],
+    )
+    jobs.main()
+    assert spark.read.parquet(delta).count() > 0
+
+    out = str(tmp_path / "cli_archive")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["jobs", "merge", "--archive-path", str(tmp_path / "none"), "--delta-path", delta,
+         "--out-path", out],
+    )
+    jobs.main()
+    merged = spark.read.parquet(out)
+    keys = ["game_id", "time_remaining", "quarter"]
+    assert merged.count() == merged.select(*keys).distinct().count()
