@@ -1,0 +1,74 @@
+"""Edge-input robustness: operators must behave on empty/degenerate
+inputs, not just the happy-path fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from updating_datasets_data_engineering_spark.operators import dedup as D
+from updating_datasets_data_engineering_spark.operators import merge as M
+from updating_datasets_data_engineering_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id LONG, text STRING, lang STRING, n_chars LONG")
+
+
+def test_merge_with_empty_delta(spark):
+    archive = spark.createDataFrame([Row(game_id="G1", time_remaining="1:00.0", quarter="1", v=1)])
+    delta = spark.createDataFrame([], archive.schema)
+    out = M.merge_deterministic(archive, delta)
+    assert out.count() == 1
+    out2 = M.merge_anti_join(archive, delta)
+    assert out2.count() == 1
+
+
+def test_merge_with_empty_archive(spark):
+    delta = spark.createDataFrame([Row(game_id="G1", time_remaining="1:00.0", quarter="1", v=1)])
+    archive = spark.createDataFrame([], delta.schema)
+    assert M.merge_deterministic(archive, delta).count() == 1
+
+
+def test_dedup_on_empty(empty_docs):
+    assert D.dedup_exact(empty_docs).count() == 0
+    assert D.minhash_lsh_pairs(empty_docs, ngram=3).count() == 0
+    assert D.simhash_groups(empty_docs).count() == 0
+    assert D.ngram_jaccard_pairs(empty_docs, ngram=3).count() == 0
+
+
+def test_dedup_empty_and_short_texts(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="", lang="en", n_chars=0),
+            Row(doc_id=2, text="one", lang="en", n_chars=3),
+            Row(doc_id=3, text="one", lang="en", n_chars=3),
+        ]
+    )
+    groups = D.dedup_exact(docs)
+    dup = groups.where(F.col("n_copies") > 1).collect()
+    assert len(dup) == 1 and dup[0]["keep_id"] == 2
+    # simhash: empty text -> signature 0, still grouped (not dropped)
+    sigs = D.simhash_signatures(docs)
+    assert sigs.count() == 3
+    assert sigs.where(F.col("doc_id") == 1).collect()[0]["simhash"] == 0
+
+
+def test_topk_with_k_larger_than_corpus(spark):
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(3)]
+    )
+    out = SIM.brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=10)
+    assert out.count() == 2  # only 2 possible neighbors — no padding, no error
+
+
+def test_parser_none_play(spark):
+    from updating_datasets_data_engineering_spark.functions import play_parser as P
+
+    df = spark.createDataFrame(
+        [Row(play=None, winner="A", loser="B")], "play STRING, winner STRING, loser STRING"
+    )
+    rows = P.enrich(df).collect()
+    assert len(rows) == 1  # null play -> null derived columns, no crash

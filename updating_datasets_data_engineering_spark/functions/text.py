@@ -99,6 +99,14 @@ def lang_id(text: Column) -> Column:
     return F.when(best_score == 0, F.lit("und")).otherwise(pred)
 
 
+# Tiny deterministic sentiment lexicon (AFINN-style sign/weight table).
+# Real deployments broadcast a full lexicon table through the same join.
+SENTIMENT_LEXICON: dict[str, int] = {
+    "good": 2, "great": 3, "fast": 1, "small": 1, "new": 1,
+    "bad": -2, "slow": -1, "error": -2, "fail": -3, "dup": -1,
+}
+
+
 def word_md5_prefix(word: Column, salt: str = "") -> Column:
     """First 8 hex chars of md5(salt || word) — the oracle-reproducible
     32-bit hash primitive used by fingerprints / MinHash / SimHash."""

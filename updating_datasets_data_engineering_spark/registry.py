@@ -882,6 +882,49 @@ def embedding_near_dup_ann(spark, sf_dir):
     return SIM.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.5)
 
 
+def text_sentiment(spark, sf_dir):
+    """Lexicon-join sentiment scoring (cf. the Spark Twitter-sentiment
+    line of work, EDBT 2016 — PAPERS.md): explode tokens, broadcast-join
+    the weight lexicon, sum per document.  The lexicon join is the
+    canonical tiny-dim broadcast at any scale."""
+    from .functions.text import SENTIMENT_LEXICON
+
+    docs = _t(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        [(w, s) for w, s in sorted(SENTIMENT_LEXICON.items())], "word STRING, score INT"
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        toks.join(F.broadcast(lex), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce("score", F.lit(0))).cast("long").alias("sentiment"),
+            F.count(F.when(F.col("score") > 0, 1)).alias("n_pos"),
+            F.count(F.when(F.col("score") < 0, 1)).alias("n_neg"),
+        )
+    )
+
+
+def _oracle_sentiment_sql() -> str:
+    from .functions.text import SENTIMENT_LEXICON
+
+    values = ", ".join(f"('{w}', {s})" for w, s in sorted(SENTIMENT_LEXICON.items()))
+    return f"""
+WITH lex(word, score) AS (VALUES {values}),
+toks AS (
+    SELECT doc_id, unnest({OE.WORDS}) AS word FROM documents
+)
+SELECT doc_id,
+       CAST(sum(coalesce(score, 0)) AS BIGINT) AS sentiment,
+       COUNT(CASE WHEN score > 0 THEN 1 END) AS n_pos,
+       COUNT(CASE WHEN score < 0 THEN 1 END) AS n_neg
+FROM toks LEFT JOIN lex USING (word)
+GROUP BY doc_id
+"""
+
+
 def multimodal_features_q(spark, sf_dir):
     return MM.multimodal_features(_t(spark, sf_dir, "documents"))
 
@@ -953,6 +996,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("events_gaps", events_gaps, _ORACLE_GAPS),
     QuerySpec("text_metrics", text_metrics, OE.text_metrics_sql()),
     QuerySpec("text_langid", text_langid, OE.lang_id_sql()),
+    QuerySpec("text_sentiment", text_sentiment, _oracle_sentiment_sql()),
     QuerySpec("doc_fingerprints", doc_fingerprints, OE.fingerprint_sql()),
     QuerySpec("dedup_exact", dedup_exact_q, OE.dedup_exact_sql()),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard_q, OE.ngram_jaccard_sql(0.5, 3)),
