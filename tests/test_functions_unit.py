@@ -156,3 +156,27 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.06  # 3x rsd
+
+
+def test_simhash_column_and_aggregate_variants_agree(spark):
+    """functions.text.simhash32 (column expression) and
+    dedup.simhash_signatures (single-pass aggregate) implement the same
+    signature — guard against drift."""
+    from pyspark.sql import Row
+
+    from updating_datasets_data_engineering_spark.operators.dedup import simhash_signatures
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox"),
+            Row(doc_id=2, text="spark engine window shuffle merge"),
+            Row(doc_id=3, text="the quick brown fox"),
+        ]
+    )
+    col_variant = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", TXT.simhash32(F.col("text")).alias("s")).collect()
+    }
+    agg_variant = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert col_variant == agg_variant
+    assert col_variant[1] == col_variant[3]  # identical text -> identical signature

@@ -1,1 +1,13 @@
-from . import analytics, dedup, ingest, merge, multimodal, similarity  # noqa: F401
+from . import (  # noqa: F401
+    analytics,
+    bucketing,
+    dedup,
+    incremental,
+    ingest,
+    maintenance,
+    merge,
+    ml_lsh,
+    multimodal,
+    similarity,
+    skew,
+)
