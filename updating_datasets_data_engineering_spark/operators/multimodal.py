@@ -69,7 +69,7 @@ def extract_features(docs_with_payload: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media"].map(lambda m: m["media_type"]),
+                    "media_type": pdf["media_type"],
                     "n_bytes": payloads.map(len),
                     "sha256": payloads.map(lambda p: hashlib.sha256(bytes(p)).hexdigest()),
                     "width": [d[0] for d in dims],
@@ -77,9 +77,12 @@ def extract_features(docs_with_payload: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs_with_payload.select("doc_id", "payload", "media").mapInPandas(
-        batches, schema=FEATURE_SCHEMA
+    # flatten the metadata field crossing the Arrow boundary — structs
+    # cost an extra conversion per batch and only media_type is consumed
+    flat = docs_with_payload.select(
+        "doc_id", "payload", F.col("media.media_type").alias("media_type")
     )
+    return flat.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
 def multimodal_features(docs: DataFrame) -> DataFrame:

@@ -123,6 +123,34 @@ FROM parsed
 """
 
 
+def shot_time_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 parity: the reference's (dead) timestamp parse of
+    time_remaining with '%H:%M.%S' — where the tenths digit lands in
+    the seconds slot ('0:07.9' -> 00:07:09), preserved bug-for-bug
+    (reference: scripts/spark_processing.py:137-138)."""
+    from .functions import play_parser as P
+
+    shots = SS.synth_shot_events(_t(spark, sf_dir, "events"))
+    return shots.select(
+        "event_id",
+        F.date_format(P.time_remaining_ts(F.col("play")), "HH:mm:ss").alias("time_parsed"),
+        F.round(P.seconds_remaining(F.col("play")), 1).alias("seconds_remaining"),
+    )
+
+
+def _oracle_shot_time_sql() -> str:
+    return f"""
+WITH shots AS (
+    {SS.duckdb_shot_cte()}
+)
+SELECT event_id,
+       strftime(strptime(string_split(play, ' ')[3], '%H:%M.%S'), '%H:%M:%S') AS time_parsed,
+       round(CAST(string_split(string_split(play, ' ')[3], ':')[1] AS DOUBLE) * 60
+             + CAST(string_split(string_split(play, ' ')[3], ':')[2] AS DOUBLE), 1) AS seconds_remaining
+FROM shots
+"""
+
+
 def shot_ingest_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1-P3: Kafka-shaped records -> from_json parse -> flatten, with
     malformed-row guard (truncated values dropped)."""
@@ -962,6 +990,7 @@ GROUP BY p_brand
 SPECS: list[QuerySpec] = [
     QuerySpec("shot_parse", shot_parse, _oracle_shot_parse_sql()),
     QuerySpec("shot_ingest_json", shot_ingest_json, _oracle_shot_ingest_sql()),
+    QuerySpec("shot_time_typed", shot_time_typed, _oracle_shot_time_sql()),
     QuerySpec("merge_dedup_reference", merge_dedup_reference, _ORACLE_MERGE_REFERENCE),
     QuerySpec("merge_upsert_delta_wins", merge_upsert_delta_wins, _ORACLE_MERGE_UPSERT),
     QuerySpec("merge_upsert_anti_join", merge_upsert_anti_join, _ORACLE_MERGE_UPSERT),
