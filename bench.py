@@ -78,6 +78,7 @@ def main() -> None:
     qs = queries()
 
     force(qs[HEADLINE[0]](spark, sf_dir))  # warmup: JVM + codegen + IO path
+    force(qs["multimodal_features"](spark, sf_dir))  # warmup: Python workers (Arrow path)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
