@@ -953,6 +953,45 @@ GROUP BY doc_id
 """
 
 
+def doc_chunks(spark, sf_dir, chunk_tokens: int = 32, stride: int = 24):
+    """Document chunking for context windows: overlapping token slices
+    (size 32, stride 24), the standard prep for embedding/training
+    pipelines.  posexplode fans each doc out map-side; no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    with_chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda s: F.slice(toks, s + 1, chunk_tokens))
+        ).alias("chunk_no", "chunk_toks"),
+    )
+    return with_chunks.select(
+        "doc_id",
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        F.array_join("chunk_toks", " ").alias("chunk_text"),
+        F.size("chunk_toks").alias("n_tokens"),
+    )
+
+
+_ORACLE_CHUNKS = """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+),
+chunks AS (
+    SELECT doc_id, w, unnest(generate_series(0, greatest(len(w) - 1, 0), 24)) AS start
+    FROM toks
+)
+SELECT doc_id,
+       CAST(start // 24 AS BIGINT) AS chunk_no,
+       array_to_string(list_slice(w, start + 1, start + 32), ' ') AS chunk_text,
+       CAST(len(list_slice(w, start + 1, start + 32)) AS INT) AS n_tokens
+FROM chunks
+"""
+
+
 def multimodal_features_q(spark, sf_dir):
     return MM.multimodal_features(_t(spark, sf_dir, "documents"))
 
@@ -1026,6 +1065,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("text_metrics", text_metrics, OE.text_metrics_sql()),
     QuerySpec("text_langid", text_langid, OE.lang_id_sql()),
     QuerySpec("text_sentiment", text_sentiment, _oracle_sentiment_sql()),
+    QuerySpec("doc_chunks", doc_chunks, _ORACLE_CHUNKS),
     QuerySpec("doc_fingerprints", doc_fingerprints, OE.fingerprint_sql()),
     QuerySpec("dedup_exact", dedup_exact_q, OE.dedup_exact_sql()),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard_q, OE.ngram_jaccard_sql(0.5, 3)),

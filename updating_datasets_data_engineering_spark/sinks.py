@@ -24,6 +24,7 @@ import tarfile
 import tempfile
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_partitioned_archive(
@@ -71,6 +72,25 @@ def export_season_tgz(df: DataFrame, out_tgz: str, member_name: str = "shots.csv
         tar.add(tmp_csv, arcname=member_name)
     shutil.rmtree(os.path.dirname(tmp_csv), ignore_errors=True)
     return out_tgz
+
+
+def write_kafka(df: DataFrame, brokers: str, topic: str, key_col: str | None = None) -> None:
+    """Kafka producer sink (reference K4: the dead-code demo's
+    producer.produce loop, kafka_streaming_service_not_used.py:47-50).
+    Expects a ``value`` column (string/binary); optional key.  Not
+    executable in this container (no broker) — the option surface is
+    the contract; the streaming variant is ``df.writeStream`` with the
+    same options plus a checkpoint."""
+    cols = [F.col("value").cast("string").alias("value")]
+    if key_col:
+        cols.insert(0, F.col(key_col).cast("string").alias("key"))
+    (
+        df.select(*cols)
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .save()
+    )
 
 
 def read_season_tgz(spark, tgz_path: str) -> DataFrame:
