@@ -56,6 +56,8 @@ HEADLINE = [
     "events_hourly",
     "events_sessionize",
     "text_metrics",
+    "text_sentiment",
+    "doc_chunks",
     "text_langid",
     "doc_fingerprints",
     "dedup_exact",
