@@ -120,3 +120,32 @@ def test_stateful_running_totals(spark, sf_dir, tmp_path):
     )
     cols = sorted(expected.columns)
     assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(expected.select(*cols), cols)
+
+
+def test_stream_static_join(spark, sf_dir, tmp_path):
+    """Stream-static join: the streaming side enriches against a static
+    dimension (broadcast per micro-batch) — must equal the batch join."""
+    events = load_table(spark, sf_dir, "events")
+    dim = events.select("user_id").distinct().withColumn(
+        "user_bucket", F.pmod("user_id", F.lit(4))
+    )
+    src = str(tmp_path / "join_src")
+    events.select("event_id", "user_id", "value").coalesce(2).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema("event_id LONG, user_id LONG, value DOUBLE").json(src)
+    joined = stream.join(dim, "user_id").groupBy("user_bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM ss_join_test")
+    expected = events.join(dim, "user_id").groupBy("user_bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    cols = sorted(expected.columns)
+    assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(expected.select(*cols), cols)

@@ -86,3 +86,25 @@ def plan_report(spark, sf_dir: str) -> str:
             f"{f.n_sortmerge_joins} | {f.n_codegen_stages} | {pf} | {py} |"
         )
     return "\n".join(lines) + "\n"
+
+
+def main() -> None:
+    """Regenerate the repo-root PLANS.md:
+    ``python -m updating_datasets_data_engineering_spark.plans.audit [sf_dir] [out]``"""
+    import os
+    import sys
+
+    from ..session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "PLANS.md"
+    )
+    spark = get_spark("updating-datasets-plan-audit")
+    with open(out, "w") as fh:
+        fh.write(plan_report(spark, sf_dir))
+    print(out)
+
+
+if __name__ == "__main__":
+    main()
