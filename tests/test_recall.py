@@ -1,0 +1,123 @@
+"""Recall harness for every approximate operator, measured against its
+exact baseline on the fixed fixtures (VERDICT r1 item #3: a recall
+number that CI doesn't check will rot).
+
+All approximate paths are deterministic (md5-derived planes / fixed
+MLlib seeds) and the fixtures are frozen, so these are exact-value
+assertions, not statistical ones.  sf0.01 is used (the correctness-gate
+scale) because sf0.001 has zero positive near-dup pairs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from updating_datasets_data_engineering_spark.operators import dedup as D
+from updating_datasets_data_engineering_spark.operators import ml_lsh as ML
+from updating_datasets_data_engineering_spark.operators import similarity as SIM
+from updating_datasets_data_engineering_spark.tables import load_table
+
+SF001 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF001, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF001, "documents").cache()
+
+
+def _pair_set(df):
+    return {(r["id_a"], r["id_b"]) for r in df.select("id_a", "id_b").collect()}
+
+
+def test_near_dup_ann_recall_is_total(emb):
+    """The OR-amplified banding (r=5, L=24) returns EVERY pair the exact
+    all-pairs scan finds at threshold 0.5 — recall 1.0 on the fixture
+    (VERDICT r1 item #1's done-criterion)."""
+    exact = _pair_set(SIM.embedding_near_dup_exact(emb, threshold=0.5))
+    ann = _pair_set(SIM.embedding_near_dup_pairs(emb, threshold=0.5))
+    assert len(exact) > 0, "fixture should contain at least one positive pair"
+    assert exact == ann, f"missed={exact - ann} spurious={ann - exact}"
+
+
+def test_srp_ann_topk_recall_floor(emb):
+    """Mean recall@5 vs brute force >= 0.6 for the 5 fixture queries
+    (measured 0.72 at sf0.01 with n_planes=4, Hamming<=2 probes)."""
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = SIM.brute_force_topk(emb, queries, k=5).collect()
+    approx = SIM.srp_ann_topk(emb, queries, k=5).collect()
+    exact_by_q: dict[int, set] = {}
+    for r in exact:
+        exact_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_by_q: dict[int, set] = {}
+    for r in approx:
+        approx_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_by_q[q] & approx_by_q.get(q, set())) / len(exact_by_q[q])
+        for q in exact_by_q
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.6, f"recall@5 per query {recalls} (mean {mean_recall:.2f})"
+
+
+def test_srp_ann_scans_less_than_brute_force(emb):
+    """The probe join scores strictly fewer candidate pairs than the
+    exact nested loop — the whole point of the bucketing."""
+    n = emb.count()
+    queries = emb.where(F.col("vec_id") < 5)
+    planes = SIM._deterministic_planes(4, 64)
+    from updating_datasets_data_engineering_spark.functions import vectors as V
+
+    c = emb.select(V.srp_bucket(F.col("embedding"), planes).alias("bucket"))
+    qb = queries.select(V.srp_bucket(F.col("embedding"), planes).alias("qb"))
+    masks = SIM.probe_masks(4, 2)
+    probed = qb.select(
+        F.explode(F.array(*[F.col("qb").bitwiseXOR(F.lit(m)) for m in masks])).alias("bucket")
+    )
+    scanned = probed.join(c, on="bucket").count()
+    assert scanned < 5 * (n - 1), f"scanned {scanned} of {5 * (n - 1)} brute-force pairs"
+
+
+def test_ml_minhash_recall_vs_exact_jaccard(docs):
+    """MLlib MinHashLSH (8 tables) finds >= 80% of the exact word-set
+    Jaccard >= 0.4 pairs (un-blocked exact baseline via the n-gram
+    operator with a single global block)."""
+    exact = _pair_set(
+        D.ngram_jaccard_pairs(
+            docs.withColumn("_all", F.lit(1)),
+            block_cols=("_all",),
+            threshold=0.4,
+        )
+    )
+    approx = _pair_set(ML.ml_minhash_pairs(docs, jaccard_distance_max=0.6))
+    assert len(exact) > 0, "fixture should contain word-set Jaccard >= 0.4 pairs"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"recall {recall:.2f}: missed {sorted(exact - approx)[:5]}"
+
+
+def test_ml_brp_recall_vs_exact_l2(emb):
+    """BucketedRandomProjectionLSH finds >= 80% of the exact L2 < 10
+    pairs (exact baseline: all-pairs l2_distance)."""
+    from updating_datasets_data_engineering_spark.functions import vectors as V
+
+    b = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    exact_df = (
+        b.alias("a")
+        .join(b.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            V.l2_distance(F.col("a.vec"), F.col("b.vec")).alias("d"),
+        )
+        .where(F.col("d") < 10.0)
+    )
+    exact = _pair_set(exact_df)
+    approx = _pair_set(ML.ml_brp_neighbors(emb, distance_max=10.0))
+    assert len(exact) > 0, "fixture should contain L2 < 10 pairs"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"recall {recall:.2f}: missed {sorted(exact - approx)[:5]}"

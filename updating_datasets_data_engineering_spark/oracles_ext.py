@@ -222,6 +222,120 @@ SELECT id_a, id_b, cos_sim FROM (
 """
 
 
+def _plane_list_sql(plane: list[float]) -> str:
+    # exponent notation forces DOUBLE parsing: a bare 18-digit decimal
+    # literal becomes DECIMAL(19,18) and silently loses the last bit.
+    # repr() already uses an exponent for small magnitudes — keep it.
+    vals = (f"{v!r}" if "e" in f"{v!r}" else f"{v!r}e0" for v in plane)
+    return "[" + ", ".join(vals) + "]"
+
+
+def _plane_dot_sql(dim: int, emb: str = "e.embedding", vec: str = "p.v") -> str:
+    # left-associated chain, same fold order as Spark's F.aggregate
+    return " + ".join(
+        f"(CAST({emb}[{i}] AS DOUBLE) * {vec}[{i}])" for i in range(1, dim + 1)
+    )
+
+
+def knn_ann_srp_sql(
+    k: int = 5,
+    n_queries: int = 5,
+    n_planes: int = 4,
+    probe_hamming: int = 2,
+    dim: int = 64,
+) -> str:
+    """Deterministic replay of ``similarity.srp_ann_topk``: the md5
+    planes are plan literals, so the SQL recomputes the identical SRP
+    buckets + Hamming<=H probe set, then ranks exact cosine within the
+    candidate set (engine: operators/similarity.py srp_ann_topk)."""
+    from .operators.similarity import _deterministic_planes, probe_masks
+
+    planes = _deterministic_planes(n_planes, dim)
+    plane_rows = ",\n           ".join(
+        f"({1 << j}, {_plane_list_sql(p)})" for j, p in enumerate(planes)
+    )
+    mask_rows = ", ".join(f"({m})" for m in probe_masks(n_planes, probe_hamming))
+    cos = cosine_sql("q.embedding", "c.embedding", dim)
+    return f"""
+WITH planes(bit_w, v) AS (
+    VALUES {plane_rows}
+),
+dots AS (
+    SELECT e.vec_id, p.bit_w, ({_plane_dot_sql(dim)}) AS d
+    FROM embeddings e CROSS JOIN planes p
+),
+buckets AS (
+    SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN bit_w ELSE 0 END) AS BIGINT) AS bucket
+    FROM dots GROUP BY vec_id
+),
+qprobe AS (
+    SELECT b.vec_id AS query_id, xor(b.bucket, m.m) AS bucket
+    FROM buckets b CROSS JOIN (VALUES {mask_rows}) m(m)
+    WHERE b.vec_id < {n_queries}
+),
+scored AS (
+    SELECT qp.query_id, c.vec_id AS neighbor_id, {cos} AS cos_sim
+    FROM qprobe qp
+    JOIN buckets cb ON cb.bucket = qp.bucket
+    JOIN embeddings c ON c.vec_id = cb.vec_id
+    JOIN embeddings q ON q.vec_id = qp.query_id
+    WHERE c.vec_id <> qp.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def embedding_near_dup_ann_sql(
+    threshold: float = 0.5,
+    n_bands: int = 24,
+    band_planes: int = 5,
+    dim: int = 64,
+) -> str:
+    """Deterministic replay of ``similarity.embedding_near_dup_pairs``:
+    the L banded SRP bucket tables, the distinct candidate self-join,
+    and the exact-cosine verify (engine: operators/similarity.py
+    embedding_near_dup_pairs)."""
+    from .operators.similarity import near_dup_band_planes
+
+    bands = near_dup_band_planes(n_bands, band_planes, dim)
+    plane_rows = ",\n           ".join(
+        f"({l}, {1 << j}, {_plane_list_sql(p)})"
+        for l, planes in enumerate(bands)
+        for j, p in enumerate(planes)
+    )
+    cos = cosine_sql("ea.embedding", "eb.embedding", dim)
+    return f"""
+WITH planes(band_no, bit_w, v) AS (
+    VALUES {plane_rows}
+),
+dots AS (
+    SELECT e.vec_id, p.band_no, p.bit_w, ({_plane_dot_sql(dim)}) AS d
+    FROM embeddings e CROSS JOIN planes p
+),
+buckets AS (
+    SELECT vec_id, band_no, CAST(SUM(CASE WHEN d > 0 THEN bit_w ELSE 0 END) AS BIGINT) AS bucket
+    FROM dots GROUP BY vec_id, band_no
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band_no = b.band_no AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+verified AS (
+    SELECT c.id_a, c.id_b, {cos} AS raw_cos
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b, round(raw_cos, 6) AS cos_sim FROM verified WHERE raw_cos >= {threshold}
+"""
+
+
 def multimodal_sql() -> str:
     return """
 SELECT doc_id,

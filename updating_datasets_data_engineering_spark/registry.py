@@ -895,8 +895,9 @@ def knn_bruteforce(spark, sf_dir):
 
 
 def knn_ann_srp(spark, sf_dir):
-    """Approximate (SRP-LSH) top-k — rows-only check: recall < 1 by
-    design, so no SQL oracle can reproduce it exactly."""
+    """Approximate (SRP-LSH, Hamming<=2 multi-probe) top-k.  Fully
+    deterministic (md5-derived planes are plan literals), so the DuckDB
+    oracle replays the identical bucket + probe + rank pipeline."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.srp_ann_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
 
@@ -906,7 +907,9 @@ def embedding_near_dup(spark, sf_dir):
 
 
 def embedding_near_dup_ann(spark, sf_dir):
-    """SRP-bucketed near-dup (the 100 TB path) — rows-only check."""
+    """OR-amplified SRP-banded near-dup (the 100 TB path): recall 1.0
+    vs the exact variant on the fixtures (tests/test_recall.py), and
+    deterministic, so the DuckDB oracle replays the banding exactly."""
     return SIM.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.5)
 
 
@@ -1072,9 +1075,13 @@ SPECS: list[QuerySpec] = [
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh_q, OE.minhash_lsh_sql(16, 4, 0.4, ngram=3)),
     QuerySpec("dedup_simhash", dedup_simhash_q, OE.simhash_sql()),
     QuerySpec("knn_bruteforce", knn_bruteforce, OE.knn_bruteforce_sql(5, 5, 64)),
-    QuerySpec("knn_ann_srp", knn_ann_srp, None),
+    QuerySpec("knn_ann_srp", knn_ann_srp, OE.knn_ann_srp_sql(5, 5, 4, 2, 64)),
     QuerySpec("embedding_near_dup", embedding_near_dup, OE.embedding_near_dup_sql(0.5, 64)),
-    QuerySpec("embedding_near_dup_ann", embedding_near_dup_ann, None),
+    QuerySpec(
+        "embedding_near_dup_ann",
+        embedding_near_dup_ann,
+        OE.embedding_near_dup_ann_sql(0.5, 24, 5, 64),
+    ),
     QuerySpec("multimodal_features", multimodal_features_q, OE.multimodal_sql()),
 ]
 
