@@ -159,12 +159,22 @@ def simhash32(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined)."""
-    toks = words(text)
-    size = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(size - n, F.lit(0)))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
-    )
-    return F.when(size >= n, F.array_distinct(grams)).otherwise(F.array())
+    """Distinct word n-gram shingles (space-joined).
+
+    The token array is bound ONCE as a lambda variable (the
+    ``transform(array(words), w -> ...)`` trick): referencing the
+    ``words(text)`` expression directly inside the per-shingle lambda
+    would re-run the whole split+filter tokenization for every
+    ``element_at`` — Catalyst does no CSE inside lambdas (measured 20x
+    on the sf0.1 fingerprint-blocking join)."""
+
+    def _grams(w: Column) -> Column:
+        size = F.size(w)
+        idx = F.sequence(F.lit(0), F.greatest(size - n, F.lit(0)))
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
+        )
+        return F.when(size >= n, F.array_distinct(grams)).otherwise(F.array())
+
+    return F.element_at(F.transform(F.array(words(text)), _grams), 1)

@@ -97,19 +97,36 @@ def _shingles_sql(n: int = 3) -> str:
     )
 
 
-def ngram_jaccard_sql(threshold: float = 0.5, n: int = 3) -> str:
+def ngram_jaccard_sql(threshold: float = 0.5, n: int = 3, n_fingerprints: int = 2) -> str:
+    """Replays dedup.ngram_jaccard_pairs' fingerprint blocking: docs
+    sharing any of the k min-shingle-hash fingerprints are candidates,
+    then exact shingle-set Jaccard verifies."""
+    fp_selects = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, s, {i} AS bk, "
+        f"list_min(list_transform(s, x -> substr(md5('{i}:' || x), 1, 8))) AS bv FROM toks"
+        for i in range(n_fingerprints)
+    )
     return f"""
 WITH toks AS (
-    SELECT doc_id, lang, n_chars, {_shingles_sql(n)} AS s
-    FROM (SELECT doc_id, lang, n_chars, {WORDS} AS w FROM documents)
+    SELECT doc_id, {_shingles_sql(n)} AS s
+    FROM (SELECT doc_id, {WORDS} AS w FROM documents)
 ),
-pairs AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.s, b.s)) / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) AS jaccard
-    FROM toks a JOIN toks b
-      ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+blocked AS (
+    {fp_selects}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM blocked a JOIN blocked b
+      ON a.bk = b.bk AND a.bv = b.bv AND a.doc_id < b.doc_id
+),
+verified AS (
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(ta.s, tb.s)) / greatest(len(list_distinct(list_concat(ta.s, tb.s))), 1), 6) AS jaccard
+    FROM cand c
+    JOIN toks ta ON ta.doc_id = c.id_a
+    JOIN toks tb ON tb.doc_id = c.id_b
 )
-SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {threshold}
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
 """
 
 
