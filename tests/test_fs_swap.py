@@ -1,0 +1,91 @@
+"""Crash-safe, path-agnostic storage maintenance (round-1 VERDICT item
+6 / ADVICE items 1-3): the Hadoop-FS swap protocol must survive a crash
+at any step, and archive detection must see partitioned layouts."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from updating_datasets_data_engineering_spark import fs
+from updating_datasets_data_engineering_spark.streaming import pipeline as SP
+
+
+def _write(spark, path, values):
+    spark.createDataFrame([Row(k=v, v=str(v)) for v in values]).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _keys(spark, path):
+    return sorted(r["k"] for r in spark.read.parquet(path).collect())
+
+
+def test_swap_replaces_target_and_cleans_up(spark, tmp_path):
+    target = str(tmp_path / "table")
+    staging = fs.staging_path(target)
+    _write(spark, target, [1, 2])
+    _write(spark, staging, [3, 4, 5])
+    fs.swap_directory(spark, staging, target)
+    assert _keys(spark, target) == [3, 4, 5]
+    assert not fs.exists(spark, staging)
+    assert not fs.exists(spark, fs.old_path(target))
+
+
+def test_swap_works_without_existing_target(spark, tmp_path):
+    target = str(tmp_path / "fresh")
+    staging = fs.staging_path(target)
+    _write(spark, staging, [7])
+    fs.swap_directory(spark, staging, target)
+    assert _keys(spark, target) == [7]
+
+
+def test_recover_restores_old_after_crash_mid_swap(spark, tmp_path):
+    """Crash window: target renamed aside, staging not yet moved in.
+    The old rmtree-then-move code lost the archive here."""
+    target = str(tmp_path / "archive")
+    _write(spark, target, [1, 2, 3])
+    assert fs.rename(spark, target, fs.old_path(target))  # simulated crash state
+    assert not fs.exists(spark, target)
+    assert fs.recover_swap(spark, target) == "restored_old"
+    assert _keys(spark, target) == [1, 2, 3]
+
+
+def test_recover_drops_stale_old_when_target_exists(spark, tmp_path):
+    """Crash window: swap completed but .old not yet deleted — target is
+    authoritative, the leftover must not shadow future swaps."""
+    target = str(tmp_path / "archive2")
+    _write(spark, target, [9])
+    _write(spark, fs.old_path(target), [1])
+    assert fs.recover_swap(spark, target) == "dropped_stale_old"
+    assert _keys(spark, target) == [9]
+    assert not fs.exists(spark, fs.old_path(target))
+
+
+def test_list_files_recursive_sees_partitioned_layout(spark, tmp_path):
+    path = str(tmp_path / "part_table")
+    df = spark.createDataFrame([Row(k=i, q=f"Q{i % 2}") for i in range(10)])
+    df.write.mode("overwrite").partitionBy("q").parquet(path)
+    assert fs.has_parquet(spark, path)
+    files = fs.list_files(spark, path, suffix=".parquet")
+    assert files and all(sz > 0 for _, sz in files)
+
+
+def test_upsert_merges_partitioned_archive(spark, tmp_path):
+    """ADVICE item 2 regression: a partitioned archive (data files in
+    subdirectories) must be MERGED with the delta, not silently replaced
+    by it."""
+    archive = str(tmp_path / "p_archive")
+    rows = [
+        Row(game_id=f"g{i}", time_remaining=f"t{i}", quarter="1", team=f"old{i}", q=f"Q{i % 2}")
+        for i in range(6)
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").partitionBy("q").parquet(archive)
+    delta = spark.createDataFrame(
+        [Row(game_id="g0", time_remaining="t0", quarter="1", team="new0", q="Q0"),
+         Row(game_id="g9", time_remaining="t9", quarter="1", team="new9", q="Q1")]
+    )
+    SP.upsert_each_batch(archive)(delta, batch_id=0)
+    got = {r["game_id"]: r["team"] for r in spark.read.parquet(archive).collect()}
+    assert len(got) == 7            # 6 archive keys + 1 brand-new
+    assert got["g0"] == "new0"      # delta wins on collision
+    assert got["g5"] == "old5"      # archive rows survived

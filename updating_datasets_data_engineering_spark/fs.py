@@ -1,0 +1,143 @@
+"""Path-agnostic filesystem operations via the Hadoop FileSystem API.
+
+The reference's whole deployment is object storage — `s3a://.../ongoing`
+deltas and season archives (reference: scripts/spark_processing.py:258,
+scripts/spark_merge_dfs.py:108-121, driven through boto3 on the driver).
+Round-1 used `os.path`/`shutil` for archive swap, compaction, and
+bucketed-table cleanup, which only works for `file://` paths.  This
+module routes every maintenance filesystem touch through
+`org.apache.hadoop.fs.FileSystem` (reached over the session's JVM
+gateway), so the same code drives local disk, HDFS, or any Hadoop
+connector (s3a, gs, abfs) the cluster ships.
+
+Crash-safe directory swap (`swap_directory` / `recover_swap`):
+
+    target -> target.old   (rename aside, NOT delete)
+    staging -> target      (move the new version in)
+    delete target.old      (commit point)
+
+A crash between any two steps is recoverable from the directory state
+alone, which `recover_swap` does:
+
+  * `target` exists              -> swap finished (or never started);
+                                    a leftover `.old` is stale — drop it.
+  * `target` missing, `.old` there -> crashed mid-swap; restore `.old`.
+
+The round-1 `rmtree(target); move(staging, target)` sequence had a
+window where the only archive copy was an unreferenced temp dir — a
+crash there silently lost the whole archive (round-1 ADVICE item 1).
+
+Rename atomicity is filesystem-dependent: file:// and HDFS renames are
+atomic metadata ops; S3A "rename" is copy+delete.  Even on S3A this
+protocol never deletes the old version before the new one is fully in
+place, so the failure mode degrades to "stale .old left behind", not
+data loss.  For hard atomicity on object stores, pair the engine with a
+table format (Iceberg/Delta) or a pointer-file indirection; the merge
+plans themselves are unchanged by that choice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs_and_path(spark, path)
+    return bool(fs.exists(p))
+
+
+def delete(spark: SparkSession, path: str) -> bool:
+    """Recursive delete; False if the path did not exist."""
+    fs, p = _fs_and_path(spark, path)
+    return bool(fs.delete(p, True))
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    fs, s = _fs_and_path(spark, src)
+    _, d = _fs_and_path(spark, dst)
+    return bool(fs.rename(s, d))
+
+
+def mkdirs(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs_and_path(spark, path)
+    return bool(fs.mkdirs(p))
+
+
+def list_files(
+    spark: SparkSession, path: str, suffix: str | None = None
+) -> list[tuple[str, int]]:
+    """Recursive (path, size) listing — partitioned tables keep their
+    data files in subdirectories, which a flat listdir misses (round-1
+    ADVICE item 2: a partitioned archive looked empty and was silently
+    replaced by the delta alone)."""
+    fs, p = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return []
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().toString()
+        if suffix is None or name.endswith(suffix):
+            out.append((name, int(st.getLen())))
+    return out
+
+
+def has_parquet(spark: SparkSession, path: str) -> bool:
+    """True iff the directory tree under ``path`` holds >=1 parquet
+    data file (recursive — sees partitioned layouts)."""
+    return len(list_files(spark, path, suffix=".parquet")) > 0
+
+
+def staging_path(target: str) -> str:
+    """A staging directory NEXT TO the target, so the final rename is a
+    same-filesystem move (a cross-filesystem ``shutil.move`` silently
+    degrades to copy+delete — round-1 ADVICE item 3)."""
+    return target.rstrip("/") + ".staging"
+
+
+def old_path(target: str) -> str:
+    return target.rstrip("/") + ".old"
+
+
+def recover_swap(spark: SparkSession, target: str) -> str:
+    """Repair the directory state after a crashed swap.  Returns one of
+    'clean' | 'dropped_stale_old' | 'restored_old' for observability."""
+    old = old_path(target)
+    if exists(spark, target):
+        if exists(spark, old):
+            delete(spark, old)
+            return "dropped_stale_old"
+        return "clean"
+    if exists(spark, old):
+        rename(spark, old, target)
+        return "restored_old"
+    return "clean"
+
+
+def swap_directory(spark: SparkSession, staging: str, target: str) -> None:
+    """Replace ``target`` with ``staging`` without a window where no
+    committed copy exists (protocol in the module docstring)."""
+    old = old_path(target)
+    if exists(spark, old):
+        # stale leftover from an earlier crash AFTER its swap completed
+        # (recover_swap semantics) — target, if present, is newer
+        delete(spark, old)
+    had_target = exists(spark, target)
+    if had_target:
+        if not rename(spark, target, old):
+            raise IOError(f"could not rename {target} aside to {old}")
+    if not rename(spark, staging, target):
+        # roll back so the archive is never left missing
+        if had_target:
+            rename(spark, old, target)
+        raise IOError(f"could not move staging {staging} into {target}")
+    if had_target:
+        delete(spark, old)

@@ -21,11 +21,11 @@ spark-submit parity.
 from __future__ import annotations
 
 import argparse
-import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from . import sinks
+from . import fs, sinks
 from .operators import ingest as I
 from .operators import merge as M
 
@@ -44,15 +44,49 @@ def run_merge_job(
     delta_path: str,
     out_path: str,
     key=M.SHOT_KEY,
+    partition_by: tuple[str, ...] = ("game_date",),
     export_tgz: str | None = None,
 ) -> None:
+    """archive ∪ delta -> out_path, partitioned for pruning.
+
+    * Layout defaults to ``game_date`` partitions (SURVEY §1.4): a date
+      predicate prunes the scan to one directory, and each daily merge
+      rewrites only touched partitions via dynamic partition overwrite.
+      (Round-1 hard-coded ``quarter`` — 4 giant partitions at scale and
+      broken for non-shot schemas; ADVICE item 5.)  ``game_date`` is
+      derived from year/month/day if the delta carries the reference's
+      string columns but no typed date yet.
+    * ``out_path == archive_path`` (the natural in-place daily cycle)
+      is handled by stage-and-swap through the Hadoop FS API instead of
+      failing with Spark's cannot-overwrite-path-being-read error.
+    * Archive detection is recursive and path-agnostic (a partitioned
+      archive on any filesystem is seen, then merged — not replaced).
+    """
     delta = spark.read.parquet(delta_path)
-    if os.path.isdir(archive_path):
+    fs.recover_swap(spark, archive_path)
+    if fs.has_parquet(spark, archive_path):
         archive = spark.read.parquet(archive_path)
         merged = M.merge_anti_join(archive, delta, key=list(key))
     else:
         merged = delta.dropDuplicates(list(key))
-    sinks.write_partitioned_archive(merged, out_path, partition_by=("quarter",))
+    if "game_date" in partition_by and "game_date" not in merged.columns:
+        merged = merged.withColumn(
+            "game_date",
+            F.to_date(
+                F.concat_ws("-", F.col("year"), F.lpad("month", 2, "0"), F.lpad("day", 2, "0"))
+            ),
+        )
+    missing = [c for c in partition_by if c not in merged.columns]
+    if missing:
+        raise ValueError(f"partition columns {missing} not in merged schema")
+    if out_path == archive_path:
+        staging = fs.staging_path(out_path)
+        fs.delete(spark, staging)
+        sinks.write_partitioned_archive(merged, staging, partition_by=partition_by)
+        spark.read.parquet(staging).count()  # materialize before swap
+        fs.swap_directory(spark, staging, out_path)
+    else:
+        sinks.write_partitioned_archive(merged, out_path, partition_by=partition_by)
     if export_tgz:
         # archive-format parity export (the reference's shots-{season}.tgz)
         sinks.export_season_tgz(spark.read.parquet(out_path), export_tgz)

@@ -11,11 +11,12 @@ has ZERO Exchange nodes; the unbucketed equivalent has two.
 
 from __future__ import annotations
 
-import os
-import shutil
+import posixpath
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+from .. import fs
 
 
 def write_bucketed(
@@ -33,11 +34,11 @@ def write_bucketed(
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     # a location orphaned by a previous session (not in this catalog)
-    # would fail saveAsTable with LOCATION_ALREADY_EXISTS
+    # would fail saveAsTable with LOCATION_ALREADY_EXISTS; resolve it
+    # through the Hadoop FS API so non-local warehouses work too
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = os.path.join(warehouse.removeprefix("file:"), table_name)
-    if os.path.isdir(loc):
-        shutil.rmtree(loc, ignore_errors=True)
+    loc = posixpath.join(warehouse, table_name)
+    fs.delete(spark, loc)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -5,27 +5,31 @@ a season the archive is thousands of kilobyte-scale files whose open/
 footer costs dominate scans.  Compaction bin-packs them back to target
 size.  (Table formats like Iceberg/Delta ship this as a service; the
 operator here is the engine-native equivalent for plain Parquet.)
+
+All filesystem access goes through the Hadoop FileSystem API (the
+``fs`` module), so compaction works against file://, HDFS, or s3a://
+paths — the reference's archives live on S3
+(reference: scripts/spark_merge_dfs.py:108-121).  The swap uses the
+crash-safe rename-aside protocol (fs.swap_directory): the previous
+round's rmtree-then-move had a window where the only copy of the table
+sat in an unreferenced temp dir, and shutil.move across filesystems
+silently degraded to a non-atomic copy (round-1 ADVICE item 3).
 """
 
 from __future__ import annotations
 
 import math
-import os
-import shutil
-import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
+
+from .. import fs
 
 
-def parquet_file_stats(path: str) -> tuple[int, int]:
-    """(file_count, total_bytes) of a parquet directory."""
-    n = total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                n += 1
-                total += os.path.getsize(os.path.join(root, f))
-    return n, total
+def parquet_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(file_count, total_bytes) of a parquet directory tree
+    (recursive — counts files inside partition subdirectories)."""
+    files = fs.list_files(spark, path, suffix=".parquet")
+    return len(files), sum(sz for _, sz in files)
 
 
 def compact(
@@ -34,17 +38,19 @@ def compact(
     """Rewrite a fragmented parquet directory into ~target-size files.
 
     Returns (files_before, files_after).  Stage-and-swap keeps readers
-    working until the atomic move; file count is computed from actual
-    bytes, so compaction is idempotent and size-aware (not a blind
-    coalesce(1)).
+    working until the rename; file count is computed from actual bytes,
+    so compaction is idempotent and size-aware (not a blind
+    coalesce(1)).  Staging lives NEXT TO the target so the swap is a
+    same-filesystem rename.
     """
-    files_before, total_bytes = parquet_file_stats(path)
+    fs.recover_swap(spark, path)
+    files_before, total_bytes = parquet_file_stats(spark, path)
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
     df = spark.read.parquet(path)
-    staging = tempfile.mkdtemp(prefix="compact_stage_")
+    staging = fs.staging_path(path)
+    fs.delete(spark, staging)
     df.repartition(n_files).write.mode("overwrite").parquet(staging)
     spark.read.parquet(staging).count()  # materialize before swap
-    shutil.rmtree(path)
-    shutil.move(staging, path)
-    files_after, _ = parquet_file_stats(path)
+    fs.swap_directory(spark, staging, path)
+    files_after, _ = parquet_file_stats(spark, path)
     return files_before, files_after

@@ -26,13 +26,11 @@ shuffles the archive.
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .. import fs
 from ..operators import ingest as I
 from ..operators import merge as M
 
@@ -66,29 +64,32 @@ def upsert_each_batch(archive_path: str, key: Sequence[str] = M.SHOT_KEY):
     """foreachBatch function: merge the micro-batch delta into the
     parquet archive with delta-wins semantics.
 
-    Write-stage-then-swap keeps the archive readable mid-merge and
-    avoids overwrite-while-reading; at real scale this becomes
-    partition-overwrite (``replaceWhere``) or an ACID table format —
-    the merge plan itself is unchanged.
+    Every filesystem touch goes through the Hadoop FileSystem API
+    (``fs`` module), so the archive can live on file://, HDFS, or
+    s3a:// — the reference's actual deployment
+    (reference: scripts/spark_processing.py:258).  The swap is the
+    crash-safe rename-aside protocol: a replayed batch after a crash
+    first recovers any half-finished swap, and the archive detection is
+    recursive, so a partitioned archive is seen (round-1 ADVICE items
+    1-2 — the old rmtree-then-move had a silent-total-loss window).
+    At real scale this becomes partition-overwrite (``replaceWhere``)
+    or an ACID table format — the merge plan itself is unchanged.
     """
 
     def _apply(delta: DataFrame, batch_id: int) -> None:
         spark = delta.sparkSession
         delta = delta.drop("event_time")
-        if os.path.isdir(archive_path) and any(
-            f.endswith(".parquet") for f in os.listdir(archive_path)
-        ):
+        fs.recover_swap(spark, archive_path)
+        if fs.has_parquet(spark, archive_path):
             archive = spark.read.parquet(archive_path)
             merged = M.merge_anti_join(archive, delta, key=list(key))
         else:
             merged = delta.dropDuplicates(list(key))
-        staging = tempfile.mkdtemp(prefix="archive_stage_")
+        staging = fs.staging_path(archive_path)
+        fs.delete(spark, staging)
         merged.write.mode("overwrite").parquet(staging)
-        out = spark.read.parquet(staging)
-        out.count()  # materialize staging before touching the target
-        if os.path.isdir(archive_path):
-            shutil.rmtree(archive_path)
-        shutil.move(staging, archive_path)
+        spark.read.parquet(staging).count()  # materialize before swap
+        fs.swap_directory(spark, staging, archive_path)
 
     return _apply
 
