@@ -45,6 +45,7 @@ HEADLINE = [
     "events_props_json",
     "events_type_stats_salted",
     "incremental_events_summary",
+    "incremental_avg_distinct",
     "events_moving_avg",
     "events_gaps",
     "scalar_function_census",
@@ -62,6 +63,7 @@ HEADLINE = [
     "doc_fingerprints",
     "dedup_exact",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "knn_bruteforce",
     "knn_ann_srp",
     "embedding_near_dup_ann",

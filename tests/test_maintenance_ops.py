@@ -69,3 +69,63 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     plain = events.join(dim, "event_type").select("event_id", "type_code")
     salted = skew.salted_join(events, dim, on=["event_type"]).select("event_id", "type_code")
     assert _norm(plain) == _norm(salted)
+
+
+AVG_HLL_AGGS = {
+    "avg_value": ("value", "avg"),
+    "approx_users": ("user_id", "approx_distinct"),
+}
+
+
+def test_incremental_avg_equals_full(spark, sf_dir):
+    """avg carried as (sum, count) state across two deltas must equal
+    the single-shot average."""
+    events = load_table(spark, sf_dir, "events")
+    day1 = events.where(F.col("event_id") % 3 != 0)
+    day2 = events.where(F.col("event_id") % 3 == 0)
+    state = INC.incremental_update(
+        INC.partial_agg(day1, ["event_type"], AVG_HLL_AGGS), day2, ["event_type"], AVG_HLL_AGGS
+    )
+    got = INC.finalize_state(state, ["event_type"], AVG_HLL_AGGS)
+    full = events.groupBy("event_type").agg(F.avg("value").alias("avg_value"))
+    g = {r["event_type"]: r["avg_value"] for r in got.collect()}
+    f = {r["event_type"]: r["avg_value"] for r in full.collect()}
+    assert set(g) == set(f)
+    for k in f:
+        assert abs(g[k] - f[k]) < 1e-9
+
+
+def test_incremental_hll_distinct_close_to_exact(spark, sf_dir):
+    """HLL sketch-union state: the combined estimate must track the
+    exact distinct count within HLL's error envelope (default lgK=12
+    => ~1.6% rse; fixtures are far below sparse-mode limits, so the
+    estimate is near-exact)."""
+    events = load_table(spark, sf_dir, "events")
+    day1 = events.where(F.col("event_id") % 3 != 0)
+    day2 = events.where(F.col("event_id") % 3 == 0)
+    state = INC.incremental_update(
+        INC.partial_agg(day1, ["event_type"], AVG_HLL_AGGS), day2, ["event_type"], AVG_HLL_AGGS
+    )
+    got = {r["event_type"]: r["approx_users"] for r in
+           INC.finalize_state(state, ["event_type"], AVG_HLL_AGGS).collect()}
+    exact = {r["event_type"]: r["d"] for r in
+             events.groupBy("event_type").agg(F.countDistinct("user_id").alias("d")).collect()}
+    assert set(got) == set(exact)
+    for k in exact:
+        assert abs(got[k] - exact[k]) <= max(2, 0.02 * exact[k]), (k, got[k], exact[k])
+
+
+def test_incremental_exact_distinct_pairs(spark, sf_dir):
+    """Exact distinct via pair state: equals full COUNT(DISTINCT), and
+    a replayed delta (at-least-once) does not inflate the state."""
+    events = load_table(spark, sf_dir, "events")
+    day1 = events.where(F.col("event_id") % 3 != 0)
+    day2 = events.where(F.col("event_id") % 3 == 0)
+    pairs = INC.update_distinct_pairs(None, day1, ["event_type"], "user_id")
+    pairs = INC.update_distinct_pairs(pairs, day2, ["event_type"], "user_id")
+    pairs = INC.update_distinct_pairs(pairs, day2, ["event_type"], "user_id")  # replay
+    got = {r["event_type"]: r["n"] for r in
+           INC.distinct_counts(pairs, ["event_type"], "n").collect()}
+    exact = {r["event_type"]: r["d"] for r in
+             events.groupBy("event_type").agg(F.countDistinct("user_id").alias("d")).collect()}
+    assert got == exact

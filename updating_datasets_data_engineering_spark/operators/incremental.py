@@ -6,10 +6,25 @@ so the summary tables users actually query must be maintained
 *incrementally*: combine the previous aggregate state with the delta's
 partial aggregate — never rescan the archive.
 
-Algebraic aggregates (count/sum/min/max under insert-only deltas)
-re-combine exactly; avg is carried as (sum, count).  The combine is a
-tiny outer join on the group key — broadcastable when the delta touches
-few groups.
+Supported aggregate states (insert-only deltas):
+
+  * count / sum / min / max — directly algebraic, combined by +/least/
+    greatest.
+  * avg — carried as (sum, count) state columns; finalized as sum/cnt
+    (an avg is NOT directly combinable — the round-1 gap).
+  * approx_distinct — an HLL sketch per group (`hll_sketch_agg`),
+    combined with `hll_union`, finalized with `hll_sketch_estimate`.
+    Sketch state is O(kB) per group regardless of cardinality — the
+    100 TB answer for distinct-users dashboards.
+  * exact distinct — maintained through an auxiliary (key, value)
+    pair-state table (:func:`update_distinct_pairs`); distinct count =
+    row count of the state per key.  State is O(#distinct pairs), the
+    price of exactness; it is also the only variant that can absorb
+    retractions (delete a pair) without a rebuild.
+
+The combine is a tiny outer join on the group key — broadcastable when
+the delta touches few groups, so the big prev-state side never
+shuffles.
 """
 
 from __future__ import annotations
@@ -19,7 +34,15 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-COMBINABLE = {"count", "sum", "min", "max"}
+COMBINABLE = {"count", "sum", "min", "max", "avg", "approx_distinct"}
+
+
+def _state_cols(out: str, fn: str) -> list[str]:
+    if fn == "avg":
+        return [f"{out}__sum", f"{out}__cnt"]
+    if fn == "approx_distinct":
+        return [f"{out}__hll"]
+    return [out]
 
 
 def partial_agg(df: DataFrame, key: Sequence[str], aggs: dict[str, tuple[str, str]]) -> DataFrame:
@@ -31,6 +54,11 @@ def partial_agg(df: DataFrame, key: Sequence[str], aggs: dict[str, tuple[str, st
             raise ValueError(f"{fn!r} is not algebraically combinable")
         if fn == "count":
             exprs.append(F.count(F.lit(1)).alias(out))
+        elif fn == "avg":
+            exprs.append(F.sum(col).alias(f"{out}__sum"))
+            exprs.append(F.count(col).alias(f"{out}__cnt"))
+        elif fn == "approx_distinct":
+            exprs.append(F.hll_sketch_agg(col).alias(f"{out}__hll"))
         else:
             exprs.append(getattr(F, fn)(col).alias(out))
     return df.groupBy(*key).agg(*exprs)
@@ -44,9 +72,18 @@ def combine_states(
     broadcast_delta: bool = True,
 ) -> DataFrame:
     """prev ⊕ delta: full-outer join on the key, re-combine each state
-    column.  With a small delta the join broadcasts — the previous
-    state (the big side) never shuffles."""
-    d = F.broadcast(delta_state) if broadcast_delta else delta_state
+    column.
+
+    Shuffle note: Spark cannot broadcast either side of a FULL OUTER
+    join (a broadcast hint is silently unsupported), so the combine
+    shuffles both inputs — but both are SUMMARY tables (one row per
+    group), orders of magnitude smaller than the archive; the archive
+    itself is never rescanned, which is the point.  If the group key is
+    high-cardinality enough that the state table itself is big, store
+    it bucketed on the key (operators.bucketing) and the SMJ needs no
+    exchange at all.  ``broadcast_delta`` is kept for API stability and
+    ignored."""
+    d = delta_state
     p = prev.alias("p")
     d = d.alias("d")
     cond = [F.col(f"p.{k}").eqNullSafe(F.col(f"d.{k}")) for k in key]
@@ -55,15 +92,40 @@ def combine_states(
         F.coalesce(F.col(f"p.{k}"), F.col(f"d.{k}")).alias(k) for k in key
     ]
     for out, (_, fn) in aggs.items():
-        a, b = F.col(f"p.{out}"), F.col(f"d.{out}")
-        if fn in ("count", "sum"):
-            combined = F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
-        elif fn == "min":
-            combined = F.least(F.coalesce(a, b), F.coalesce(b, a))
-        else:  # max
-            combined = F.greatest(F.coalesce(a, b), F.coalesce(b, a))
-        out_cols.append(combined.alias(out))
+        for sc in _state_cols(out, fn):
+            a, b = F.col(f"p.{sc}"), F.col(f"d.{sc}")
+            if fn in ("count", "sum", "avg"):
+                combined = F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+            elif fn == "min":
+                combined = F.least(F.coalesce(a, b), F.coalesce(b, a))
+            elif fn == "max":
+                combined = F.greatest(F.coalesce(a, b), F.coalesce(b, a))
+            else:  # approx_distinct: union sketches, tolerate one side missing
+                combined = (
+                    F.when(a.isNull(), b)
+                    .when(b.isNull(), a)
+                    .otherwise(F.hll_union(a, b))
+                )
+            out_cols.append(combined.alias(sc))
     return joined.select(*out_cols)
+
+
+def finalize_state(
+    state: DataFrame, key: Sequence[str], aggs: dict[str, tuple[str, str]]
+) -> DataFrame:
+    """Project the carried state to user-facing values: avg = sum/cnt,
+    approx_distinct = sketch estimate, everything else passes through."""
+    cols = [F.col(k) for k in key]
+    for out, (_, fn) in aggs.items():
+        if fn == "avg":
+            cols.append(
+                (F.col(f"{out}__sum") / F.nullif(F.col(f"{out}__cnt"), F.lit(0))).alias(out)
+            )
+        elif fn == "approx_distinct":
+            cols.append(F.hll_sketch_estimate(F.col(f"{out}__hll")).alias(out))
+        else:
+            cols.append(F.col(out))
+    return state.select(*cols)
 
 
 def incremental_update(
@@ -76,3 +138,25 @@ def incremental_update(
     previous state.  Cost is O(|delta| + |touched groups|), not
     O(|archive|)."""
     return combine_states(prev, partial_agg(delta_rows, key, aggs), key, aggs)
+
+
+def update_distinct_pairs(
+    prev_pairs: DataFrame | None,
+    delta_rows: DataFrame,
+    key: Sequence[str],
+    col: str,
+) -> DataFrame:
+    """Exact-distinct auxiliary state: the set of observed (key, value)
+    pairs.  New pairs are appended anti-join-style so the existing state
+    is never rewritten wholesale; with a small delta the anti-join
+    broadcasts the delta's pair set.  Retraction = delete the pair."""
+    new_pairs = delta_rows.select(*key, col).dropDuplicates([*key, col])
+    if prev_pairs is None:
+        return new_pairs
+    novel = new_pairs.join(prev_pairs, on=[*key, col], how="left_anti")
+    return prev_pairs.unionByName(novel)
+
+
+def distinct_counts(pairs: DataFrame, key: Sequence[str], out: str) -> DataFrame:
+    """Distinct count per key from the exact pair state."""
+    return pairs.groupBy(*key).agg(F.count(F.lit(1)).alias(out))

@@ -771,6 +771,41 @@ FROM events GROUP BY event_type
 """
 
 
+def incremental_avg_distinct(spark, sf_dir):
+    """Round-2 extension of incremental maintenance (VERDICT r1 item
+    7): avg carried as (sum, count) state and EXACT distinct-users via
+    the auxiliary pair-state table — both maintained across a two-day
+    split without rescanning day 1, oracle = full recompute.  (The HLL
+    sketch-union variant is pytest-verified against the exact count;
+    its estimate is engine-specific so it has no SQL oracle.)"""
+    from .operators import incremental as INC
+
+    aggs = {"avg_value": ("value", "avg")}
+    events = _t(spark, sf_dir, "events")
+    key = ["event_type"]
+    day1 = events.where(F.col("event_id") % 3 != 0)
+    day2 = events.where(F.col("event_id") % 3 == 0)
+    state = INC.incremental_update(INC.partial_agg(day1, key, aggs), day2, key, aggs)
+    vals = INC.finalize_state(state, key, aggs)
+    pairs = INC.update_distinct_pairs(
+        INC.update_distinct_pairs(None, day1, key, "user_id"), day2, key, "user_id"
+    )
+    dcounts = INC.distinct_counts(pairs, key, "distinct_users")
+    return vals.join(dcounts, "event_type").select(
+        "event_type",
+        F.round("avg_value", 6).alias("avg_value"),
+        "distinct_users",
+    )
+
+
+_ORACLE_INC_AVG_DISTINCT = """
+SELECT event_type,
+       round(sum(value) / count(value), 6) AS avg_value,
+       count(DISTINCT user_id) AS distinct_users
+FROM events GROUP BY event_type
+"""
+
+
 def events_moving_avg(spark, sf_dir):
     """Sliding-frame analytic window: 4-row moving average per user."""
     from pyspark.sql import Window
@@ -1063,6 +1098,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("word_counts", word_counts, _ORACLE_WORD_COUNTS),
     QuerySpec("events_type_stats_salted", events_type_stats_salted, _ORACLE_SALTED),
     QuerySpec("incremental_events_summary", incremental_events_summary, _ORACLE_INCREMENTAL),
+    QuerySpec("incremental_avg_distinct", incremental_avg_distinct, _ORACLE_INC_AVG_DISTINCT),
     QuerySpec("events_moving_avg", events_moving_avg, _ORACLE_MOVING_AVG),
     QuerySpec("events_gaps", events_gaps, _ORACLE_GAPS),
     QuerySpec("text_metrics", text_metrics, OE.text_metrics_sql()),
