@@ -58,3 +58,30 @@ def test_text_metrics_map_only(spark, sf_dir):
     f = analyze(Q["text_metrics"](spark, sf_dir))
     assert f.n_exchanges == 0
     assert not f.has_python_udf
+
+
+def test_bucketed_flagship_archive_window_no_exchange(spark, sf_dir):
+    """VERDICT r1 item 5 done-criterion: the archive-side dedup window
+    of the bucketed flagship runs on the bucketed scan with ZERO
+    Exchange — the archive never shuffles; survivors leave via a
+    broadcast anti-join."""
+    import re
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from updating_datasets_data_engineering_spark.operators import merge as M
+
+    Q["shot_team_summary_bucketed"](spark, sf_dir).collect()  # lays out the table
+    tname = "shot_archive_bucketed_" + re.sub(
+        r"[^0-9A-Za-z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    archive = spark.table(tname)
+    w = Window.partitionBy(*M.SHOT_KEY).orderBy("play", "winner", "x", "y")
+    best = archive.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    f = analyze(best)
+    assert f.n_exchanges == 0, "bucketed archive window must not shuffle"
+
+    full = analyze(Q["shot_team_summary_bucketed"](spark, sf_dir))
+    assert full.n_broadcast_joins >= 1, "delta keys must broadcast into the anti-join"
+    assert not full.has_python_udf

@@ -68,6 +68,44 @@ def merge_deterministic(
     )
 
 
+def merge_bucketed_window(
+    spark,
+    archive_table: str,
+    delta: DataFrame,
+    key: Sequence[str] = SHOT_KEY,
+    tiebreak: Sequence[str] | None = None,
+) -> DataFrame:
+    """Deterministic delta-wins merge where the ARCHIVE side never
+    shuffles: the archive is a table bucketed on the merge key, so its
+    dedup window runs directly on the bucketed scan (zero Exchange —
+    asserted on the plan in tests/test_plans.py), and survivors leave
+    via a broadcast anti-join.  The delta gets its own window (it is
+    the small side; its shuffle is negligible).
+
+    Equivalent to :func:`merge_deterministic` with ``delta_wins=True``:
+    in the joint union-window, every delta row sorts before every
+    archive row within a key (src priority), so the winner for a key
+    present in the delta is exactly the delta's own best row, and for
+    archive-only keys it is the archive's best row.  Decomposing the
+    window this way is THE layout win at 100 TB — the daily merge
+    touches the archive only through a map-side scan + broadcast probe.
+    """
+    order = [F.col(c) for c in (tiebreak or [])]
+    archive = spark.table(archive_table)
+    wa = Window.partitionBy(*key).orderBy(*order) if order else Window.partitionBy(*key).orderBy(F.lit(1))
+    archive_best = (
+        archive.withColumn("_rn", F.row_number().over(wa)).where(F.col("_rn") == 1).drop("_rn")
+    )
+    wd = Window.partitionBy(*key).orderBy(*order) if order else Window.partitionBy(*key).orderBy(F.lit(1))
+    delta_best = (
+        delta.withColumn("_rn", F.row_number().over(wd)).where(F.col("_rn") == 1).drop("_rn")
+    )
+    survivors = archive_best.join(
+        F.broadcast(delta_best.select(*key)), on=list(key), how="left_anti"
+    )
+    return survivors.unionByName(delta_best, allowMissingColumns=True)
+
+
 def merge_anti_join(
     archive: DataFrame,
     delta: DataFrame,

@@ -40,7 +40,7 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_tokens_bpe,
        round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / greatest(length(text), 1), 6) AS punct_ratio,
        round(len(list_filter(w, x -> x IN {EN_STOP_SQL})) / greatest(len(w), 1), 6) AS stopword_ratio,
-       round(CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) / greatest(len(w), 1), 6) AS mean_word_len,
+       round(CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) / greatest(len(w), 1), 6) AS mean_word_len,
        round((least(length(text) / 500.0, 1.0)
               + (1.0 - least((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / greatest(length(text), 1)) * 4, 1.0))
               + least((len(list_filter(w, x -> x IN {EN_STOP_SQL})) / greatest(len(w), 1)) * 5, 1.0)) / 3, 6) AS quality
