@@ -214,9 +214,12 @@ def embedding_near_dup_pairs(
     :func:`embedding_near_dup_exact` is returned, asserted by
     ``tests/test_recall.py``.  A threshold of 0.5 (θ=60°, per-plane
     p=2/3 vs background p=1/2) is near the LSH indistinguishability
-    wall — background candidate fraction is ~0.5 here; at a production
-    dedup threshold of 0.9 (θ≈26°, p=0.86) the same operator with
-    r=8, L=8 prunes the background to ~3% while keeping recall >0.99.
+    wall — background candidate fraction at this threshold is ~0.5
+    (r=7/L=48 would halve it but its 336-bucket explode overflows
+    janino's method limit and drops the stage to the interpreter —
+    measured 2.5x slower end-to-end); at a production dedup threshold
+    of 0.9 (θ≈26°, p=0.86) r=8, L=8 prunes the background to ~3%
+    while keeping recall >0.99.
 
     Scale shape: bucketing is map-only; the banded self-join key
     (band_no, bucket) is uniform; candidate pairs are deduped BEFORE
@@ -248,8 +251,15 @@ def embedding_near_dup_pairs(
     banded = b.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
         "id", "bb.band_no", "bb.bucket"
     )
+    # fan the probe side out to full parallelism: the join PRODUCES the
+    # candidate set (orders of magnitude more rows than it reads), so
+    # probe-side task count caps throughput — a single-partition scan
+    # would serialize the whole expansion (measured 3x at sf0.1); the
+    # shuffled rows are 3-field tuples, and the spread also levels any
+    # hot buckets
+    probe = banded.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     cand = (
-        banded.alias("a")
+        probe.alias("a")
         .join(
             banded.alias("b"),
             (F.col("a.band_no") == F.col("b.band_no"))
@@ -258,6 +268,11 @@ def embedding_near_dup_pairs(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        # re-spread for the verify stage: AQE coalesces the dedup
+        # output by BYTES, but verify cost is per-row CPU (a 64-dim
+        # fold per candidate), so byte-sized partitions under-parallelize
+        # it ~3x; the re-shuffle moves only (id_a, id_b) pairs
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     )
     # verify with norms precomputed per VECTOR (n rows), not per pair:
     # same expression per row, so dot/(na*nb) is bit-identical to

@@ -312,6 +312,45 @@ def shot_team_summary_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _team_quarter_agg(merged)
 
 
+def streaming_dedup_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Structured Streaming parity (VERDICT r1 item 9): the
+    full streaming path — file-source record stream, ingest combinators
+    under readStream, watermarked streaming dedup, checkpointed
+    availableNow foreachBatch upsert through the crash-safe archive
+    swap — must land an archive whose KEY SET equals the batch parse's
+    distinct keys.  The key set is the upsert's core invariant and is
+    deterministic regardless of which colliding payload row wins (the
+    winner itself is arrival-order-dependent, so payload columns are
+    deliberately not part of this check; deterministic payload merging
+    is oracle-covered by the batch merge queries)."""
+    import os
+    import tempfile
+
+    from .streaming import pipeline as SP
+
+    records = SS.synth_kafka_records(_t(spark, sf_dir, "events"))
+    base = tempfile.mkdtemp(prefix="stream_q_")
+    src = os.path.join(base, "records")
+    archive = os.path.join(base, "archive")
+    ckpt = os.path.join(base, "ckpt")
+    records.select("value").coalesce(2).write.mode("overwrite").text(src)
+    stream = SP.read_json_record_stream(spark, src)
+    SP.run_available_now(SP.streaming_enriched_shots(stream), archive, ckpt)
+    return spark.read.parquet(archive).select("game_id", "time_remaining", "quarter")
+
+
+def _oracle_streaming_dedup_sql() -> str:
+    return f"""
+WITH shots AS (
+    SELECT * FROM (
+        {SS.duckdb_shot_cte()}
+    ) WHERE event_id % 25 <> 24
+),
+{_ORACLE_PARSE_CTES}
+SELECT DISTINCT game_id, time_remaining, quarter FROM parsed
+"""
+
+
 def _oracle_shot_team_summary_sql() -> str:
     return f"""
 WITH shots AS (
@@ -1124,6 +1163,7 @@ SPECS: list[QuerySpec] = [
         shot_team_summary_bucketed,
         _oracle_shot_team_summary_sql(),
     ),
+    QuerySpec("streaming_dedup_archive", streaming_dedup_archive, _oracle_streaming_dedup_sql()),
     QuerySpec("q1_pricing_summary", q1, _ORACLE_Q1),
     QuerySpec("q3_shipping_priority", q3, _ORACLE_Q3),
     QuerySpec("q5_regional_revenue", q5, _ORACLE_Q5),
