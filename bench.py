@@ -47,6 +47,9 @@ HEADLINE = [
     "events_type_stats_salted",
     "incremental_events_summary",
     "incremental_avg_distinct",
+    "events_asof_join",
+    "events_range_join",
+    "events_time_rollup",
     "events_moving_avg",
     "events_gaps",
     "scalar_function_census",
@@ -67,6 +70,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "knn_bruteforce",
     "knn_ann_srp",
+    "knn_ann_ivf",
     "embedding_near_dup_ann",
     "multimodal_features",
 ]

@@ -1,0 +1,91 @@
+"""Unit semantics for the time-series operators (as-of join, bucketed
+range join, hypertable rollup) on hand-built edge-case frames; the
+fixture-scale behavior is oracle-checked via the registry."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from updating_datasets_data_engineering_spark.operators import timeseries as TS
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            Row(event_id=100, user_id=1, ts=_ts("2024-01-01 10:00:00")),
+            Row(event_id=101, user_id=1, ts=_ts("2024-01-01 12:00:00")),
+            Row(event_id=102, user_id=2, ts=_ts("2024-01-01 09:00:00")),  # no prior right
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(event_id=7, user_id=1, ts=_ts("2024-01-01 09:30:00"), value=1.0),
+            # exactly AT the left timestamp -> matches; tie on ts picks max event_id
+            Row(event_id=8, user_id=1, ts=_ts("2024-01-01 10:00:00"), value=2.0),
+            Row(event_id=9, user_id=1, ts=_ts("2024-01-01 10:00:00"), value=3.0),
+            Row(event_id=5, user_id=2, ts=_ts("2024-01-01 11:00:00"), value=9.0),  # after left
+        ]
+    )
+    out = {
+        r["event_id"]: (r["asof_event_id"], r["asof_value"])
+        for r in TS.asof_join(
+            left, right, key=["user_id"], ts_col="ts",
+            right_cols=["event_id", "value"], tie_col="event_id",
+        ).collect()
+    }
+    assert out[100] == (9, 3.0)   # same-ts rows match; greatest event_id wins
+    assert out[101] == (9, 3.0)   # carried forward
+    assert out[102] == (None, None)  # nothing at-or-before
+
+
+def test_range_join_count_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            Row(event_id=1, user_id=1, ts=_ts("2024-01-01 10:00:00")),
+            Row(event_id=2, user_id=1, ts=_ts("2024-01-01 23:00:00")),  # zero matches
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=_ts("2024-01-01 09:00:01")),  # just inside 1h lookback
+            Row(user_id=1, ts=_ts("2024-01-01 09:00:00")),  # exactly -1h -> excluded (open)
+            Row(user_id=1, ts=_ts("2024-01-01 10:00:00")),  # at left ts -> included (closed)
+            Row(user_id=1, ts=_ts("2024-01-01 10:00:01")),  # after -> excluded
+            Row(user_id=2, ts=_ts("2024-01-01 10:00:00")),  # other key
+        ]
+    )
+    out = {
+        r["event_id"]: r["n_in_range"]
+        for r in TS.range_join_count(
+            left, right, key=["user_id"], left_ts="ts", right_ts="ts",
+            lookback_seconds=3600,
+        ).collect()
+    }
+    assert out == {1: 2, 2: 0}
+
+
+def test_hypertable_rollup_grains(spark, sf_dir):
+    from updating_datasets_data_engineering_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = TS.hypertable_rollup(events)
+    total = out.where(F.col("grp").isNull()).collect()
+    assert len(total) == 1 and total[0]["n_events"] == events.count()
+    per_type = out.where(F.col("grp").isNotNull() & F.col("day").isNull()).count()
+    assert per_type == events.select("event_type").distinct().count()
+    # hour-grain rows sum back to the day-grain rows
+    day_rows = out.where(F.col("day").isNotNull() & F.col("hour").isNull())
+    hour_sum = (
+        out.where(F.col("hour").isNotNull())
+        .groupBy("grp", "day")
+        .agg(F.sum("n_events").alias("n"))
+    )
+    joined = day_rows.join(hour_sum, ["grp", "day"])
+    assert joined.where(F.col("n_events") != F.col("n")).count() == 0

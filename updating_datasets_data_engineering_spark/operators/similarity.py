@@ -295,3 +295,90 @@ def embedding_near_dup_pairs(
         .where(F.col("_raw") >= threshold)
         .drop("_raw")
     )
+
+
+def ivf_assign_cells(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest
+    centroid by cosine.  Centroids are the vectors with id < n_cells —
+    a deterministic "training sample" (no RNG, so the DuckDB oracle
+    can replay the assignment; a production index would k-means these).
+
+    Plan shape: the centroid set is broadcast (n_cells rows), scoring
+    is a map-side nested loop, and the argmax is a per-vector window
+    ordered (cos DESC, cid) — identical tie semantics to the oracle's
+    ROW_NUMBER.  The assignment is INDEX-BUILD work: at 100 TB it runs
+    once per corpus snapshot and persists (like bucketing), not per
+    query.
+    """
+    cents = corpus.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(cents)).select(
+        id_col,
+        vec_col,
+        "cid",
+        V.cosine(F.col(vec_col), F.col("cvec")).alias("_ccos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_ccos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, vec_col, F.col("cid").alias("cell"))
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN top-k: the corpus is cell-assigned once
+    (:func:`ivf_assign_cells`); each query probes its ``n_probe``
+    nearest cells and scores exact cosine only inside them — expected
+    scan fraction ~= n_probe/n_cells of the corpus per query (the
+    centroid geometry, not hash bits, does the pruning — the
+    complementary classic to SRP-LSH).  Deterministic end to end, so
+    the oracle replays assignment, probe choice, and ranking exactly.
+    """
+    cells = ivf_assign_cells(corpus, n_cells, id_col, vec_col)
+    cents = corpus.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    qscored = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    ).join(F.broadcast(cents)).select(
+        "query_id",
+        "query_vec",
+        "cid",
+        V.cosine(F.col("query_vec"), F.col("cvec")).alias("_ccos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_ccos").desc(), F.col("cid"))
+    probes = (
+        qscored.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= n_probe)
+        .select("query_id", "query_vec", F.col("cid").alias("cell"))
+    )
+    scored = (
+        cells.join(F.broadcast(probes), on="cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            V.cosine(F.col("query_vec"), F.col(vec_col)).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )

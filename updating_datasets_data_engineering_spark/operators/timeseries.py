@@ -1,0 +1,159 @@
+"""Time-series operators Spark lacks as built-ins: as-of join, range
+(interval) join, hypertable-style multi-granularity rollup.
+
+The reference is a continuously-updating EVENT table (SURVEY.md §1.1);
+these are the standard query shapes over such tables, expressed with
+scale-safe plans:
+
+  * as-of join — the union+window formulation (tag sides, union on the
+    key, one window ordered by time carrying the last right-side row
+    forward with ignoreNulls).  ONE shuffle on the join key, no range
+    explosion, no BroadcastNestedLoop — the classic distributed as-of
+    (kdb's aj / Flink temporal join semantics).
+  * range join — equi-join on (key, time-bucket) with the right side
+    exploded to every bucket its interval touches, then an exact range
+    filter.  Turns an inequality join (which Spark plans as BNLJ) into
+    a uniform hash join; bucket width trades fan-out vs selectivity.
+  * hypertable rollup — ROLLUP over (day, hour) time dimensions with
+    grouping_id, the multi-granularity continuous-aggregate shape
+    (TimescaleDB's hypertable rollups) in one pass.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: Sequence[str],
+    ts_col: str,
+    right_cols: Sequence[str],
+    tie_col: str,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    timestamp <= left's timestamp within the key group (right rows at
+    the exact same timestamp DO match).
+
+    Union both sides tagged, sort one window per key by
+    (ts, side, tie_col) — right rows sort before left rows at equal
+    ts — and carry the last non-null right payload forward.  The
+    ``tie_col`` makes equal-timestamp right rows deterministic (the
+    greatest wins, mirroring the SQL oracle's window).  Exactly one
+    shuffle on the key; state per group is one row.
+    """
+    lcols = [c for c in left.columns]
+    l = left.select(
+        *lcols,
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+    )
+    r = right.select(
+        *[
+            F.col(c) if c in (*key, ts_col) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    unioned = l.unionByName(r)
+    w = (
+        Window.partitionBy(*key)
+        .orderBy(F.col(ts_col), F.col("_side"), F.col(f"_r_{tie_col}"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return (
+        carried.where(F.col("_side") == 1)
+        .drop("_side", *[f"_r_{c}" for c in right_cols])
+        .withColumnsRenamed({f"_asof_{c}": f"asof_{c}" for c in right_cols})
+    )
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    key: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lookback_seconds: int,
+    bucket_seconds: int | None = None,
+) -> DataFrame:
+    """Count right rows with ``left_ts - lookback < right_ts <=
+    left_ts`` per left row, as a BUCKETED band join: both sides get a
+    time bucket; the left row probes every bucket its window overlaps
+    (lookback/bucket + 1 buckets, exploded map-side); the join is a
+    plain equi-join on (key, bucket); the exact range predicate filters
+    after.  No inequality-only join condition ever reaches the planner,
+    so Spark never falls back to BroadcastNestedLoop — candidate volume
+    is bounded by bucket width, not |left| x |right|.
+    """
+    if bucket_seconds is None:
+        bucket_seconds = lookback_seconds
+    n_probe = lookback_seconds // bucket_seconds + 1
+    lb = F.floor(F.unix_timestamp(F.col(left_ts)) / bucket_seconds)
+    rb = F.floor(F.unix_timestamp(F.col(right_ts)) / bucket_seconds)
+    probes = F.array(*[(lb - i).cast("long") for i in range(n_probe)])
+    l = left.select(
+        *key, F.col(left_ts).alias("_lts"), F.col("event_id").alias("_lid"),
+        F.explode(probes).alias("_bucket"),
+    )
+    r = right.select(
+        *[F.col(c).alias(f"_r_{c}") for c in key],
+        F.col(right_ts).alias("_rts"),
+        rb.cast("long").alias("_rbucket"),
+    )
+    # the range predicate belongs IN the left-join condition: filtering
+    # after the join would drop a left row whose candidates all fall
+    # outside the window (it must surface with n_in_range = 0)
+    cond = F.col("_bucket") == F.col("_rbucket")
+    for c in key:
+        cond = cond & (F.col(c) == F.col(f"_r_{c}"))
+    cond = (
+        cond
+        & (F.col("_rts") <= F.col("_lts"))
+        & (F.col("_rts") > F.col("_lts") - F.expr(f"INTERVAL {lookback_seconds} SECONDS"))
+    )
+    joined = l.join(r, cond, "left")
+    return (
+        joined.groupBy(*key, "_lid", "_lts")
+        .agg(F.count(F.col("_rts")).alias("n_in_range"))
+        .select(*key, F.col("_lid").alias("event_id"), "n_in_range")
+    )
+
+
+def hypertable_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Multi-granularity continuous-aggregate shape: one ROLLUP pass
+    producing (total), (per day), (per day+hour) rows with an explicit
+    grain label — the hypertable rollup served from a single shuffle
+    (map-side partial aggregation does the heavy lifting)."""
+    day = F.date_format(F.col(ts_col), "yyyy-MM-dd")
+    hour = F.date_format(F.col(ts_col), "HH")
+    return (
+        events.select(
+            F.col(group_col).alias("grp"), day.alias("day"), hour.alias("hour"), F.col(value_col)
+        )
+        .rollup("grp", "day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+        # the null pattern of (grp, day, hour) identifies the grain —
+        # same convention on both engines, no grouping_id needed
+        .select("grp", "day", "hour", "n_events", "sum_value")
+    )

@@ -363,3 +363,53 @@ SELECT doc_id,
        CAST((octet_length(encode(text)) % 480) + 1 AS INT) AS height
 FROM documents
 """
+
+
+def ivf_ann_sql(
+    k: int = 5,
+    n_queries: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> str:
+    """Deterministic replay of ``similarity.ivf_ann_topk``: centroid
+    set = vec_id < n_cells, nearest-cell assignment and probe choice
+    via ROW_NUMBER over (cosine DESC, cid) — identical tie semantics
+    to the Spark windows — then exact cosine inside probed cells."""
+    cos_ec = cosine_sql("e.embedding", "c.embedding", dim)
+    cos_qc = cosine_sql("q.embedding", "c.embedding", dim)
+    cos_qn = cosine_sql("q.embedding", "n.embedding", dim)
+    return f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {n_cells}
+),
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, c.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {cos_qc} DESC, c.cid) AS rn
+        FROM embeddings q CROSS JOIN cents c
+        WHERE q.vec_id < {n_queries}
+    ) WHERE rn <= {n_probe}
+),
+scored AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id, {cos_qn} AS cos_sim
+    FROM probes p
+    JOIN assign a ON a.cell = p.cell
+    JOIN embeddings n ON n.vec_id = a.vec_id
+    JOIN embeddings q ON q.vec_id = p.query_id
+    WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+"""

@@ -892,6 +892,100 @@ FROM events GROUP BY event_type
 """
 
 
+def events_asof_join(spark, sf_dir):
+    """As-of join (union+window formulation — one shuffle on the key,
+    no range explosion): each purchase picks the latest click at or
+    before it per user; equal-timestamp right rows resolve to the
+    greatest event_id on both engines."""
+    from .operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = TS.asof_join(
+        purchases,
+        clicks,
+        key=["user_id"],
+        ts_col="ts",
+        right_cols=["event_id", "value"],
+        tie_col="event_id",
+    )
+    return out.select("event_id", "user_id", "asof_event_id", F.round("asof_value", 2).alias("asof_value"))
+
+
+_ORACLE_ASOF = """
+WITH tagged AS (
+    SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS r_event_id,
+           CAST(NULL AS DOUBLE) AS r_value, 1 AS side
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT user_id, ts, NULL, event_id, value, 0
+    FROM events WHERE event_type = 'click'
+),
+carried AS (
+    SELECT *,
+           last_value(r_event_id IGNORE NULLS) OVER w AS asof_event_id,
+           last_value(r_value IGNORE NULLS) OVER w AS asof_value
+    FROM tagged
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, r_event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, asof_event_id, round(asof_value, 2) AS asof_value
+FROM carried WHERE side = 1
+"""
+
+
+def events_range_join(spark, sf_dir):
+    """Range (interval) join as a bucketed band join: clicks within the
+    hour before each purchase, per user — equi-join on (user, bucket)
+    with a 2-bucket probe, never a BroadcastNestedLoop."""
+    from .operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    return TS.range_join_count(
+        purchases, clicks, key=["user_id"], left_ts="ts", right_ts="ts",
+        lookback_seconds=3600,
+    )
+
+
+_ORACLE_RANGE_JOIN = """
+WITH purchases AS (
+    SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+    SELECT user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.event_id, count(c.ts) AS n_in_range
+FROM purchases p LEFT JOIN clicks c
+  ON c.user_id = p.user_id AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 1 HOUR
+GROUP BY p.user_id, p.event_id
+"""
+
+
+def events_time_rollup(spark, sf_dir):
+    """Hypertable-style multi-granularity rollup: (type), (type, day),
+    (type, day, hour) aggregates in ONE pass (map-side partials do the
+    work; the null pattern identifies the grain)."""
+    from .operators import timeseries as TS
+
+    return TS.hypertable_rollup(_t(spark, sf_dir, "events"))
+
+
+_ORACLE_TIME_ROLLUP = """
+SELECT grp, day, hour, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM (
+    SELECT event_type AS grp, strftime(ts, '%Y-%m-%d') AS day,
+           strftime(ts, '%H') AS hour, value
+    FROM events
+)
+GROUP BY ROLLUP (grp, day, hour)
+"""
+
+
 def events_moving_avg(spark, sf_dir):
     """Sliding-frame analytic window: 4-row moving average per user."""
     from pyspark.sql import Window
@@ -1013,6 +1107,14 @@ def dedup_simhash_q(spark, sf_dir):
 def knn_bruteforce(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
+def knn_ann_ivf(spark, sf_dir):
+    """IVF-style ANN: deterministic centroid cells (vec_id < 16),
+    4-probe search — geometry-based pruning, the complementary classic
+    to SRP hashing; fully replayed by the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_ann_topk(emb, emb.where(F.col("vec_id") < 5), k=5, n_cells=16, n_probe=4)
 
 
 def knn_ann_srp(spark, sf_dir):
@@ -1191,6 +1293,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("events_type_stats_salted", events_type_stats_salted, _ORACLE_SALTED),
     QuerySpec("incremental_events_summary", incremental_events_summary, _ORACLE_INCREMENTAL),
     QuerySpec("incremental_avg_distinct", incremental_avg_distinct, _ORACLE_INC_AVG_DISTINCT),
+    QuerySpec("events_asof_join", events_asof_join, _ORACLE_ASOF),
+    QuerySpec("events_range_join", events_range_join, _ORACLE_RANGE_JOIN),
+    QuerySpec("events_time_rollup", events_time_rollup, _ORACLE_TIME_ROLLUP),
     QuerySpec("events_moving_avg", events_moving_avg, _ORACLE_MOVING_AVG),
     QuerySpec("events_gaps", events_gaps, _ORACLE_GAPS),
     QuerySpec("text_metrics", text_metrics, OE.text_metrics_sql()),
@@ -1204,6 +1309,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("dedup_simhash", dedup_simhash_q, OE.simhash_sql()),
     QuerySpec("knn_bruteforce", knn_bruteforce, OE.knn_bruteforce_sql(5, 5, 64)),
     QuerySpec("knn_ann_srp", knn_ann_srp, OE.knn_ann_srp_sql(5, 5, 4, 2, 64)),
+    QuerySpec("knn_ann_ivf", knn_ann_ivf, OE.ivf_ann_sql(5, 5, 16, 4, 64)),
     QuerySpec("embedding_near_dup", embedding_near_dup, OE.embedding_near_dup_sql(0.5, 64)),
     QuerySpec(
         "embedding_near_dup_ann",
