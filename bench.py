@@ -63,6 +63,9 @@ HEADLINE = [
     "text_metrics",
     "text_sentiment",
     "doc_chunks",
+    "docs_sample_stratified",
+    "docs_quality_filter",
+    "docs_pack_sequences",
     "text_langid",
     "doc_fingerprints",
     "dedup_exact",

@@ -1179,6 +1179,117 @@ GROUP BY doc_id
 """
 
 
+def docs_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling — the data-mixing primitive of
+    a pretraining pipeline: per-language keep rates applied via an
+    md5-hash bucket of the id (reproducible across engines and runs,
+    unlike rand(); map-only at any scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    rate = (
+        F.when(F.col("lang") == "en", 50)
+        .when(F.col("lang") == "es", 25)
+        .otherwise(10)
+    )
+    return (
+        docs.withColumn("_b", bucket)
+        .where(F.col("_b") < rate)
+        .select("doc_id", "lang", F.col("_b").alias("sample_bucket"))
+    )
+
+
+_ORACLE_SAMPLE = """
+SELECT doc_id, lang, sample_bucket FROM (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT % 100 AS sample_bucket
+    FROM documents
+) WHERE sample_bucket < (CASE WHEN lang = 'en' THEN 50 WHEN lang = 'es' THEN 25 ELSE 10 END)
+"""
+
+
+def docs_quality_filter(spark, sf_dir):
+    """Top-half-by-quality per language — quantile-based corpus
+    filtering.  Ranking uses the ROUNDED quality score (the value the
+    oracle matches bit-for-bit) with doc_id tiebreak, so the cut is
+    deterministic on both engines."""
+    from pyspark.sql import Window
+
+    from .functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    q = F.round(quality_score(F.col("text")), 6)
+    w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    wc = Window.partitionBy("lang")
+    return (
+        docs.select("doc_id", "lang", q.alias("quality"))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .where(F.col("_rn") * 2 <= F.col("_n"))
+        .select("doc_id", "lang", "quality")
+    )
+
+
+def _oracle_quality_filter_sql() -> str:
+    quality = """round((least(length(text) / 500.0, 1.0)
+              + (1.0 - least((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / greatest(length(text), 1)) * 4, 1.0))
+              + least((len(list_filter(w, x -> x IN ('the','and','of','to','in','is','that','it','for','was','a','an','on','at','by','with','as','be'))) / greatest(len(w), 1)) * 5, 1.0)) / 3, 6)"""
+    return f"""
+WITH scored AS (
+    SELECT doc_id, lang, {quality} AS quality
+    FROM (SELECT doc_id, lang, text, {OE.WORDS} AS w FROM documents)
+),
+ranked AS (
+    SELECT doc_id, lang, quality,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS n
+    FROM scored
+)
+SELECT doc_id, lang, quality FROM ranked WHERE rn * 2 <= n
+"""
+
+
+def docs_pack_sequences(spark, sf_dir, capacity: int = 2048):
+    """Fixed-boundary sequence packing: per language, docs in doc_id
+    order accumulate whitespace-token counts; pack_id = exclusive
+    prefix sum div capacity.  (True greedy packing — reset when the
+    NEXT doc would overflow — is a sequential recurrence; the
+    fixed-boundary variant is the distributable, deterministic shape
+    and what a shuffle-then-pack pretraining pipeline actually runs.)
+    One window shuffle per language partition."""
+    from pyspark.sql import Window
+
+    from .functions.text import token_count_ws
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = docs.select("doc_id", "lang", token_count_ws(F.col("text")).alias("n_tokens"))
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(prefix / capacity).cast("long").alias("pack_id"),
+    )
+
+
+def _oracle_pack_sql(capacity: int = 2048) -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, lang, CAST(len({OE.WORDS}) AS BIGINT) AS n_tokens FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(floor(coalesce(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {capacity}) AS BIGINT) AS pack_id
+FROM toks
+"""
+
+
 def doc_chunks(spark, sf_dir, chunk_tokens: int = 32, stride: int = 24):
     """Document chunking for context windows: overlapping token slices
     (size 32, stride 24), the standard prep for embedding/training
@@ -1302,6 +1413,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("text_langid", text_langid, OE.lang_id_sql()),
     QuerySpec("text_sentiment", text_sentiment, _oracle_sentiment_sql()),
     QuerySpec("doc_chunks", doc_chunks, _ORACLE_CHUNKS),
+    QuerySpec("docs_sample_stratified", docs_sample_stratified, _ORACLE_SAMPLE),
+    QuerySpec("docs_quality_filter", docs_quality_filter, _oracle_quality_filter_sql()),
+    QuerySpec("docs_pack_sequences", docs_pack_sequences, _oracle_pack_sql(2048)),
     QuerySpec("doc_fingerprints", doc_fingerprints, OE.fingerprint_sql()),
     QuerySpec("dedup_exact", dedup_exact_q, OE.dedup_exact_sql()),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard_q, OE.ngram_jaccard_sql(0.5, 3)),
