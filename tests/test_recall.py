@@ -151,3 +151,26 @@ def test_ivf_ann_recall_floor(emb):
         cells.groupBy("cell").count().orderBy(F.col("count").desc()).limit(4).collect()
     )
     assert sum(r["count"] for r in biggest4) < emb.count()
+
+
+def test_connected_components_semantics(spark):
+    """Min-label propagation must produce the component-min label for
+    every node: chain, triangle-with-tail, and isolated pair."""
+    from pyspark.sql import Row
+
+    pairs = spark.createDataFrame(
+        [
+            Row(id_a=1, id_b=5),
+            Row(id_a=5, id_b=9),     # chain 1-5-9
+            Row(id_a=20, id_b=21),
+            Row(id_a=21, id_b=22),
+            Row(id_a=20, id_b=22),   # triangle
+            Row(id_a=22, id_b=30),   # tail
+            Row(id_a=40, id_b=41),   # isolated pair
+        ]
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in D.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 5: 1, 9: 1, 20: 20, 21: 20, 22: 20, 30: 20, 40: 40, 41: 40}

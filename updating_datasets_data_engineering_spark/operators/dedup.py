@@ -260,3 +260,61 @@ def simhash_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
         .where(F.col("n_docs") > 1)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 15,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cluster near-dup PAIRS into dedup GROUPS: connected components
+    by iterative min-label propagation (each node adopts the smallest
+    label among itself and its neighbors until fixpoint — the fixpoint
+    label is the component's minimum id, so the result is deterministic
+    regardless of iteration order).
+
+    Returns (id, cluster_id) for every node appearing in a pair.
+    Iterations needed = graph diameter (near-dup clusters are shallow
+    chains; each round is one join + one aggregate).  At extreme scale
+    swap the propagation step for the large-star/small-star rounds of
+    Kiveris et al., "Connected Components in MapReduce and Beyond"
+    (SoCC 2014) — O(log n) rounds on adversarial graphs; the oracle
+    semantics (min reachable id) are identical.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    edges = edges.localCheckpoint()
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()  # cut lineage per round
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"components did not converge in {max_iter} rounds")
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

@@ -1100,6 +1100,52 @@ def dedup_minhash_lsh_q(spark, sf_dir):
     )
 
 
+def dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> dedup GROUPS: connected components over the
+    MinHash-LSH pair graph (min-label propagation; the label is the
+    component's min doc_id).  Docs in no pair are their own cluster.
+    The oracle replays the pair graph and closes it with a recursive
+    CTE — identical fixpoint semantics."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=16, band_size=4, threshold=0.4, ngram=3)
+    comp = D.connected_components(pairs)
+    singletons = docs.select(F.col("doc_id")).join(
+        comp.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("cluster_id"))
+    return comp.select(F.col("id").alias("doc_id"), "cluster_id").unionByName(singletons)
+
+
+def _oracle_clusters_sql() -> str:
+    inner = OE.minhash_lsh_sql(16, 4, 0.4, ngram=3).strip()
+    assert inner.startswith("WITH ")
+    # reuse the pair query's CTE chain inside one WITH RECURSIVE list
+    body = inner[len("WITH ") :]
+    head, tail = body.rsplit("SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.4", 1)
+    head = head.strip().rstrip(",")  # CTE list continues below
+    return f"""
+WITH RECURSIVE {head},
+pairs AS (
+    SELECT id_a, id_b FROM verified WHERE jaccard >= 0.4
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+    SELECT id, id AS peer FROM nodes
+    UNION
+    SELECT r.id, e.dst AS peer FROM reach r JOIN edges e ON e.src = r.peer
+),
+labels AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, cluster_id FROM labels
+UNION ALL
+SELECT doc_id, doc_id AS cluster_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM nodes)
+"""
+
+
 def dedup_simhash_q(spark, sf_dir):
     return D.simhash_groups(_t(spark, sf_dir, "documents"))
 
@@ -1420,6 +1466,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("dedup_exact", dedup_exact_q, OE.dedup_exact_sql()),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard_q, OE.ngram_jaccard_sql(0.5, 3)),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh_q, OE.minhash_lsh_sql(16, 4, 0.4, ngram=3)),
+    QuerySpec("dedup_clusters", dedup_clusters, _oracle_clusters_sql()),
     QuerySpec("dedup_simhash", dedup_simhash_q, OE.simhash_sql()),
     QuerySpec("knn_bruteforce", knn_bruteforce, OE.knn_bruteforce_sql(5, 5, 64)),
     QuerySpec("knn_ann_srp", knn_ann_srp, OE.knn_ann_srp_sql(5, 5, 4, 2, 64)),
