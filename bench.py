@@ -38,6 +38,8 @@ HEADLINE = [
     "q6_revenue_change",
     "parts_by_brand",
     "rollup_revenue",
+    "q13_custdist",
+    "q18_large_orders",
     "cube_order_stats",
     "above_avg_customers",
     "price_quantiles",
@@ -66,6 +68,7 @@ HEADLINE = [
     "docs_sample_stratified",
     "docs_quality_filter",
     "docs_pack_sequences",
+    "docs_quality_deciles",
     "text_langid",
     "doc_fingerprints",
     "dedup_exact",

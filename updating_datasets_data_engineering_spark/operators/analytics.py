@@ -403,3 +403,52 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+def q13_customer_distribution(customer, orders):
+    """TPC-H Q13 shape: distribution of customers by order count —
+    LEFT OUTER join (customers with zero orders must appear), filtered
+    on the JOIN side (not a WHERE, which would turn it inner), then a
+    double aggregate.  The order-count histogram is the classic
+    outer-join-then-count-distribution plan."""
+    from pyspark.sql import functions as F
+
+    # fixture orders carry no comment column; the shape's point is the
+    # join-side filter, played here on priority (urgent orders excluded)
+    filtered = orders.where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        customer.join(filtered, customer["c_custkey"] == filtered["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q18_large_orders(customer, orders, lineitem, threshold: int = 300):
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (group-by-having pushed into a semi-join), joined back to customer.
+    The HAVING subquery reduces to a tiny key set, so the big joins
+    probe it broadcast-style."""
+    from pyspark.sql import functions as F
+
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > threshold)
+    )
+    return (
+        orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )

@@ -455,6 +455,83 @@ GROUP BY r_name, n_name
 """
 
 
+def q13_custdist(spark, sf_dir):
+    """TPC-H Q13 shape: order-count distribution with a LEFT OUTER join
+    (zero-order customers must appear as c_count = 0)."""
+    return A.q13_customer_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+_ORACLE_Q13 = """
+SELECT c_count, count(*) AS custdist FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+) GROUP BY c_count
+"""
+
+
+def q18_large(spark, sf_dir):
+    """TPC-H Q18 shape: group-by-having key set semi-drives the big
+    joins (the broadcast probe of a tiny HAVING result)."""
+    return A.q18_large_orders(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        threshold=250,
+    )
+
+
+_ORACLE_Q18 = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(sum_qty, 2) AS sum_qty
+FROM (
+    SELECT l_orderkey, sum(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
+def docs_quality_deciles(spark, sf_dir):
+    """NTILE decile assignment by quality per language — the binning
+    step of curriculum/quality-mix pipelines (same rounded-quality +
+    doc_id ordering as docs_quality_filter, so deciles are
+    deterministic on both engines)."""
+    from pyspark.sql import Window
+
+    from .functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    q = F.round(quality_score(F.col("text")), 6)
+    w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", q.alias("quality"))
+        .withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .select("doc_id", "lang", "quality", "decile")
+    )
+
+
+def _oracle_deciles_sql() -> str:
+    quality = """round((least(length(text) / 500.0, 1.0)
+              + (1.0 - least((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / greatest(length(text), 1)) * 4, 1.0))
+              + least((len(list_filter(w, x -> x IN ('the','and','of','to','in','is','that','it','for','was','a','an','on','at','by','with','as','be'))) / greatest(len(w), 1)) * 5, 1.0)) / 3, 6)"""
+    return f"""
+WITH scored AS (
+    SELECT doc_id, lang, {quality} AS quality
+    FROM (SELECT doc_id, lang, text, {OE.WORDS} AS w FROM documents)
+)
+SELECT doc_id, lang, quality,
+       CAST(NTILE(10) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS BIGINT) AS decile
+FROM scored
+"""
+
+
 def rollup_revenue(spark, sf_dir):
     return A.rollup_revenue(
         _t(spark, sf_dir, "region"),
@@ -1427,6 +1504,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("q3_shipping_priority", q3, _ORACLE_Q3),
     QuerySpec("q5_regional_revenue", q5, _ORACLE_Q5),
     QuerySpec("rollup_revenue", rollup_revenue, _ORACLE_ROLLUP),
+    QuerySpec("q13_custdist", q13_custdist, _ORACLE_Q13),
+    QuerySpec("q18_large_orders", q18_large, _ORACLE_Q18),
     QuerySpec("window_top_customers", window_top_customers, _ORACLE_WINDOW_TOP),
     QuerySpec("window_running_total", window_running_total, _ORACLE_WINDOW_RUNNING),
     QuerySpec("customers_without_orders", customers_without_orders, _ORACLE_ANTI),
@@ -1462,6 +1541,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("docs_sample_stratified", docs_sample_stratified, _ORACLE_SAMPLE),
     QuerySpec("docs_quality_filter", docs_quality_filter, _oracle_quality_filter_sql()),
     QuerySpec("docs_pack_sequences", docs_pack_sequences, _oracle_pack_sql(2048)),
+    QuerySpec("docs_quality_deciles", docs_quality_deciles, _oracle_deciles_sql()),
     QuerySpec("doc_fingerprints", doc_fingerprints, OE.fingerprint_sql()),
     QuerySpec("dedup_exact", dedup_exact_q, OE.dedup_exact_sql()),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard_q, OE.ngram_jaccard_sql(0.5, 3)),
