@@ -168,11 +168,17 @@ def minhash_lsh_pairs(
     feature = (
         TXT.shingles(F.col(text_col), ngram) if ngram else TXT.distinct_words(F.col(text_col))
     )
+    # fan the docs out BEFORE tokenizing: the k-permutation hashing is
+    # CPU-bound (num_hashes x |shingles| md5 per doc), so input
+    # partition count caps it — a single-row-group scan would hash the
+    # whole corpus on one task (measured 3.3x at sf0.1); the shuffle
+    # moves only raw text
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     # materialize the feature array once; signatures reference the bound
     # column, and the banded join carries ONLY (id, band_no, band_key) —
     # the token arrays never enter the self-join shuffle (they re-enter
     # at the verify join on the deduped candidate set)
-    toks = docs.select(F.col(id_col).alias("id"), feature.alias("toks"))
+    toks = spread.select(F.col(id_col).alias("id"), feature.alias("toks"))
     sig = TXT.minhash_signature_of(F.col("toks"), k=num_hashes)
     n_bands = num_hashes // band_size
     band_structs = [
