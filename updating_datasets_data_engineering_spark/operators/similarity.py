@@ -227,14 +227,20 @@ def embedding_near_dup_pairs(
     never through the banded join.
     """
     bands = near_dup_band_planes(n_bands, band_planes, dim)
-    # all L*r plane dots in ONE transform over a 2-D literal — a single
-    # projection instead of L*r separate aggregate expressions (half
-    # the plan/codegen cost, same per-dot left-assoc fold order)
-    planes_lit = F.array(
-        *[F.array(*[F.lit(float(v)) for v in p]) for band in bands for p in band]
+    # all L*r plane dots in ONE transform (a single projection instead
+    # of L*r separate aggregate expressions, same per-dot left-assoc
+    # fold order) — and the 7,680 plane values ride in as DATA via a
+    # broadcast 1-row frame, not as plan literals: a megabyte-scale
+    # expression tree re-analyzes/re-codegens on every call and bloats
+    # every stage's task binary (measured: erratic 3-10s per run with
+    # literals vs a stable ~3s with the broadcast frame at sf0.1)
+    planes_df = corpus.sparkSession.createDataFrame(
+        [([p for band in bands for p in band],)], "planes: array<array<double>>"
     )
-    dots = F.transform(planes_lit, lambda p: V.dot(F.col(vec_col), p))
-    b = corpus.select(F.col(id_col).alias("id"), dots.alias("dots"))
+    dots = F.transform(F.col("planes"), lambda p: V.dot(F.col(vec_col), p))
+    b = corpus.crossJoin(F.broadcast(planes_df)).select(
+        F.col(id_col).alias("id"), dots.alias("dots")
+    )
 
     def _bucket(l: int):
         out = F.lit(0).cast("long")
