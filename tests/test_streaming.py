@@ -149,3 +149,49 @@ def test_stream_static_join(spark, sf_dir, tmp_path):
     )
     cols = sorted(expected.columns)
     assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(expected.select(*cols), cols)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join (bounded state) must
+    produce exactly the batch inequality join's pairs on bounded
+    input."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("l_ts")
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts")
+    )
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    purchases.coalesce(2).write.mode("overwrite").json(lsrc)
+    clicks.coalesce(2).write.mode("overwrite").json(rsrc)
+    lstream = spark.readStream.schema("user_id LONG, l_ts TIMESTAMP").json(lsrc)
+    rstream = (
+        spark.readStream.schema("r_user LONG, r_ts TIMESTAMP").json(rsrc)
+        .withColumnRenamed("r_user", "user_id")
+    )
+    joined = SP.streaming_interval_join(lstream, rstream)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM ssj_test")
+    # batch twin over the SAME json files (json serialization truncates
+    # timestamps to millis; both sides must share that precision)
+    lbatch = spark.read.schema("user_id LONG, l_ts TIMESTAMP").json(lsrc)
+    rbatch = (
+        spark.read.schema("r_user LONG, r_ts TIMESTAMP").json(rsrc)
+        .withColumnRenamed("r_user", "ruid")
+    )
+    expected = lbatch.join(
+        rbatch,
+        (lbatch["user_id"] == rbatch["ruid"])
+        & (rbatch["r_ts"] <= lbatch["l_ts"])
+        & (rbatch["r_ts"] > lbatch["l_ts"] - F.expr("INTERVAL 3600 SECONDS")),
+    ).select("user_id", "l_ts", "r_ts")
+    cols = ["user_id", "l_ts", "r_ts"]
+    assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(expected.select(*cols), cols)

@@ -172,3 +172,30 @@ def streaming_hourly_counts(events: DataFrame, watermark_delay: str = "2 hours")
             "sum_value",
         )
     )
+
+
+def streaming_interval_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    lookback_seconds: int = 3600,
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left event pairs
+    with right events of the same key in ``(l_ts - lookback, l_ts]``.
+    Both sides carry watermarks so the join state is bounded — Spark
+    evicts right rows older than the watermark minus the interval
+    bound; without the time-range condition a stream-stream join would
+    have to buffer both sides forever."""
+    from pyspark.sql import functions as F
+
+    l = left_stream.withWatermark(left_ts, watermark_delay)
+    r = right_stream.withWatermark(right_ts, watermark_delay)
+    return l.join(
+        r,
+        (l[key] == r[key])
+        & (F.col(right_ts) <= F.col(left_ts))
+        & (F.col(right_ts) > F.col(left_ts) - F.expr(f"INTERVAL {lookback_seconds} SECONDS")),
+    ).select(l[key].alias(key), left_ts, right_ts)
