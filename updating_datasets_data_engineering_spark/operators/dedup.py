@@ -100,7 +100,11 @@ def ngram_jaccard_pairs(
             )
         )
     else:
-        toks = docs.select(F.col(id_col).alias("id"), tok_expr.alias("toks"))
+        # persist the shingle arrays and the fingerprint index: both are
+        # consumed on two sides of a self-join (and toks twice more in
+        # the verify joins); without materialization every consumer
+        # re-shingles + re-hashes the corpus — the CPU-dominant work
+        toks = docs.select(F.col(id_col).alias("id"), tok_expr.alias("toks")).persist()
         sig = TXT.minhash_signature_of(F.col("toks"), k=n_fingerprints)
         blocked = toks.select(
             "id",
@@ -112,7 +116,7 @@ def ngram_jaccard_pairs(
                     ]
                 )
             ).alias("b"),
-        ).select("id", "b.bk", "b.bv")
+        ).select("id", "b.bk", "b.bv").persist()
         pairs = (
             blocked.alias("a")
             .join(
@@ -178,7 +182,7 @@ def minhash_lsh_pairs(
     # column, and the banded join carries ONLY (id, band_no, band_key) —
     # the token arrays never enter the self-join shuffle (they re-enter
     # at the verify join on the deduped candidate set)
-    toks = spread.select(F.col(id_col).alias("id"), feature.alias("toks"))
+    toks = spread.select(F.col(id_col).alias("id"), feature.alias("toks")).persist()
     sig = TXT.minhash_signature_of(F.col("toks"), k=num_hashes)
     n_bands = num_hashes // band_size
     band_structs = [
@@ -188,9 +192,13 @@ def minhash_lsh_pairs(
         )
         for b in range(n_bands)
     ]
+    # persist: toks feeds the signature once and the verify join twice;
+    # banded feeds both sides of the bucket self-join — materializing
+    # them makes the k-permutation md5 hashing (the dominant cost) a
+    # one-pass job instead of four
     banded = toks.select("id", F.explode(F.array(*band_structs)).alias("band")).select(
         "id", "band.band_no", "band.band_key"
-    )
+    ).persist()
     candidates = (
         banded.alias("a")
         .join(
