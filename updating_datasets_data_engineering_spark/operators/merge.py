@@ -97,9 +97,13 @@ def merge_bucketed_window(
         archive.withColumn("_rn", F.row_number().over(wa)).where(F.col("_rn") == 1).drop("_rn")
     )
     wd = Window.partitionBy(*key).orderBy(*order) if order else Window.partitionBy(*key).orderBy(F.lit(1))
+    # persist: the deduped delta is consumed twice (broadcast anti-join
+    # probe + union side), and the delta is typically the OUTPUT of an
+    # ingest pipeline — without materialization the whole parse/enrich
+    # chain runs twice.  It is the small (daily) side by construction.
     delta_best = (
         delta.withColumn("_rn", F.row_number().over(wd)).where(F.col("_rn") == 1).drop("_rn")
-    )
+    ).persist()
     survivors = archive_best.join(
         F.broadcast(delta_best.select(*key)), on=list(key), how="left_anti"
     )
@@ -121,7 +125,9 @@ def merge_anti_join(
     anti-join broadcasts: the archive never shuffles — the right plan
     at 100 TB.
     """
-    delta_unique = delta.dropDuplicates(list(key))
+    # persist: consumed twice (anti-join probe + union side); the delta
+    # is the small side and often carries an upstream parse pipeline
+    delta_unique = delta.dropDuplicates(list(key)).persist()
     d = F.broadcast(delta_unique) if broadcast_delta else delta_unique
     survivors = archive.join(d.select(*key), on=list(key), how="left_anti")
     return survivors.unionByName(delta_unique, allowMissingColumns=True)
