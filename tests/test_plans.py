@@ -40,7 +40,10 @@ def test_play_parser_is_native(spark, sf_dir):
     f = analyze(Q["shot_parse"](spark, sf_dir))
     assert not f.has_python_udf
     assert not f.has_arrow_python
-    assert f.n_exchanges == 0, "parse/enrich is map-only — zero shuffles"
+    # parse/enrich never shuffles on a KEY; the only exchange allowed is
+    # the round-robin source fan-out for the single-row-group fixture
+    assert f.n_key_exchanges == 0, "parse/enrich must not key-shuffle"
+    assert f.n_exchanges <= 1, "at most the source fan-out exchange"
 
 
 def test_flagship_no_python(spark, sf_dir):

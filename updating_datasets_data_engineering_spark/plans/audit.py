@@ -28,6 +28,7 @@ def formatted_plan(df: DataFrame) -> str:
 @dataclass
 class PlanFacts:
     n_exchanges: int
+    n_key_exchanges: int          # hash/range partitioning — a real data shuffle on keys
     n_broadcast_joins: int
     n_sortmerge_joins: int
     n_codegen_stages: int
@@ -50,6 +51,9 @@ def analyze(df: DataFrame) -> PlanFacts:
         # "(N) Operator" counts plan NODES (the AQE summary would
         # otherwise double-count operator names)
         n_exchanges=len(re.findall(r"\(\d+\) Exchange", text)),
+        n_key_exchanges=len(
+            re.findall(r"\(\d+\) Exchange (?:hashpartitioning|rangepartitioning)", text)
+        ),
         n_broadcast_joins=len(re.findall(r"\(\d+\) BroadcastHashJoin", text)),
         n_sortmerge_joins=len(re.findall(r"\(\d+\) SortMergeJoin", text)),
         n_codegen_stages=len(set(re.findall(r"\[codegen id : (\d+)\]", text))),
