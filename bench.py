@@ -69,6 +69,9 @@ HEADLINE = [
     "docs_quality_filter",
     "docs_pack_sequences",
     "docs_quality_deciles",
+    "docs_repetition",
+    "docs_contamination",
+    "text_redact",
     "text_langid",
     "doc_fingerprints",
     "dedup_exact",

@@ -158,6 +158,24 @@ def simhash32(text: Column) -> Column:
     return out
 
 
+def bigrams(text: Column) -> Column:
+    """NON-distinct word bigram list (space-joined), for repetition
+    metrics — unlike :func:`shingles`, duplicates are the signal here
+    (Gopher-style "fraction of text in the top n-gram" filters,
+    Rae et al. 2021, public).  Token array bound once as a lambda var
+    (no CSE inside HOF lambdas — see :func:`shingles`)."""
+
+    def _grams(w: Column) -> Column:
+        size = F.size(w)
+        idx = F.sequence(F.lit(0), F.greatest(size - 2, F.lit(0)))
+        grams = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2))
+        )
+        return F.when(size >= 2, grams).otherwise(F.array())
+
+    return F.element_at(F.transform(F.array(words(text)), _grams), 1)
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (space-joined).
 

@@ -413,3 +413,94 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
 """
+
+
+def repetition_sql(top_frac_flag: float = 0.05) -> str:
+    """Replays registry.docs_repetition: non-distinct word bigrams,
+    per-doc top-bigram fraction / duplicate fractions (Gopher-style
+    repetition filters, Rae et al. 2021)."""
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {WORDS} AS w FROM documents
+),
+bg AS (
+    SELECT doc_id,
+           CASE WHEN len(w) >= 2
+                THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+                ELSE [] END AS bgs,
+           len(w) AS n_words,
+           len(list_distinct(w)) AS n_dwords
+    FROM toks
+),
+e AS (SELECT doc_id, unnest(bgs) AS g FROM bg),
+gc AS (SELECT doc_id, g, count(*) AS c FROM e GROUP BY doc_id, g),
+agg AS (
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           count(*) AS n_distinct,
+           CAST(max(c) AS BIGINT) AS top_c
+    FROM gc GROUP BY doc_id
+)
+SELECT b.doc_id,
+       a.n_bigrams,
+       round(a.top_c / greatest(a.n_bigrams, 1), 6) AS top_bigram_frac,
+       round(1.0 - a.n_distinct / greatest(a.n_bigrams, 1), 6) AS dup_bigram_frac,
+       round(1.0 - b.n_dwords / greatest(b.n_words, 1), 6) AS dup_word_frac,
+       CAST(CASE WHEN a.top_c / greatest(a.n_bigrams, 1) > {top_frac_flag} THEN 1 ELSE 0 END AS INT) AS repetitive
+FROM bg b JOIN agg a USING (doc_id)
+"""
+
+
+def contamination_sql(modulus: int = 17, min_shared: int = 5, n: int = 3) -> str:
+    """Replays registry.docs_contamination: distinct word n-gram
+    overlap between candidate docs and the held-out benchmark slice
+    (doc_id % modulus = 0) — the public decontamination recipe (n-gram
+    collision against eval sets, Brown et al. 2020 App. C)."""
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {_shingles_sql(n)} AS s
+    FROM (SELECT doc_id, {WORDS} AS w FROM documents)
+),
+sh AS (SELECT doc_id, unnest(s) AS g FROM toks),
+bench AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id % {modulus} = 0),
+cand AS (SELECT doc_id, g FROM sh WHERE doc_id % {modulus} <> 0)
+SELECT c.doc_id,
+       count(DISTINCT c.g) AS n_shared_shingles,
+       count(DISTINCT b.bench_id) AS n_bench_docs,
+       CAST(CASE WHEN count(DISTINCT c.g) >= {min_shared} THEN 1 ELSE 0 END AS INT) AS contaminated
+FROM cand c JOIN bench b USING (g)
+GROUP BY c.doc_id
+"""
+
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+LONGNUM_RE = "[0-9]{4,}"
+
+PII_TEXT_EXPR = (
+    "CASE WHEN event_id % 3 = 0 THEN "
+    "'note ' || event_id || ' routine sync with no contact details' "
+    "ELSE 'contact user' || user_id || '@mail.example.com ref ' || event_id || "
+    "' card ' || (10000 + (user_id * 7) % 90000) || ' call 555-' || (1000 + user_id % 9000) END"
+)
+
+
+def redact_sql() -> str:
+    """Replays registry.text_redact: deterministic PII-bearing strings
+    synthesized from events, then email/long-digit-run redaction.
+    Patterns are RE2-and-Java-regex compatible (no backrefs)."""
+    return f"""
+WITH raw AS (
+    SELECT event_id, {PII_TEXT_EXPR} AS text FROM events
+),
+step1 AS (
+    SELECT event_id, text,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+    FROM raw
+)
+SELECT event_id,
+       CAST(len(regexp_extract_all(t1, '{LONGNUM_RE}')) AS BIGINT) AS n_long_nums,
+       n_emails,
+       regexp_replace(t1, '{LONGNUM_RE}', '<NUM>', 'g') AS redacted
+FROM step1
+"""

@@ -1373,6 +1373,104 @@ SELECT doc_id, lang, quality FROM ranked WHERE rn * 2 <= n
 """
 
 
+def docs_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (Rae et al. 2021, public):
+    per-doc top-bigram fraction, duplicate-bigram fraction, duplicate-
+    word fraction, and the filter flag.  Plan shape: map-side bigram
+    explode -> two hash aggregates on (doc_id[, gram]) — the same
+    scale-safe shape as word_counts; no joins besides the final
+    per-doc stat join (both sides keyed on doc_id, co-partitioned
+    after the first aggregate)."""
+    from .functions.text import bigrams, distinct_words, words
+
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        F.size(words(F.col("text"))).alias("n_words"),
+        F.size(distinct_words(F.col("text"))).alias("n_dwords"),
+    )
+    gc = (
+        docs.select("doc_id", F.explode(bigrams(F.col("text"))).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = gc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    top_frac = F.col("top_c") / F.greatest(F.col("n_bigrams"), F.lit(1))
+    return (
+        per_doc.join(agg, "doc_id")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(top_frac, 6).alias("top_bigram_frac"),
+            F.round(
+                1.0 - F.col("n_distinct") / F.greatest(F.col("n_bigrams"), F.lit(1)), 6
+            ).alias("dup_bigram_frac"),
+            F.round(
+                1.0 - F.col("n_dwords") / F.greatest(F.col("n_words"), F.lit(1)), 6
+            ).alias("dup_word_frac"),
+            F.when(top_frac > 0.05, F.lit(1)).otherwise(F.lit(0)).alias("repetitive"),
+        )
+    )
+
+
+def docs_contamination(spark, sf_dir):
+    """Benchmark decontamination (the public n-gram collision recipe,
+    Brown et al. 2020 App. C): distinct word 3-gram overlap between
+    each candidate doc and a held-out benchmark slice (doc_id % 17 = 0
+    stands in for the eval set).  The benchmark side is BROADCAST —
+    eval sets are tiny relative to a 100 TB corpus, so the scan of the
+    corpus is map-only: explode shingles, broadcast-hash probe, one
+    aggregate on doc_id."""
+    from .functions.text import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("g"))
+    bench = sh.where(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    cand = sh.where(F.col("doc_id") % 17 != 0)
+    n_shared = F.countDistinct("g")
+    return (
+        cand.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            n_shared.alias("n_shared_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .withColumn(
+            "contaminated",
+            F.when(F.col("n_shared_shingles") >= 5, F.lit(1)).otherwise(F.lit(0)),
+        )
+    )
+
+
+def text_redact(spark, sf_dir):
+    """PII redaction over deterministic synthesized contact strings
+    (the fixtures carry no PII, so the query builds its own from
+    events — same technique as the shot synth): email addresses and
+    long digit runs are replaced with typed placeholders, counts kept
+    for audit.  Pure regexp expressions — map-only, codegen, no UDF;
+    patterns are RE2/Java-compatible so the oracle replays them."""
+    ev = _t(spark, sf_dir, "events")
+    raw = ev.selectExpr("event_id", f"({OE.PII_TEXT_EXPR}) AS text")
+    t1 = F.regexp_replace(F.col("text"), OE.EMAIL_RE, "<EMAIL>")
+    step1 = raw.select(
+        "event_id",
+        F.regexp_count(F.col("text"), F.lit(OE.EMAIL_RE)).cast("long").alias("n_emails"),
+        t1.alias("t1"),
+    )
+    return step1.select(
+        "event_id",
+        F.regexp_count(F.col("t1"), F.lit(OE.LONGNUM_RE)).cast("long").alias("n_long_nums"),
+        "n_emails",
+        F.regexp_replace(F.col("t1"), OE.LONGNUM_RE, "<NUM>").alias("redacted"),
+    )
+
+
 def docs_pack_sequences(spark, sf_dir, capacity: int = 2048):
     """Fixed-boundary sequence packing: per language, docs in doc_id
     order accumulate whitespace-token counts; pack_id = exclusive
@@ -1542,6 +1640,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("docs_quality_filter", docs_quality_filter, _oracle_quality_filter_sql()),
     QuerySpec("docs_pack_sequences", docs_pack_sequences, _oracle_pack_sql(2048)),
     QuerySpec("docs_quality_deciles", docs_quality_deciles, _oracle_deciles_sql()),
+    QuerySpec("docs_repetition", docs_repetition, OE.repetition_sql(0.05)),
+    QuerySpec("docs_contamination", docs_contamination, OE.contamination_sql(17, 5, 3)),
+    QuerySpec("text_redact", text_redact, OE.redact_sql()),
     QuerySpec("doc_fingerprints", doc_fingerprints, OE.fingerprint_sql()),
     QuerySpec("dedup_exact", dedup_exact_q, OE.dedup_exact_sql()),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard_q, OE.ngram_jaccard_sql(0.5, 3)),
