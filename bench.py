@@ -35,7 +35,15 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_regional_revenue",
+    "q4_order_priority",
     "q6_revenue_change",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q19_disjunctive_bands",
+    "q22_idle_customers",
     "parts_by_brand",
     "rollup_revenue",
     "q13_custdist",

@@ -452,3 +452,237 @@ def q18_large_orders(customer, orders, lineitem, threshold: int = 300):
             F.round("sum_qty", 2).alias("sum_qty"),
         )
     )
+
+
+def q4_late_orders(orders, lineitem):
+    """TPC-H Q4 shape: EXISTS-correlated semi-join — orders with at
+    least one late-shipped item (fixtures carry no commit/receipt
+    dates, so "late" is l_shipdate > o_orderdate), counted by priority.
+
+    Plan: the date filter prunes orders BEFORE the semi-join (pushed
+    to the scan); LEFT SEMI stops probing an order at its first
+    matching item, so no fan-out ever materializes — the scale-safe
+    EXISTS plan."""
+    window = orders.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    late = window.join(
+        lineitem,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q7_volume_shipping(lineitem, orders, customer, supplier, nation):
+    """TPC-H Q7 shape: the two-role dimension join — nation joined
+    TWICE (supplier's and customer's side), directional pair filter,
+    per-year revenue.  Both nation copies and both dims broadcast; the
+    only shuffle left is the lineitem⋈orders key join + final agg."""
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7") | (
+        F.col("supp_nation") == "NATION_7"
+    ) & (F.col("cust_nation") == "NATION_3")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q10_returned_items(customer, orders, lineitem, nation, k: int = 20):
+    """TPC-H Q10 shape: revenue lost to returns per customer over a
+    quarter — 4-way join, agg on a composite customer key, top-k.
+    Returns are a small fraction, so the returnflag filter does the
+    pruning before the join; top-20 is TakeOrdered (no full sort)."""
+    return (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01"))
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(k)
+    )
+
+
+def q14_promo_revenue(lineitem, part):
+    """TPC-H Q14 shape: conditional-aggregate ratio over a broadcast
+    dim join — promo revenue share of one month.  One number out; the
+    CASE rides inside the same partial aggregate as the denominator
+    (single pass, map-side combined)."""
+    promo = F.when(
+        F.col("p_type") == "PROMO", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).otherwise(F.lit(0.0))
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1997-03-01"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(promo)
+                / F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q15_top_supplier(lineitem, supplier):
+    """TPC-H Q15 shape: scalar-subquery max — supplier(s) whose
+    quarterly revenue equals the global maximum.  Revenue is rounded
+    BEFORE the max/equality so the comparison is stable under
+    double-sum ordering; the one-row max broadcasts into the probe."""
+    rev = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q17_small_quantity(lineitem, part):
+    """TPC-H Q17 shape: correlated per-part average — items whose
+    quantity is below 20% of their part's average, for one brand.
+    The correlated subquery decomposes into a per-part aggregate
+    broadcast back onto the probe (quantities are integer-valued, so
+    the avg is an exact double — the 0.2× threshold is stable)."""
+    brand_parts = part.where(
+        (F.col("p_brand") == "Brand#11") & (F.col("p_size") < 15)
+    ).select("p_partkey")
+    li = lineitem.join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q19_disjunctive(lineitem, part):
+    """TPC-H Q19 shape: OR-of-ANDs predicate across the join — three
+    (brand, size, quantity) bands.  Catalyst extracts the common
+    p_partkey equi-join and evaluates the disjunction post-join; the
+    per-side conjuncts (quantity bounds, size bounds) are pushed to
+    the scans as a derived OR filter."""
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 5))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(band)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q22_global_sales(customer, orders, cutoff: str = "2000-01-01"):
+    """TPC-H Q22 shape: anti-join + scalar-average subquery — LAPSED
+    customers (no orders since the cutoff; every fixture customer has
+    SOME order, so the pure no-orders variant would be vacuous) with
+    above-average positive balance, grouped by nation.  The average is
+    one broadcast row; the anti-join broadcasts the distinct recent
+    custkeys (the recency filter prunes them at the scan first)."""
+    avg_bal = customer.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = customer.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal"))
+    recent = orders.where(F.col("o_orderdate") >= F.lit(cutoff))
+    idle = rich.join(
+        F.broadcast(recent.select("o_custkey").distinct()),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -463,6 +463,173 @@ def q13_custdist(spark, sf_dir):
     )
 
 
+def q4_late(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS semi-join, counted by priority."""
+    return A.q4_late_orders(_t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
+
+
+_ORACLE_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q7_volume(spark, sf_dir):
+    """TPC-H Q7 shape: nation in two roles, directional pair filter."""
+    return A.q7_volume_shipping(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+_ORACLE_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q10_returned(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    return A.q10_returned_items(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+_ORACLE_Q10 = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q14_promo(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregate ratio over a month."""
+    return A.q14_promo_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+_ORACLE_Q14 = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+def q15_top(spark, sf_dir):
+    """TPC-H Q15 shape: scalar-subquery max over per-supplier revenue."""
+    return A.q15_top_supplier(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    )
+
+
+_ORACLE_Q15 = """
+WITH rev AS (
+    SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small(spark, sf_dir):
+    """TPC-H Q17 shape: correlated per-part average threshold."""
+    return A.q17_small_quantity(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+_ORACLE_Q17 = """
+WITH bp AS (
+    SELECT p_partkey FROM part WHERE p_brand = 'Brand#11' AND p_size < 15
+),
+li AS (
+    SELECT l_partkey, l_quantity, l_extendedprice
+    FROM lineitem JOIN bp ON l_partkey = p_partkey
+),
+aq AS (
+    SELECT l_partkey AS ap, avg(l_quantity) AS avg_qty FROM li GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_items
+FROM li JOIN aq ON l_partkey = ap
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+def q19_bands(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs predicate bands across the join."""
+    return A.q19_disjunctive(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+_ORACLE_Q19 = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q22_idle(spark, sf_dir):
+    """TPC-H Q22 shape: anti-join + scalar-average subquery."""
+    return A.q22_global_sales(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+_ORACLE_Q22 = """
+SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 _ORACLE_Q13 = """
 SELECT c_count, count(*) AS custdist FROM (
     SELECT c.c_custkey, count(o.o_orderkey) AS c_count
@@ -1602,7 +1769,15 @@ SPECS: list[QuerySpec] = [
     QuerySpec("q3_shipping_priority", q3, _ORACLE_Q3),
     QuerySpec("q5_regional_revenue", q5, _ORACLE_Q5),
     QuerySpec("rollup_revenue", rollup_revenue, _ORACLE_ROLLUP),
+    QuerySpec("q4_order_priority", q4_late, _ORACLE_Q4),
+    QuerySpec("q7_volume_shipping", q7_volume, _ORACLE_Q7),
+    QuerySpec("q10_returned_items", q10_returned, _ORACLE_Q10),
     QuerySpec("q13_custdist", q13_custdist, _ORACLE_Q13),
+    QuerySpec("q14_promo_revenue", q14_promo, _ORACLE_Q14),
+    QuerySpec("q15_top_supplier", q15_top, _ORACLE_Q15),
+    QuerySpec("q17_small_quantity", q17_small, _ORACLE_Q17),
+    QuerySpec("q19_disjunctive_bands", q19_bands, _ORACLE_Q19),
+    QuerySpec("q22_idle_customers", q22_idle, _ORACLE_Q22),
     QuerySpec("q18_large_orders", q18_large, _ORACLE_Q18),
     QuerySpec("window_top_customers", window_top_customers, _ORACLE_WINDOW_TOP),
     QuerySpec("window_running_total", window_running_total, _ORACLE_WINDOW_RUNNING),
