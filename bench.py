@@ -61,6 +61,7 @@ HEADLINE = [
     "events_range_join",
     "events_time_rollup",
     "events_moving_avg",
+    "events_range_frame",
     "events_gaps",
     "scalar_function_census",
     "word_counts",

@@ -1255,6 +1255,44 @@ FROM events
 """
 
 
+def events_range_frame(spark, sf_dir):
+    """Time-RANGE window frame (the frame kind ROWS can't express):
+    trailing one-hour event count and value average per event type,
+    keyed on epoch seconds so frame membership is integral and
+    identical across engines.  Range frames are tie-safe by
+    construction (all peers of a boundary value join the frame), so no
+    physical-order dependence."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("sec"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        ev.withColumn("sec", sec)
+        .select(
+            "event_id",
+            "event_type",
+            F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+            F.round(F.avg("value").over(w), 6).alias("avg_trailing_1h"),
+        )
+    )
+
+
+_ORACLE_RANGE_FRAME = """
+SELECT event_id, event_type,
+       count(*) OVER w AS n_trailing_1h,
+       round(avg(value) OVER w, 6) AS avg_trailing_1h
+FROM (SELECT event_id, event_type, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+WINDOW w AS (PARTITION BY event_type ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 def events_gaps(spark, sf_dir):
     """lead/lag surface: microsecond gap to the previous event per user
     (exact integer arithmetic — no fp concerns)."""
@@ -1806,6 +1844,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("events_range_join", events_range_join, _ORACLE_RANGE_JOIN),
     QuerySpec("events_time_rollup", events_time_rollup, _ORACLE_TIME_ROLLUP),
     QuerySpec("events_moving_avg", events_moving_avg, _ORACLE_MOVING_AVG),
+    QuerySpec("events_range_frame", events_range_frame, _ORACLE_RANGE_FRAME),
     QuerySpec("events_gaps", events_gaps, _ORACLE_GAPS),
     QuerySpec("text_metrics", text_metrics, OE.text_metrics_sql()),
     QuerySpec("text_langid", text_langid, OE.lang_id_sql()),
