@@ -208,3 +208,29 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     ).select("user_id", "l_ts", "r_ts")
     cols = ["user_id", "l_ts", "r_ts"]
     assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(expected.select(*cols), cols)
+
+
+def test_streaming_session_window(spark, sf_dir, tmp_path):
+    """Streaming session_window == batch session_window on bounded
+    input (complete mode flushes every closed session)."""
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_sess_json")
+    events.select("ts", "user_id", "value").coalesce(2).write.mode("overwrite").json(src)
+    schema = "ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        SP.streaming_session_counts(stream)
+        .writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM session_test")
+    expected = SP.streaming_session_counts(events.select("ts", "user_id", "value"))
+    cols = sorted(expected.columns)
+    assert set(got.columns) == set(expected.columns)
+    assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(expected.select(*cols), cols)
+    # sessions are genuinely multi-event (the gap actually merges rows)
+    assert got.where(F.col("n_events") > 1).count() > 0

@@ -174,6 +174,33 @@ def streaming_hourly_counts(events: DataFrame, watermark_delay: str = "2 hours")
     )
 
 
+def streaming_session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark_delay: str = "2 hours"
+) -> DataFrame:
+    """Watermarked SESSION-window aggregate (dynamic-length windows —
+    the window kind tumbling/sliding can't express): per user, events
+    group into sessions separated by >= ``gap`` of inactivity.  The
+    watermark is what lets Spark close a session and evict its state —
+    unbounded-gap sessionization over a stream would hold state
+    forever.  Works identically in batch (Spark evaluates
+    session_window in both modes), which is what the equivalence test
+    asserts."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("win.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def streaming_interval_join(
     left_stream: DataFrame,
     right_stream: DataFrame,
