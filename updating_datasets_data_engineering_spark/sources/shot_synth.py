@@ -81,10 +81,9 @@ def _fan_out(events: DataFrame) -> DataFrame:
     expansion — measured 3.4s -> 2.1s on the sf0.1 ingest chain vs
     1.6x slower when repartitioning the expanded JSON records instead.
     """
-    target = events.sparkSession.sparkContext.defaultParallelism
-    if not events.isStreaming and events.rdd.getNumPartitions() < target:
-        return events.repartition(target)
-    return events
+    from ..tables import fan_out_if_narrow
+
+    return fan_out_if_narrow(events)
 
 
 def synth_shot_events(events: DataFrame) -> DataFrame:

@@ -69,3 +69,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def fan_out_if_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a DataFrame whose scan would serialize a
+    CPU-bound chain, using the cheap ``inputFiles`` metadata probe
+    (~30 ms) rather than ``rdd.getNumPartitions`` (which plans the
+    whole query, ~1.5 s on a wide plan).
+
+    Heuristic: a plan reading a handful of files yields that many scan
+    tasks; a real table at scale is thousands of files/row-groups and
+    splits natively, so it skips the shuffle.  Streaming frames and
+    plans where Spark cannot enumerate files (joins, generated data)
+    are left untouched.
+    """
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < max(target // 4, 2):
+        return df.repartition(target)
+    return df
