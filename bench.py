@@ -53,6 +53,8 @@ HEADLINE = [
     "price_quantiles",
     "orders_by_month",
     "events_pivot",
+    "events_unpivot",
+    "grouping_sets_revenue",
     "events_props_json",
     "events_type_stats_salted",
     "incremental_events_summary",

@@ -1032,6 +1032,79 @@ FROM events GROUP BY 1
 """
 
 
+def grouping_sets_revenue(spark, sf_dir):
+    """Arbitrary GROUPING SETS (the general form rollup/cube are
+    special cases of): revenue by (status, priority), by (status),
+    and by (year) — three independent slices in ONE aggregation pass
+    (Spark plans an Expand + single hash aggregate, not three scans).
+    grouping_id() disambiguates the null-vs-grouped encoding exactly
+    as in the oracle."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("o_year", F.year("o_orderdate"))
+        .groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], ["o_year"]],
+            "o_orderstatus",
+            "o_orderpriority",
+            "o_year",
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.col("o_year").cast("int").alias("o_year"),
+            "revenue",
+            "n_orders",
+            "gid",
+        )
+    )
+
+
+_ORACLE_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority, CAST(o_year AS INT) AS o_year,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders,
+       CAST(GROUPING(o_orderstatus, o_orderpriority, o_year) AS BIGINT) AS gid
+FROM (SELECT o_orderstatus, o_orderpriority, year(o_orderdate) AS o_year,
+             o_totalprice FROM orders)
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), (o_year))
+"""
+
+
+def events_unpivot(spark, sf_dir):
+    """UNPIVOT (wide -> long, the inverse of events_pivot): the hourly
+    per-type count matrix melts back into (hr, event_type, n) rows via
+    ``unpivot`` — a map-side Expand, no shuffle beyond the source
+    aggregate."""
+    wide = A.events_pivot(_t(spark, sf_dir, "events"))
+    return (
+        wide.unpivot(
+            "hr",
+            ["click", "error", "purchase", "signup", "view"],
+            "event_type",
+            "n",
+        )
+        .where(F.col("n") > 0)
+    )
+
+
+_ORACLE_UNPIVOT = f"""
+WITH wide AS ({_ORACLE_PIVOT}),
+long AS (
+    SELECT hr, 'click' AS event_type, click AS n FROM wide
+    UNION ALL SELECT hr, 'error', error FROM wide
+    UNION ALL SELECT hr, 'purchase', purchase FROM wide
+    UNION ALL SELECT hr, 'signup', signup FROM wide
+    UNION ALL SELECT hr, 'view', view FROM wide
+)
+SELECT hr, event_type, n FROM long WHERE n > 0
+"""
+
+
 def word_counts(spark, sf_dir):
     return A.word_counts(_t(spark, sf_dir, "documents"), k=50)
 
@@ -1836,6 +1909,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("orders_by_month", orders_by_month, _ORACLE_BY_MONTH),
     QuerySpec("scalar_function_census", scalar_function_census, _ORACLE_SCALAR_CENSUS),
     QuerySpec("events_pivot", events_pivot, _ORACLE_PIVOT),
+    QuerySpec("events_unpivot", events_unpivot, _ORACLE_UNPIVOT),
+    QuerySpec("grouping_sets_revenue", grouping_sets_revenue, _ORACLE_GROUPING_SETS),
     QuerySpec("word_counts", word_counts, _ORACLE_WORD_COUNTS),
     QuerySpec("events_type_stats_salted", events_type_stats_salted, _ORACLE_SALTED),
     QuerySpec("incremental_events_summary", incremental_events_summary, _ORACLE_INCREMENTAL),
