@@ -88,3 +88,30 @@ def test_bucketed_flagship_archive_window_no_exchange(spark, sf_dir):
     full = analyze(Q["shot_team_summary_bucketed"](spark, sf_dir))
     assert full.n_broadcast_joins >= 1, "delta keys must broadcast into the anti-join"
     assert not full.has_python_udf
+
+
+def test_contamination_benchmark_broadcasts(spark, sf_dir):
+    """The benchmark slice must broadcast — the corpus scan stays
+    map-only at any scale (eval sets are tiny vs the corpus)."""
+    f = analyze(Q["docs_contamination"](spark, sf_dir))
+    assert f.n_broadcast_joins >= 1, "benchmark shingles must broadcast"
+    assert not f.has_python_udf
+
+
+def test_redact_is_map_only_codegen(spark, sf_dir):
+    """Regex redaction is pure projection: no key shuffle, no Python —
+    whole-stage codegen end to end (at most the source fan-out)."""
+    f = analyze(Q["text_redact"](spark, sf_dir))
+    assert f.n_key_exchanges == 0
+    assert not f.has_python_udf
+    assert not f.has_arrow_python
+    assert f.n_codegen_stages >= 1
+
+
+def test_repetition_no_join_shuffle_beyond_aggregates(spark, sf_dir):
+    """Repetition metrics: bigram explode is map-side; the only key
+    exchanges are the two hash aggregates + the final doc_id stat join
+    (co-partitioned after the first aggregate)."""
+    f = analyze(Q["docs_repetition"](spark, sf_dir))
+    assert not f.has_python_udf
+    assert f.n_key_exchanges <= 3

@@ -66,10 +66,14 @@ def brute_force_topk(
     corpus streams through a map-side nested-loop scoring stage; the
     only shuffle is the per-query top-k window on (query_id).
     """
+    from ..tables import fan_out_if_narrow
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+    c = fan_out_if_narrow(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    )
     scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
@@ -162,7 +166,9 @@ def srp_ann_topk(
             F.array(*[F.col("qb").bitwiseXOR(F.lit(m)).cast("long") for m in masks])
         ).alias("bucket"),
     )
-    c = corpus.select(
+    from ..tables import fan_out_if_narrow
+
+    c = fan_out_if_narrow(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
         V.srp_bucket(F.col(vec_col), planes).alias("bucket"),
@@ -341,10 +347,12 @@ def ivf_assign_cells(
     once per corpus snapshot and persists (like bucketing), not per
     query.
     """
+    from ..tables import fan_out_if_narrow
+
     cents = corpus.where(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
-    scored = corpus.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(cents)).select(
+    scored = fan_out_if_narrow(corpus).select(F.col(id_col), F.col(vec_col)).join(F.broadcast(cents)).select(
         id_col,
         vec_col,
         "cid",
