@@ -59,7 +59,10 @@ def test_multimodal_uses_arrow_not_row_python(spark, sf_dir):
 
 def test_text_metrics_map_only(spark, sf_dir):
     f = analyze(Q["text_metrics"](spark, sf_dir))
-    assert f.n_exchanges == 0
+    # no key shuffle — the only exchange allowed is the round-robin
+    # source fan-out for the single-row-group fixture
+    assert f.n_key_exchanges == 0
+    assert f.n_exchanges <= 1
     assert not f.has_python_udf
 
 

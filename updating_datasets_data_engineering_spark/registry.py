@@ -42,6 +42,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _td(spark: SparkSession, sf_dir: str, name: str = "documents") -> DataFrame:
+    """Fanned-out table load for CPU-heavy map chains (regex/HOF text
+    ops): the fixture parquet is single-row-group, so without the
+    spread the whole chain runs on one task (lang-ID measured 1.3s ->
+    0.4s at sf0.1).  No-op on multi-file tables."""
+    from .tables import fan_out_if_narrow
+
+    return fan_out_if_narrow(load_table(spark, sf_dir, name))
+
+
 # ---------------------------------------------------------------------------
 # Shot pipeline (reference parity)
 # ---------------------------------------------------------------------------
@@ -674,7 +684,7 @@ def docs_quality_deciles(spark, sf_dir):
 
     from .functions.text import quality_score
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _td(spark, sf_dir)
     q = F.round(quality_score(F.col("text")), 6)
     w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), F.col("doc_id"))
     return (
@@ -1106,7 +1116,7 @@ SELECT hr, event_type, n FROM long WHERE n > 0
 
 
 def word_counts(spark, sf_dir):
-    return A.word_counts(_t(spark, sf_dir, "documents"), k=50)
+    return A.word_counts(_td(spark, sf_dir), k=50)
 
 
 _ORACLE_WORD_COUNTS = f"""
@@ -1401,7 +1411,7 @@ def text_metrics(spark, sf_dir):
     stopword ratios, composite quality — all native expressions."""
     from .functions import text as TXT
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _td(spark, sf_dir)
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -1418,7 +1428,7 @@ def text_langid(spark, sf_dir):
     """n-gram/stopword-marker language ID vs the labeled lang column."""
     from .functions import text as TXT
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _td(spark, sf_dir)
     return (
         docs.select("lang", TXT.lang_id(F.col("text")).alias("pred_lang"))
         .groupBy("lang", "pred_lang")
@@ -1430,7 +1440,7 @@ def doc_fingerprints(spark, sf_dir):
     """Rolling min-hash document fingerprint (md5-based, oracle-exact)."""
     from .functions import text as TXT
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _td(spark, sf_dir)
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -1502,7 +1512,7 @@ WHERE doc_id NOT IN (SELECT id FROM nodes)
 
 
 def dedup_simhash_q(spark, sf_dir):
-    return D.simhash_groups(_t(spark, sf_dir, "documents"))
+    return D.simhash_groups(_td(spark, sf_dir))
 
 
 def knn_bruteforce(spark, sf_dir):
@@ -1544,7 +1554,7 @@ def text_sentiment(spark, sf_dir):
     canonical tiny-dim broadcast at any scale."""
     from .functions.text import SENTIMENT_LEXICON
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _td(spark, sf_dir)
     lex = spark.createDataFrame(
         [(w, s) for w, s in sorted(SENTIMENT_LEXICON.items())], "word STRING, score INT"
     )
@@ -1619,7 +1629,7 @@ def docs_quality_filter(spark, sf_dir):
 
     from .functions.text import quality_score
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _td(spark, sf_dir)
     q = F.round(quality_score(F.col("text")), 6)
     w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), F.col("doc_id"))
     wc = Window.partitionBy("lang")
@@ -1661,7 +1671,7 @@ def docs_repetition(spark, sf_dir):
     after the first aggregate)."""
     from .functions.text import bigrams, distinct_words, words
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _td(spark, sf_dir)
     per_doc = docs.select(
         "doc_id",
         F.size(words(F.col("text"))).alias("n_words"),
@@ -1705,7 +1715,7 @@ def docs_contamination(spark, sf_dir):
     aggregate on doc_id."""
     from .functions.text import shingles
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _td(spark, sf_dir)
     sh = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("g"))
     bench = sh.where(F.col("doc_id") % 17 == 0).select(
         F.col("doc_id").alias("bench_id"), "g"
