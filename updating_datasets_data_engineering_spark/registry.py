@@ -1511,6 +1511,43 @@ WHERE doc_id NOT IN (SELECT id FROM nodes)
 """
 
 
+def docs_deduplicated(spark, sf_dir):
+    """The user-facing END of the dedup pipeline: the surviving corpus.
+    Pairs -> clusters -> keep the min-id representative per cluster,
+    with the number of near-duplicates it absorbed.  This is the query
+    a training-data pipeline actually materializes — pair/cluster
+    queries are its observability."""
+    clusters = dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        sizes.join(docs, F.col("cluster_id") == F.col("doc_id"))
+        .select("doc_id", "lang", "n_members")
+    )
+
+
+def _oracle_dedup_corpus_sql() -> str:
+    inner = _oracle_clusters_sql().strip()
+    assert inner.startswith("WITH RECURSIVE ")
+    body = inner[len("WITH RECURSIVE ") :]
+    head, tail = body.rsplit("SELECT doc_id, cluster_id FROM labels", 1)
+    head = head.strip().rstrip(",")
+    return f"""
+WITH RECURSIVE {head},
+allc AS (
+    SELECT doc_id, cluster_id FROM labels
+    UNION ALL
+    SELECT doc_id, doc_id AS cluster_id FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM nodes)
+),
+sizes AS (
+    SELECT cluster_id, count(*) AS n_members FROM allc GROUP BY cluster_id
+)
+SELECT d.doc_id, d.lang, s.n_members
+FROM sizes s JOIN documents d ON s.cluster_id = d.doc_id
+"""
+
+
 def dedup_simhash_q(spark, sf_dir):
     return D.simhash_groups(_td(spark, sf_dir))
 
@@ -1947,6 +1984,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard_q, OE.ngram_jaccard_sql(0.5, 3)),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh_q, OE.minhash_lsh_sql(16, 4, 0.4, ngram=3)),
     QuerySpec("dedup_clusters", dedup_clusters, _oracle_clusters_sql()),
+    QuerySpec("docs_deduplicated", docs_deduplicated, _oracle_dedup_corpus_sql()),
     QuerySpec("dedup_simhash", dedup_simhash_q, OE.simhash_sql()),
     QuerySpec("knn_bruteforce", knn_bruteforce, OE.knn_bruteforce_sql(5, 5, 64)),
     QuerySpec("knn_ann_srp", knn_ann_srp, OE.knn_ann_srp_sql(5, 5, 4, 2, 64)),
