@@ -169,11 +169,19 @@ def shot_ingest_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_shot_ingest_sql() -> str:
+    # the malformed-row guard must be a CASE (conditional evaluation),
+    # not a WHERE conjunct: DuckDB's vectorized executor may evaluate
+    # json_extract_string on rows a sibling json_valid() conjunct would
+    # filter, and extraction on malformed JSON is an ERROR there, not
+    # NULL (surfaced at sf0.1 where the chunk layout differs)
     return f"""
-WITH recs AS (
+WITH raw AS (
     SELECT CASE WHEN event_id % 25 = 24 THEN substring(({SS.JSON_VALUE_EXPR}), 1, 20)
                 ELSE ({SS.JSON_VALUE_EXPR}) END AS value
     FROM events
+),
+recs AS (
+    SELECT CASE WHEN json_valid(value) THEN value END AS value FROM raw
 )
 SELECT json_extract_string(value, '$.game_id') AS game_id,
        json_extract_string(value, '$.year') AS year,
@@ -185,7 +193,7 @@ SELECT json_extract_string(value, '$.game_id') AS game_id,
        json_extract_string(value, '$.y') AS y,
        json_extract_string(value, '$.play') AS play
 FROM recs
-WHERE json_valid(value) AND json_extract_string(value, '$.play') IS NOT NULL
+WHERE value IS NOT NULL AND json_extract_string(value, '$.play') IS NOT NULL
 """
 
 
@@ -1360,7 +1368,14 @@ def events_range_frame(spark, sf_dir):
             "event_id",
             "event_type",
             F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
-            F.round(F.avg("value").over(w), 6).alias("avg_trailing_1h"),
+            # SUM (2dp), not AVG: the fixture values carry 2 decimals,
+            # so frame averages land EXACTLY on 6th-digit rounding
+            # boundaries (sum/2^k), where a 1-ulp summation-order
+            # difference between engines flips the rounded digit (675
+            # flips at sf0.1).  The 2dp sum boundary is 0.005 — 11
+            # orders of magnitude above double noise.  avg = sum/n is
+            # derivable from the two exact columns.
+            F.round(F.sum("value").over(w), 2).alias("sum_trailing_1h"),
         )
     )
 
@@ -1368,7 +1383,7 @@ def events_range_frame(spark, sf_dir):
 _ORACLE_RANGE_FRAME = """
 SELECT event_id, event_type,
        count(*) OVER w AS n_trailing_1h,
-       round(avg(value) OVER w, 6) AS avg_trailing_1h
+       round(sum(value) OVER w, 2) AS sum_trailing_1h
 FROM (SELECT event_id, event_type, value,
              CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
 WINDOW w AS (PARTITION BY event_type ORDER BY sec
