@@ -72,3 +72,51 @@ def test_parser_none_play(spark):
     )
     rows = P.enrich(df).collect()
     assert len(rows) == 1  # null play -> null derived columns, no crash
+
+
+def test_bigrams_degenerate_texts(spark):
+    from updating_datasets_data_engineering_spark.functions.text import bigrams
+
+    df = spark.createDataFrame(
+        [Row(t=""), Row(t="one"), Row(t="  two   words  "), Row(t=None)],
+        "t STRING",
+    )
+    rows = {r["t"]: r["b"] for r in df.select(F.col("t"), bigrams(F.col("t")).alias("b")).collect()}
+    assert rows[""] == []
+    assert rows["one"] == []
+    assert rows["  two   words  "] == ["two words"]
+    assert rows[None] in (None, [])  # null text degrades safely, no crash
+
+
+def test_repetition_single_word_docs_drop_consistently(spark):
+    """Docs with < 2 words produce no bigrams and are absent from the
+    repetition output on BOTH engines (inner join after explode) —
+    the deliberate, oracle-consistent semantics."""
+    from pyspark.sql import functions as F2
+
+    from updating_datasets_data_engineering_spark.functions.text import bigrams
+
+    df = spark.createDataFrame([Row(doc_id=1, text="solo"), Row(doc_id=2, text="a b a b")])
+    exploded = df.select("doc_id", F2.explode(bigrams(F2.col("text"))).alias("g"))
+    assert [r["doc_id"] for r in exploded.select("doc_id").distinct().collect()] == [2]
+
+
+def test_redact_handles_no_pii_and_multiple_hits(spark):
+    from updating_datasets_data_engineering_spark import oracles_ext as OE
+
+    df = spark.createDataFrame(
+        [
+            Row(t="nothing sensitive here"),
+            Row(t="a@b.co and c.d@e-f.org plus 123456789 and 9999"),
+        ]
+    )
+    t1 = F.regexp_replace(F.col("t"), OE.EMAIL_RE, "<EMAIL>")
+    out = df.select(
+        F.regexp_count(F.col("t"), F.lit(OE.EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t1, F.lit(OE.LONGNUM_RE)).alias("n_nums"),
+        F.regexp_replace(t1, OE.LONGNUM_RE, "<NUM>").alias("red"),
+    ).collect()
+    assert (out[0]["n_emails"], out[0]["n_nums"]) == (0, 0)
+    assert out[0]["red"] == "nothing sensitive here"
+    assert (out[1]["n_emails"], out[1]["n_nums"]) == (2, 2)
+    assert out[1]["red"] == "<EMAIL> and <EMAIL> plus <NUM> and <NUM>"
