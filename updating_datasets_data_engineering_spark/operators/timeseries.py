@@ -34,17 +34,20 @@ def asof_join(
     ts_col: str,
     right_cols: Sequence[str],
     tie_col: str,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    timestamp <= left's timestamp within the key group (right rows at
-    the exact same timestamp DO match).
+    """For each left row, attach the nearest right row within the key
+    group: ``direction="backward"`` (default) takes the greatest right
+    timestamp <= left's, ``"forward"`` the smallest right timestamp >=
+    left's (rows at the exact same timestamp match in both modes).
 
     Union both sides tagged, sort one window per key by
     (ts, side, tie_col) — right rows sort before left rows at equal
-    ts — and carry the last non-null right payload forward.  The
-    ``tie_col`` makes equal-timestamp right rows deterministic (the
-    greatest wins, mirroring the SQL oracle's window).  Exactly one
-    shuffle on the key; state per group is one row.
+    ts — and carry the last non-null right payload forward.  Forward
+    mode is the same plan with the sort reversed (ts DESC, tie DESC —
+    so the smallest qualifying tie_col wins, mirroring the oracle).
+    The ``tie_col`` makes equal-timestamp right rows deterministic.
+    Exactly one shuffle on the key; state per group is one row.
     """
     lcols = [c for c in left.columns]
     l = left.select(
@@ -61,9 +64,15 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
     )
     unioned = l.unionByName(r)
+    if direction == "backward":
+        order = [F.col(ts_col), F.col("_side"), F.col(f"_r_{tie_col}")]
+    elif direction == "forward":
+        order = [F.col(ts_col).desc(), F.col("_side"), F.col(f"_r_{tie_col}").desc()]
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     w = (
         Window.partitionBy(*key)
-        .orderBy(F.col(ts_col), F.col("_side"), F.col(f"_r_{tie_col}"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

@@ -1050,6 +1050,32 @@ FROM events GROUP BY 1
 """
 
 
+_SQL_PASSTHROUGH = """
+SELECT n_name,
+       o_orderstatus,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders,
+       round(avg(c_acctbal), 6) AS avg_acctbal
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_totalprice BETWEEN 1000 AND 200000
+GROUP BY n_name, o_orderstatus
+"""
+
+
+def sql_passthrough_revenue(spark, sf_dir):
+    """SQL-TEXT entry path: the exact same ANSI SQL string runs
+    unmodified on Spark (this function registers the fixture views and
+    executes it via ``spark.sql``) and on DuckDB (it IS the oracle,
+    byte-identical) — the engine accepts literal SQL, not only the
+    DataFrame API, and the two engines agree on the shared dialect
+    (joins, BETWEEN, group-by, round/avg/count)."""
+    for t in ("orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_PASSTHROUGH)
+
+
 def grouping_sets_revenue(spark, sf_dir):
     """Arbitrary GROUPING SETS (the general form rollup/cube are
     special cases of): revenue by (status, priority), by (status),
@@ -1265,6 +1291,52 @@ carried AS (
            last_value(r_value IGNORE NULLS) OVER w AS asof_value
     FROM tagged
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, r_event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, asof_event_id, round(asof_value, 2) AS asof_value
+FROM carried WHERE side = 1
+"""
+
+
+def events_asof_forward(spark, sf_dir):
+    """Forward as-of: each purchase picks the EARLIEST click at or
+    after it per user (the other half of the as-of pair — e.g.
+    next-touch attribution); same one-shuffle union+window plan with
+    the sort reversed."""
+    from .operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = TS.asof_join(
+        purchases,
+        clicks,
+        key=["user_id"],
+        ts_col="ts",
+        right_cols=["event_id", "value"],
+        tie_col="event_id",
+        direction="forward",
+    )
+    return out.select("event_id", "user_id", "asof_event_id", F.round("asof_value", 2).alias("asof_value"))
+
+
+_ORACLE_ASOF_FORWARD = """
+WITH tagged AS (
+    SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS r_event_id,
+           CAST(NULL AS DOUBLE) AS r_value, 1 AS side
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT user_id, ts, NULL, event_id, value, 0
+    FROM events WHERE event_type = 'click'
+),
+carried AS (
+    SELECT *,
+           last_value(r_event_id IGNORE NULLS) OVER w AS asof_event_id,
+           last_value(r_value IGNORE NULLS) OVER w AS asof_value
+    FROM tagged
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, side, r_event_id DESC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT event_id, user_id, asof_event_id, round(asof_value, 2) AS asof_value
@@ -1973,11 +2045,13 @@ SPECS: list[QuerySpec] = [
     QuerySpec("events_pivot", events_pivot, _ORACLE_PIVOT),
     QuerySpec("events_unpivot", events_unpivot, _ORACLE_UNPIVOT),
     QuerySpec("grouping_sets_revenue", grouping_sets_revenue, _ORACLE_GROUPING_SETS),
+    QuerySpec("sql_passthrough_revenue", sql_passthrough_revenue, _SQL_PASSTHROUGH),
     QuerySpec("word_counts", word_counts, _ORACLE_WORD_COUNTS),
     QuerySpec("events_type_stats_salted", events_type_stats_salted, _ORACLE_SALTED),
     QuerySpec("incremental_events_summary", incremental_events_summary, _ORACLE_INCREMENTAL),
     QuerySpec("incremental_avg_distinct", incremental_avg_distinct, _ORACLE_INC_AVG_DISTINCT),
     QuerySpec("events_asof_join", events_asof_join, _ORACLE_ASOF),
+    QuerySpec("events_asof_forward", events_asof_forward, _ORACLE_ASOF_FORWARD),
     QuerySpec("events_range_join", events_range_join, _ORACLE_RANGE_JOIN),
     QuerySpec("events_time_rollup", events_time_rollup, _ORACLE_TIME_ROLLUP),
     QuerySpec("events_moving_avg", events_moving_avg, _ORACLE_MOVING_AVG),
