@@ -60,6 +60,7 @@ HEADLINE = [
     "incremental_events_summary",
     "incremental_avg_distinct",
     "events_asof_join",
+    "events_asof_forward",
     "events_range_join",
     "events_time_rollup",
     "events_moving_avg",
