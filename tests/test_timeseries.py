@@ -71,19 +71,47 @@ def test_range_join_count_semantics(spark):
     assert out == {1: 2, 2: 0}
 
 
+def test_range_join_count_non_divisor_bucket(spark):
+    """Bucket widths that don't divide the lookback (and buckets wider
+    than the lookback) must still probe the oldest qualifying bucket —
+    floor division silently dropped it (ADVICE r2)."""
+    left = spark.createDataFrame(
+        [Row(event_id=1, user_id=1, ts=_ts("2024-01-01 00:02:00"))]  # unix 120 in-day
+    )
+    right = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=_ts("2024-01-01 00:00:31")),  # in range, bucket floor(31/60)=0
+            Row(user_id=1, ts=_ts("2024-01-01 00:01:59")),  # in range
+            Row(user_id=1, ts=_ts("2024-01-01 00:00:29")),  # outside 90s lookback
+        ]
+    )
+    for bucket in (60, 7, 240):  # non-divisor, tiny, wider-than-lookback
+        out = {
+            r["event_id"]: r["n_in_range"]
+            for r in TS.range_join_count(
+                left, right, key=["user_id"], left_ts="ts", right_ts="ts",
+                lookback_seconds=90, bucket_seconds=bucket,
+            ).collect()
+        }
+        assert out == {1: 2}, f"bucket_seconds={bucket}: {out}"
+
+
 def test_hypertable_rollup_grains(spark, sf_dir):
     from updating_datasets_data_engineering_spark.tables import load_table
 
     events = load_table(spark, sf_dir, "events")
     out = TS.hypertable_rollup(events)
-    total = out.where(F.col("grp").isNull()).collect()
+    # grain_id is the authoritative marker (grp MSB): 7=grand, 3=group, 1=day, 0=hour
+    total = out.where(F.col("grain_id") == 7).collect()
     assert len(total) == 1 and total[0]["n_events"] == events.count()
-    per_type = out.where(F.col("grp").isNotNull() & F.col("day").isNull()).count()
+    per_type = out.where(F.col("grain_id") == 3).count()
     assert per_type == events.select("event_type").distinct().count()
+    # grain_id agrees with the null pattern on null-free data
+    assert out.where((F.col("grain_id") == 1) & F.col("hour").isNotNull()).count() == 0
     # hour-grain rows sum back to the day-grain rows
-    day_rows = out.where(F.col("day").isNotNull() & F.col("hour").isNull())
+    day_rows = out.where(F.col("grain_id") == 1)
     hour_sum = (
-        out.where(F.col("hour").isNotNull())
+        out.where(F.col("grain_id") == 0)
         .groupBy("grp", "day")
         .agg(F.sum("n_events").alias("n"))
     )

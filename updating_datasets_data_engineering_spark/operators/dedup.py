@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
 from ..functions import text as TXT
 
 
@@ -104,19 +105,21 @@ def ngram_jaccard_pairs(
         # consumed on two sides of a self-join (and toks twice more in
         # the verify joins); without materialization every consumer
         # re-shingles + re-hashes the corpus — the CPU-dominant work
-        toks = docs.select(F.col(id_col).alias("id"), tok_expr.alias("toks")).persist()
+        toks = tracked_persist(docs.select(F.col(id_col).alias("id"), tok_expr.alias("toks")))
         sig = TXT.minhash_signature_of(F.col("toks"), k=n_fingerprints)
-        blocked = toks.select(
-            "id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(i).alias("bk"), s.alias("bv"))
-                        for i, s in enumerate(sig)
-                    ]
-                )
-            ).alias("b"),
-        ).select("id", "b.bk", "b.bv").persist()
+        blocked = tracked_persist(
+            toks.select(
+                "id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(F.lit(i).alias("bk"), s.alias("bv"))
+                            for i, s in enumerate(sig)
+                        ]
+                    )
+                ).alias("b"),
+            ).select("id", "b.bk", "b.bv")
+        )
         pairs = (
             blocked.alias("a")
             .join(
@@ -182,7 +185,7 @@ def minhash_lsh_pairs(
     # column, and the banded join carries ONLY (id, band_no, band_key) —
     # the token arrays never enter the self-join shuffle (they re-enter
     # at the verify join on the deduped candidate set)
-    toks = spread.select(F.col(id_col).alias("id"), feature.alias("toks")).persist()
+    toks = tracked_persist(spread.select(F.col(id_col).alias("id"), feature.alias("toks")))
     sig = TXT.minhash_signature_of(F.col("toks"), k=num_hashes)
     n_bands = num_hashes // band_size
     band_structs = [
@@ -196,9 +199,11 @@ def minhash_lsh_pairs(
     # banded feeds both sides of the bucket self-join — materializing
     # them makes the k-permutation md5 hashing (the dominant cost) a
     # one-pass job instead of four
-    banded = toks.select("id", F.explode(F.array(*band_structs)).alias("band")).select(
-        "id", "band.band_no", "band.band_key"
-    ).persist()
+    banded = tracked_persist(
+        toks.select("id", F.explode(F.array(*band_structs)).alias("band")).select(
+            "id", "band.band_no", "band.band_key"
+        )
+    )
     candidates = (
         banded.alias("a")
         .join(

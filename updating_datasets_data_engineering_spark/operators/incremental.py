@@ -70,6 +70,7 @@ def combine_states(
     key: Sequence[str],
     aggs: dict[str, tuple[str, str]],
     broadcast_delta: bool = True,
+    null_safe: bool = True,
 ) -> DataFrame:
     """prev ⊕ delta: full-outer join on the key, re-combine each state
     column.
@@ -82,11 +83,23 @@ def combine_states(
     high-cardinality enough that the state table itself is big, store
     it bucketed on the key (operators.bucketing) and the SMJ needs no
     exchange at all.  ``broadcast_delta`` is kept for API stability and
-    ignored."""
+    ignored.
+
+    ``null_safe`` controls the join-key comparison.  Null-safe keys
+    (``<=>``) tolerate NULL group values, but Spark rewrites them to
+    ``(coalesce(k), isnull(k))`` composite join keys, which no longer
+    match the HashPartitioning the upstream partial_agg produced — both
+    sides re-exchange.  When the key is known non-null (the common
+    case: group keys of a summary table), pass ``null_safe=False`` so
+    the plain equi-join reuses the aggregates' partitioning and the
+    combine adds ZERO exchanges."""
     d = delta_state
     p = prev.alias("p")
     d = d.alias("d")
-    cond = [F.col(f"p.{k}").eqNullSafe(F.col(f"d.{k}")) for k in key]
+    if null_safe:
+        cond = [F.col(f"p.{k}").eqNullSafe(F.col(f"d.{k}")) for k in key]
+    else:
+        cond = [F.col(f"p.{k}") == F.col(f"d.{k}") for k in key]
     joined = p.join(d, cond, "full_outer")
     out_cols = [
         F.coalesce(F.col(f"p.{k}"), F.col(f"d.{k}")).alias(k) for k in key
@@ -148,8 +161,17 @@ def update_distinct_pairs(
 ) -> DataFrame:
     """Exact-distinct auxiliary state: the set of observed (key, value)
     pairs.  New pairs are appended anti-join-style so the existing state
-    is never rewritten wholesale; with a small delta the anti-join
-    broadcasts the delta's pair set.  Retraction = delete the pair."""
+    is never rewritten wholesale.  Retraction = delete the pair.
+
+    Shuffle note: the delta (``new_pairs``) is the LEFT/stream side of
+    the left_anti join, and Spark can only broadcast the RIGHT side —
+    here the big state table — so at scale this plan shuffles both
+    sides (or broadcasts the state if it happens to be small).  To keep
+    the big side exchange-free, store ``prev_pairs`` bucketed on
+    ``[*key, col]`` (operators.bucketing): the SMJ then only shuffles
+    the small delta.  See also ``incremental_avg_distinct`` in the
+    registry for the single-pass pair-state formulation that avoids the
+    anti-join entirely."""
     new_pairs = delta_rows.select(*key, col).dropDuplicates([*key, col])
     if prev_pairs is None:
         return new_pairs

@@ -31,6 +31,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
+
 SHOT_KEY: tuple[str, ...] = ("game_id", "time_remaining", "quarter")
 
 
@@ -101,9 +103,9 @@ def merge_bucketed_window(
     # probe + union side), and the delta is typically the OUTPUT of an
     # ingest pipeline — without materialization the whole parse/enrich
     # chain runs twice.  It is the small (daily) side by construction.
-    delta_best = (
+    delta_best = tracked_persist(
         delta.withColumn("_rn", F.row_number().over(wd)).where(F.col("_rn") == 1).drop("_rn")
-    ).persist()
+    )
     survivors = archive_best.join(
         F.broadcast(delta_best.select(*key)), on=list(key), how="left_anti"
     )
@@ -127,7 +129,7 @@ def merge_anti_join(
     """
     # persist: consumed twice (anti-join probe + union side); the delta
     # is the small side and often carries an upstream parse pipeline
-    delta_unique = delta.dropDuplicates(list(key)).persist()
+    delta_unique = tracked_persist(delta.dropDuplicates(list(key)))
     d = F.broadcast(delta_unique) if broadcast_delta else delta_unique
     survivors = archive.join(d.select(*key), on=list(key), how="left_anti")
     return survivors.unionByName(delta_unique, allowMissingColumns=True)

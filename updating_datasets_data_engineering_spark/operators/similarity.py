@@ -30,6 +30,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
 from ..functions import vectors as V
 
 
@@ -280,9 +281,9 @@ def embedding_near_dup_pairs(
     # rows*L tuples of ~24 bytes; at 100 TB this is the LSH index a
     # production system would persist to a table once per corpus
     # snapshot anyway.
-    banded = b.selectExpr("id", bands_sql).select(
-        "id", "bb.band_no", "bb.bucket"
-    ).persist()
+    banded = tracked_persist(
+        b.selectExpr("id", bands_sql).select("id", "bb.band_no", "bb.bucket")
+    )
     # fan the probe side out to full parallelism: the join PRODUCES the
     # candidate set (orders of magnitude more rows than it reads), so
     # probe-side task count caps throughput — a single-partition scan

@@ -109,7 +109,11 @@ def range_join_count(
     """
     if bucket_seconds is None:
         bucket_seconds = lookback_seconds
-    n_probe = lookback_seconds // bucket_seconds + 1
+    # ceiling division: with a non-divisor bucket width (or a bucket
+    # wider than the lookback) the window can straddle
+    # ceil(lookback/bucket) bucket boundaries, so floor would leave the
+    # oldest qualifying bucket unprobed (silent undercount)
+    n_probe = -(-lookback_seconds // bucket_seconds) + 1
     lb = F.floor(F.unix_timestamp(F.col(left_ts)) / bucket_seconds)
     rb = F.floor(F.unix_timestamp(F.col(right_ts)) / bucket_seconds)
     probes = F.array(*[(lb - i).cast("long") for i in range(n_probe)])
@@ -150,7 +154,13 @@ def hypertable_rollup(
     """Multi-granularity continuous-aggregate shape: one ROLLUP pass
     producing (total), (per day), (per day+hour) rows with an explicit
     grain label — the hypertable rollup served from a single shuffle
-    (map-side partial aggregation does the heavy lifting)."""
+    (map-side partial aggregation does the heavy lifting).
+
+    ``grain_id`` is ``grouping_id()`` (grp is the MSB): 0 = hour grain,
+    1 = day grain, 3 = per-group total, 7 = grand total.  It is the
+    authoritative grain marker — a real NULL in ``group_col`` would make
+    the null-pattern convention ambiguous, grouping_id never is.
+    """
     day = F.date_format(F.col(ts_col), "yyyy-MM-dd")
     hour = F.date_format(F.col(ts_col), "HH")
     return (
@@ -159,10 +169,9 @@ def hypertable_rollup(
         )
         .rollup("grp", "day", "hour")
         .agg(
+            F.grouping_id().alias("grain_id"),
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum(value_col), 2).alias("sum_value"),
         )
-        # the null pattern of (grp, day, hour) identifies the grain —
-        # same convention on both engines, no grouping_id needed
-        .select("grp", "day", "hour", "n_events", "sum_value")
+        .select("grp", "day", "hour", "grain_id", "n_events", "sum_value")
     )

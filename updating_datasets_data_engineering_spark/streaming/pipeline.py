@@ -30,7 +30,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .. import fs
+from .. import caching, fs
 from ..operators import ingest as I
 from ..operators import merge as M
 
@@ -90,6 +90,10 @@ def upsert_each_batch(archive_path: str, key: Sequence[str] = M.SHOT_KEY):
         merged.write.mode("overwrite").parquet(staging)
         spark.read.parquet(staging).count()  # materialize before swap
         fs.swap_directory(spark, staging, archive_path)
+        # the merge's internal persist (deduped delta) is consumed by the
+        # write above; release it so a long-running stream doesn't
+        # accumulate one cached delta per micro-batch
+        caching.release_tracked()
 
     return _apply
 
