@@ -61,26 +61,32 @@ def extract_features(docs_with_payload: DataFrame) -> DataFrame:
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         for pdf in it:
-            payloads = pdf["payload"]
-            dims = [_fake_decode(bytes(p)) for p in payloads]
+            dims = [_fake_decode(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": payloads.map(len),
-                    "sha256": payloads.map(lambda p: hashlib.sha256(bytes(p)).hexdigest()),
+                    "n_bytes": pdf["n_bytes"],
+                    "sha256": pdf["sha256"],
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
                 }
             )
 
-    # flatten the metadata field crossing the Arrow boundary — structs
-    # cost an extra conversion per batch and only media_type is consumed
+    # Everything a JVM built-in can compute stays OUT of Python:
+    # n_bytes = octet_length, sha256 = sha2(·, 256) — both evaluated in
+    # whole-stage codegen before the Arrow exchange and passed through
+    # the Python stage untouched (small fixed-width columns).  Only the
+    # decode stand-in (width/height) genuinely needs Python.  The
+    # metadata struct is flattened too — structs cost an extra
+    # conversion per Arrow batch and only media_type is consumed.
     flat = docs_with_payload.select(
-        "doc_id", "payload", F.col("media.media_type").alias("media_type")
+        "doc_id",
+        "payload",
+        F.col("media.media_type").alias("media_type"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("sha256"),
     )
     return flat.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
@@ -123,19 +129,21 @@ def frame_sample(docs_with_payload: DataFrame, n_frames: int = 4) -> DataFrame:
     shape (explode inside mapInPandas) is the contract under test."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         for pdf in it:
-            out: dict[str, list] = {"doc_id": [], "frame_no": [], "frame": [], "frame_sha256": []}
+            out: dict[str, list] = {"doc_id": [], "frame_no": [], "frame": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 data = bytes(payload)
                 step = max(len(data) // n_frames, 1)
                 for i in range(n_frames):
-                    frame = data[i * step : (i + 1) * step]
                     out["doc_id"].append(doc_id)
                     out["frame_no"].append(i)
-                    out["frame"].append(frame)
-                    out["frame_sha256"].append(hashlib.sha256(frame).hexdigest())
+                    out["frame"].append(data[i * step : (i + 1) * step])
             yield pd.DataFrame(out)
 
-    return docs_with_payload.select("doc_id", "payload").mapInPandas(batches, schema=FRAME_SCHEMA)
+    # Python only slices (the stand-in for ffmpeg keyframe seeks); the
+    # per-frame digest is a JVM built-in applied after the Arrow stage
+    return (
+        docs_with_payload.select("doc_id", "payload")
+        .mapInPandas(batches, schema="doc_id LONG, frame_no INT, frame BINARY")
+        .withColumn("frame_sha256", F.sha2(F.col("frame"), 256))
+    )
