@@ -83,3 +83,40 @@ def test_merge_idempotent(archive, delta):
     assert sorted((tuple(r[c] for c in cols) for r in once.collect()), key=key) == sorted(
         (tuple(r[c] for c in cols) for r in twice.select(*once.columns).collect()), key=key
     )
+
+
+@pytest.fixture(scope="module")
+def cdc_delta(spark):
+    # tombstone for an archive key, tombstone for an ABSENT key (no-op),
+    # an upsert, and a duplicate-key pair (late 'delete' must win under
+    # the tiebreak) — every CDC convention in one frame
+    return spark.createDataFrame(
+        [
+            Row(game_id="G1", time_remaining="11:30.0", quarter="1", team="REVISED", seq=1, op="upsert"),
+            Row(game_id="G2", time_remaining="5:00.0", quarter="2", team="-", seq=1, op="delete"),
+            Row(game_id="G9", time_remaining="9:99.0", quarter="9", team="-", seq=1, op="delete"),
+            Row(game_id="G1", time_remaining="10:00.0", quarter="1", team="early", seq=1, op="upsert"),
+            Row(game_id="G1", time_remaining="10:00.0", quarter="1", team="-", seq=2, op="delete"),
+        ]
+    )
+
+
+def test_cdc_delete_removes_archive_key(archive, cdc_delta):
+    merged = M.merge_cdc(archive, cdc_delta, key=KEY, tiebreak=["seq"])
+    assert merged.where("game_id = 'G2'").count() == 0
+
+
+def test_cdc_upsert_wins_and_absent_delete_noop(archive, cdc_delta):
+    merged = M.merge_cdc(archive, cdc_delta, key=KEY, tiebreak=["seq"])
+    assert merged.where("game_id = 'G9'").count() == 0  # delete of absent key: no-op
+    overlap = merged.where("game_id = 'G1' AND time_remaining = '11:30.0'").collect()
+    assert len(overlap) == 1 and overlap[0]["team"] == "REVISED"
+
+
+def test_cdc_latest_op_wins_within_key(archive, cdc_delta):
+    # key G1/10:00.0/1 has upsert(seq=1) then delete(seq=2): the delete
+    # is the latest op, so the key must vanish despite the earlier upsert
+    merged = M.merge_cdc(archive, cdc_delta, key=KEY, tiebreak=["seq"])
+    assert merged.where("game_id = 'G1' AND time_remaining = '10:00.0'").count() == 0
+    # and no op/seq plumbing leaks into the output schema
+    assert "op" not in merged.columns

@@ -249,6 +249,64 @@ def merge_upsert_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.merge_anti_join(archive, delta, key=["event_id"])
 
 
+def merge_upsert_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (VERDICT r2 item 7): the delta op-tags every 7th key
+    as a tombstone; deleted keys leave the archive, upsert keys win
+    with the delta's value.  Deletes of keys the archive never held
+    (event_id % 10 in {8,9}) are no-ops — both conventions covered."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    archive = ev.where(F.col("event_id") % 10 < 8)
+    delta = (
+        ev.where(F.col("event_id") % 10 >= 5)
+        .withColumn("value", F.col("value") * 2)
+        .withColumn(
+            "op", F.when(F.col("event_id") % 7 == 0, F.lit("delete")).otherwise(F.lit("upsert"))
+        )
+    )
+    return M.merge_cdc(archive, delta, key=["event_id"])
+
+
+_ORACLE_MERGE_CDC = f"""
+SELECT {_MERGE_COLS} FROM events WHERE event_id % 10 < 5
+UNION ALL
+SELECT event_id, user_id, event_type, value * 2 AS value
+FROM events WHERE event_id % 10 >= 5 AND event_id % 7 <> 0
+"""
+
+
+def merge_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution merge (VERDICT r2 item 9): the archive was
+    written before two schema changes — it lacks the ``props`` column
+    the delta now carries, and stores ``user_ref`` at the old INT
+    width while the delta widened it to BIGINT.  The reference
+    tolerates exactly this drift via ``unionByName(allowMissingColumns
+    =True)`` (scripts/spark_merge_dfs.py:83); here the same tolerance
+    runs through the deterministic delta-wins merge: archive-only rows
+    surface NULL props, and the union coerces INT -> BIGINT."""
+    ev = _t(spark, sf_dir, "events")
+    archive = ev.where(F.col("event_id") % 10 < 8).select(
+        "event_id", F.col("user_id").cast("int").alias("user_ref"), "event_type"
+    )
+    delta = ev.where(F.col("event_id") % 10 >= 5).select(
+        "event_id", F.col("user_id").alias("user_ref"), "event_type", "props"
+    )
+    return M.merge_deterministic(archive, delta, key=["event_id"], delta_wins=True)
+
+
+_ORACLE_MERGE_DRIFT = """
+SELECT event_id, user_ref, event_type, props FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY src DESC) AS rn FROM (
+        SELECT event_id, CAST(user_id AS INT) AS user_ref, event_type,
+               CAST(NULL AS STRING) AS props, 0 AS src
+        FROM events WHERE event_id % 10 < 8
+        UNION ALL
+        SELECT event_id, user_id AS user_ref, event_type, props, 1 AS src
+        FROM events WHERE event_id % 10 >= 5
+    )
+) WHERE rn = 1
+"""
+
+
 def shot_team_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: the realistic pipeline shape — the archive side comes
     from storage already parsed (it was ingested on previous runs),
@@ -2064,6 +2122,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("merge_dedup_reference", merge_dedup_reference, _ORACLE_MERGE_REFERENCE),
     QuerySpec("merge_upsert_delta_wins", merge_upsert_delta_wins, _ORACLE_MERGE_UPSERT),
     QuerySpec("merge_upsert_anti_join", merge_upsert_anti_join, _ORACLE_MERGE_UPSERT),
+    QuerySpec("merge_upsert_with_deletes", merge_upsert_with_deletes, _ORACLE_MERGE_CDC),
+    QuerySpec("merge_schema_drift", merge_schema_drift, _ORACLE_MERGE_DRIFT),
     QuerySpec("shot_team_summary", shot_team_summary, _oracle_shot_team_summary_sql()),
     QuerySpec(
         "shot_team_summary_bucketed",
