@@ -124,11 +124,18 @@ def test_ml_brp_recall_vs_exact_l2(emb):
 
 
 def test_ivf_ann_recall_floor(emb):
-    """IVF (16 deterministic cells, 4-probe): mean recall@5 >= 0.85
-    (measured 0.92 at sf0.01) at ~24% of the corpus scanned — geometry
-    pruning beats hash pruning on this corpus.  (The fixture queries
-    double as centroids, which flatters recall: their strong neighbors
-    gravitate to their own cell — noted, not hidden.)"""
+    """IVF is the DEFAULT ANN path (VERDICT r2 item 5): mean recall@5
+    >= 0.9 at <= 30% of the corpus scanned per query (16 deterministic
+    cells, 4-probe; measured 0.92 recall at ~25% scanned at both
+    sf0.001 and sf0.01) — geometry pruning beats hash pruning on this
+    near-uniform corpus, where SRP gets 0.72-0.84 at ~68% scanned.
+    (The fixture queries double as centroids, which flatters recall:
+    their strong neighbors gravitate to their own cell — noted, not
+    hidden.)"""
+    from pyspark.sql import Window
+
+    from updating_datasets_data_engineering_spark.functions import vectors as V
+
     queries = emb.where(F.col("vec_id") < 5)
     exact = SIM.brute_force_topk(emb, queries, k=5).collect()
     approx = SIM.ivf_ann_topk(emb, queries, k=5, n_cells=16, n_probe=4).collect()
@@ -143,14 +150,29 @@ def test_ivf_ann_recall_floor(emb):
         for q in exact_by_q
     ]
     mean_recall = sum(recalls) / len(recalls)
-    assert mean_recall >= 0.85, f"recall@5 per query {recalls} (mean {mean_recall:.2f})"
+    assert mean_recall >= 0.9, f"recall@5 per query {recalls} (mean {mean_recall:.2f})"
 
-    # the probed cells cover a strict subset of the corpus
+    # scan fraction: the probed-cell mass per query must stay <= 30% of
+    # the corpus (the whole point of the index — replays the probe
+    # selection ivf_ann_topk makes and weighs it by actual cell sizes)
+    n = emb.count()
     cells = SIM.ivf_assign_cells(emb, n_cells=16)
-    biggest4 = (
-        cells.groupBy("cell").count().orderBy(F.col("count").desc()).limit(4).collect()
+    sizes = {r["cell"]: r["cnt"] for r in cells.groupBy("cell").agg(F.count("*").alias("cnt")).collect()}
+    cents = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
-    assert sum(r["count"] for r in biggest4) < emb.count()
+    qscored = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).join(F.broadcast(cents)).select(
+        "query_id", "cid", V.cosine(F.col("query_vec"), F.col("cvec")).alias("c")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("cid"))
+    probes = qscored.withColumn("rn", F.row_number().over(w)).where("rn <= 4").collect()
+    mass: dict[int, int] = {}
+    for r in probes:
+        mass[r["query_id"]] = mass.get(r["query_id"], 0) + sizes.get(r["cid"], 0)
+    fracs = {q: m / n for q, m in mass.items()}
+    assert max(fracs.values()) <= 0.30, f"per-query scan fractions {fracs}"
 
 
 def test_connected_components_semantics(spark):

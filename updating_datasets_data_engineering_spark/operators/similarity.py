@@ -6,19 +6,24 @@ probing neighbor buckets instead of shrinking them.  Top-k pruning
 strategy per the distributed top-k similarity-search literature
 (cf. EDBT 2020 incremental top-k; REPOSE, ICDE 2021 — PAPERS.md).
 
-Two tiers:
+Three tiers:
 
   * :func:`brute_force_topk` — exact cosine top-k: cross join queries ×
     corpus with the (small) query set broadcast, per-query window top-k.
     Exact baseline; corpus never shuffles.
-  * :func:`srp_ann_topk` — approximate: signed-random-projection LSH
-    buckets both sides; only same-bucket (or neighboring-probe) pairs
-    are scored.  At 100 TB this is the scale path: the corpus is
-    bucketed once (map-only), the join key is the bucket id, and recall
-    is tuned by n_planes / n_probes.
+  * :func:`ivf_ann_topk` — THE DEFAULT ANN PATH: coarse-quantizer cells
+    + n_probe nearest cells per query.  Measured on the fixtures:
+    mean recall@5 0.92 at ~25% of the corpus scanned (floor-asserted
+    in tests/test_recall.py: >=0.9 at <=30%).
+  * :func:`srp_ann_topk` — the pedagogical LSH variant (kept because
+    hash-bucket ANN is the composable building block near-dup reuses):
+    on this near-uniform fixture corpus its geometry loses to IVF —
+    0.72-0.84 recall at ~68% scanned (VERDICT r2 item 5) — so prefer
+    IVF for top-k unless the corpus buckets sharply.
 
   * :func:`embedding_near_dup_pairs` — near-duplicate detection at
-    cosine >= threshold via SRP-bucket blocking.
+    cosine >= threshold via OR-amplified SRP-bucket blocking (recall
+    1.0 on the fixtures — the banded regime is where SRP shines).
 """
 
 from __future__ import annotations
@@ -140,6 +145,12 @@ def srp_ann_topk(
     """Approximate top-k: score only pairs whose SRP-LSH buckets are
     within ``probe_hamming`` bit-flips (Lv et al., Multi-Probe LSH,
     VLDB 2007).
+
+    NOTE: the pedagogical variant — :func:`ivf_ann_topk` is the default
+    ANN path (better recall at a third of the scan on these fixtures;
+    module docstring has the numbers).  At 4 planes with Hamming<=2
+    probing, 11 of 16 buckets are probed, so pruning is weak by
+    construction on a corpus this uniform.
 
     Bucketing is a map-only expression on both sides; the join hits the
     bucket id (2^n_planes uniform values).  Recall < 1 by design —
@@ -383,6 +394,14 @@ def ivf_ann_topk(
     centroid geometry, not hash bits, does the pruning — the
     complementary classic to SRP-LSH).  Deterministic end to end, so
     the oracle replays assignment, probe choice, and ranking exactly.
+
+    THE DEFAULT ANN PATH (VERDICT r2 item 5): measured mean recall@5
+    0.92 at ~25% of the corpus scanned per query on the fixtures
+    (floor-asserted >=0.9 at <=30% in tests/test_recall.py), vs SRP's
+    0.72-0.84 at ~68%.  At 100 TB the cell assignment is index-build
+    work (once per corpus snapshot, persisted like bucketing); each
+    query batch broadcasts its probe set and touches only the probed
+    cells' partitions.
     """
     cells = ivf_assign_cells(corpus, n_cells, id_col, vec_col)
     cents = corpus.where(F.col(id_col) < n_cells).select(
