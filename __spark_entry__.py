@@ -23,9 +23,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
     Full reference pipeline in one plan: Kafka-shaped records ->
     from_json parse -> native play-parser enrichment -> archive∪delta
-    deterministic upsert-merge -> per-(team, quarter) aggregate.
+    upsert-merge -> per-(team, quarter) aggregate.  Runs the BUCKETED
+    merge (VERDICT r2 item 6): the archive side is a SHOT_KEY-bucketed
+    table whose dedup window needs zero Exchange, survivors leave via a
+    broadcast anti-join — the physical plan the daily merge would run
+    at 100 TB.  ``shot_team_summary`` (same oracle) stays registered as
+    the layout-free parity twin.
     """
-    return registry.shot_team_summary(spark, "/root/testdata/sf0.001")
+    return registry.shot_team_summary_bucketed(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
