@@ -19,32 +19,33 @@ natural plan-lifecycle boundaries:
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import DataFrame
 
-# Weak references: tracking must not keep a plan (and its lineage)
-# alive after the caller drops it.
-_TRACKED: list[weakref.ref] = []
+# STRONG references (ADVICE r3): operators drop their local DataFrame
+# variables when they return, so a weakref here is dead long before the
+# release point and release_tracked() would be a verified no-op while
+# the JVM CacheManager kept the partitions.  Strong refs cannot leak
+# past a release because every release point clears the list; between
+# releases the held objects are a handful of lightweight plan handles,
+# not data.
+_TRACKED: list[DataFrame] = []
 
 
 def tracked_persist(df: DataFrame, storage_level=None) -> DataFrame:
     """``df.persist()`` that registers the frame for later release."""
     out = df.persist(storage_level) if storage_level is not None else df.persist()
-    _TRACKED.append(weakref.ref(out))
+    _TRACKED.append(out)
     return out
 
 
 def release_tracked(blocking: bool = False) -> int:
-    """Unpersist every tracked frame still alive; returns how many."""
+    """Unpersist every tracked frame; returns how many were released."""
     released = 0
-    for ref in _TRACKED:
-        df = ref()
-        if df is not None:
-            try:
-                df.unpersist(blocking)
-                released += 1
-            except Exception:
-                pass  # session already stopped — nothing to release
+    for df in _TRACKED:
+        try:
+            df.unpersist(blocking)
+            released += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
     _TRACKED.clear()
     return released

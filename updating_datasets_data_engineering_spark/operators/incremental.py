@@ -64,6 +64,21 @@ def partial_agg(df: DataFrame, key: Sequence[str], aggs: dict[str, tuple[str, st
     return df.groupBy(*key).agg(*exprs)
 
 
+def _guard_nonnull_keys(df: DataFrame, key: Sequence[str]) -> DataFrame:
+    """Fail-fast guard for ``null_safe=False`` combines: raises on the
+    first NULL join key instead of letting the equi-join silently split
+    the group.  ``assert_true`` returns NULL when the condition holds,
+    so the ``.isNull()`` filter passes every valid row untouched."""
+    cond = F.lit(True)
+    for k in key:
+        cond = cond & F.col(k).isNotNull()
+    return df.where(
+        F.assert_true(
+            cond, F.lit("combine_states(null_safe=False) requires non-null join keys")
+        ).isNull()
+    )
+
+
 def combine_states(
     prev: DataFrame,
     delta_state: DataFrame,
@@ -92,7 +107,17 @@ def combine_states(
     sides re-exchange.  When the key is known non-null (the common
     case: group keys of a summary table), pass ``null_safe=False`` so
     the plain equi-join reuses the aggregates' partitioning and the
-    combine adds ZERO exchanges."""
+    combine adds ZERO exchanges.
+
+    The non-null precondition is ENFORCED, not assumed (ADVICE r3): a
+    NULL key under a plain equi-join never matches, so one group would
+    silently split into two unmatched full-outer rows (inflating
+    distinct counts, halving avg states).  Both inputs therefore carry
+    an ``assert_true`` guard that fails the job on the first NULL key —
+    a filter above the aggregate, so partitioning reuse is untouched."""
+    if not null_safe:
+        prev = _guard_nonnull_keys(prev, key)
+        delta_state = _guard_nonnull_keys(delta_state, key)
     d = delta_state
     p = prev.alias("p")
     d = d.alias("d")

@@ -147,7 +147,11 @@ def merge_cdc(
     survivors = archive.join(
         F.broadcast(delta_best.select(*key)), on=list(key), how="left_anti"
     )
-    upserts = delta_best.where(F.col(op_col) != F.lit(delete_op)).drop(op_col)
+    # eqNullSafe (ADVICE r3): a NULL op must upsert, not vanish — plain
+    # `!=` evaluates to NULL on a malformed CDC record, filtering the row
+    # from upserts AFTER its key was already anti-joined out of the
+    # archive, i.e. a stealth delete.
+    upserts = delta_best.where(~F.col(op_col).eqNullSafe(F.lit(delete_op))).drop(op_col)
     return survivors.unionByName(upserts, allowMissingColumns=True)
 
 

@@ -1288,8 +1288,12 @@ def incremental_avg_distinct(spark, sf_dir):
     no anti-join, no final join.  Plan: two partial_aggs (one exchange
     each on the pair key), a full-outer combine that REUSES that
     partitioning (null_safe=False keeps the join keys identical to the
-    grouping keys), and one rollup exchange to the group grain — 3
-    exchanges total, down from 8 in the three-state-table version.
+    grouping keys; the non-null user_id precondition is ENFORCED
+    fail-fast inside combine_states — a NULL pair key would otherwise
+    split into two unmatched full-outer rows and inflate
+    distinct_users, ADVICE r3), and one rollup exchange to the group
+    grain — 3 exchanges total, down from 8 in the three-state-table
+    version.
     (The HLL sketch-union variant is pytest-verified against the exact
     count; its estimate is engine-specific so it has no SQL oracle.)"""
     from .operators import incremental as INC
