@@ -118,3 +118,40 @@ def test_repetition_no_join_shuffle_beyond_aggregates(spark, sf_dir):
     f = analyze(Q["docs_repetition"](spark, sf_dir))
     assert not f.has_python_udf
     assert f.n_key_exchanges <= 3
+
+
+def test_incremental_dedup_scans_index_not_rebands(spark, sf_dir, tmp_path):
+    """VERDICT r4 item 1 done-criterion: with a persisted archive index,
+    the incremental dedup plan SCANS the index parquet and bands only
+    the delta — the archive-side minhash/banding expressions (concat_ws
+    band keys) must vanish from the plan."""
+    from pyspark.sql import functions as F
+
+    from updating_datasets_data_engineering_spark.operators import dedup as D
+    from updating_datasets_data_engineering_spark.plans.audit import formatted_plan
+    from updating_datasets_data_engineering_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    archive = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+
+    idx_path = str(tmp_path / "minhash_index")
+    D.minhash_band_index(D.minhash_features(archive, ngram=3), 16, 4).write.parquet(
+        idx_path
+    )
+    with_index = D.incremental_minhash_pairs(
+        archive, delta, ngram=3, archive_index=spark.read.parquet(idx_path)
+    )
+    rebanding = D.incremental_minhash_pairs(archive, delta, ngram=3)
+
+    p_idx = formatted_plan(with_index)
+    p_full = formatted_plan(rebanding)
+    assert "minhash_index" in p_idx, "index parquet must be scanned"
+    # banding expressions only for the delta: strictly fewer band-key
+    # builders than the re-banding variant (which bands the archive too)
+    assert p_idx.count("concat_ws") < p_full.count("concat_ws")
+    # both paths emit the identical pair set (probe ≡ re-band)
+    key = lambda r: (r.id_a, r.id_b, r.jaccard)  # noqa: E731
+    assert sorted(map(key, with_index.collect())) == sorted(
+        map(key, rebanding.collect())
+    )

@@ -151,6 +151,71 @@ def ngram_jaccard_pairs(
     ).where(F.col("jaccard") >= threshold)
 
 
+def minhash_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int | None = None,
+) -> DataFrame:
+    """(id, toks) feature frame: distinct words or word N-gram shingles.
+
+    Fans the docs out BEFORE tokenizing: the downstream k-permutation
+    hashing is CPU-bound (num_hashes x |shingles| md5 per doc), so
+    input partition count caps it — a single-row-group scan would hash
+    the whole corpus on one task (measured 3.3x at sf0.1); the shuffle
+    moves only raw text.
+    """
+    feature = (
+        TXT.shingles(F.col(text_col), ngram) if ngram else TXT.distinct_words(F.col(text_col))
+    )
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return spread.select(F.col(id_col).alias("id"), feature.alias("toks"))
+
+
+def minhash_band_index(
+    toks: DataFrame, num_hashes: int = 16, band_size: int = 4
+) -> DataFrame:
+    """The persistable LSH index: (id, band_no, band_key) — three small
+    columns, no token arrays.  This is the state a production pipeline
+    writes to a table once per corpus snapshot (bucketed by
+    (band_no, band_key) so probes co-locate) and APPENDS each day's
+    delta to; see :func:`incremental_minhash_pairs`.
+    """
+    assert num_hashes % band_size == 0
+    sig = TXT.minhash_signature_of(F.col("toks"), k=num_hashes)
+    n_bands = num_hashes // band_size
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_no"),
+            F.concat_ws("|", *sig[b * band_size : (b + 1) * band_size]).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    return toks.select("id", F.explode(F.array(*band_structs)).alias("band")).select(
+        "id", "band.band_no", "band.band_key"
+    )
+
+
+def _jaccard_verify(cand: DataFrame, toks: DataFrame, threshold: float) -> DataFrame:
+    """Exact token-set Jaccard over candidate (id_a, id_b) pairs."""
+    verify = (
+        cand.join(toks.alias("ta"), F.col("id_a") == F.col("ta.id"))
+        .join(toks.alias("tb"), F.col("id_b") == F.col("tb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("ta.toks").alias("toks_a"),
+            F.col("tb.toks").alias("toks_b"),
+        )
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    jac = inter / F.greatest(union, F.lit(1))
+    return verify.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -170,40 +235,16 @@ def minhash_lsh_pairs(
     controlled by band_size (r): P(candidate) = 1-(1-J^r)^(k/r).
 
     md5-based permutations keep it oracle-replayable in SQL.
+
+    Persists: toks feeds the signature once and the verify join twice;
+    banded feeds both sides of the bucket self-join — materializing
+    them makes the k-permutation md5 hashing (the dominant cost) a
+    one-pass job instead of four.  The token arrays never enter the
+    self-join shuffle (they re-enter at the verify join on the deduped
+    candidate set).
     """
-    assert num_hashes % band_size == 0
-    feature = (
-        TXT.shingles(F.col(text_col), ngram) if ngram else TXT.distinct_words(F.col(text_col))
-    )
-    # fan the docs out BEFORE tokenizing: the k-permutation hashing is
-    # CPU-bound (num_hashes x |shingles| md5 per doc), so input
-    # partition count caps it — a single-row-group scan would hash the
-    # whole corpus on one task (measured 3.3x at sf0.1); the shuffle
-    # moves only raw text
-    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    # materialize the feature array once; signatures reference the bound
-    # column, and the banded join carries ONLY (id, band_no, band_key) —
-    # the token arrays never enter the self-join shuffle (they re-enter
-    # at the verify join on the deduped candidate set)
-    toks = tracked_persist(spread.select(F.col(id_col).alias("id"), feature.alias("toks")))
-    sig = TXT.minhash_signature_of(F.col("toks"), k=num_hashes)
-    n_bands = num_hashes // band_size
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_no"),
-            F.concat_ws("|", *sig[b * band_size : (b + 1) * band_size]).alias("band_key"),
-        )
-        for b in range(n_bands)
-    ]
-    # persist: toks feeds the signature once and the verify join twice;
-    # banded feeds both sides of the bucket self-join — materializing
-    # them makes the k-permutation md5 hashing (the dominant cost) a
-    # one-pass job instead of four
-    banded = tracked_persist(
-        toks.select("id", F.explode(F.array(*band_structs)).alias("band")).select(
-            "id", "band.band_no", "band.band_key"
-        )
-    )
+    toks = tracked_persist(minhash_features(docs, id_col, text_col, ngram))
+    banded = tracked_persist(minhash_band_index(toks, num_hashes, band_size))
     candidates = (
         banded.alias("a")
         .join(
@@ -215,22 +256,96 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    verify = (
-        candidates.join(toks.alias("ta"), F.col("id_a") == F.col("ta.id"))
-        .join(toks.alias("tb"), F.col("id_b") == F.col("tb.id"))
+    return _jaccard_verify(candidates, toks, threshold)
+
+
+def incremental_minhash_pairs(
+    archive: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.4,
+    ngram: int | None = None,
+    archive_index: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental dedup-index maintenance: the NEW near-dup pairs a
+    daily delta introduces, WITHOUT re-banding the archive.
+
+    The reference's defining loop is archive ∪ daily-delta
+    (`scripts/spark_merge_dfs.py:82-83`); this applies that state ⊕
+    delta shape (same as ``operators/incremental.py``) to the LSH
+    index.  ``archive`` and ``delta`` must be id-disjoint.  Returns
+    exactly the pairs a full recompute on archive ∪ delta emits that
+    have ≥ 1 delta endpoint — archive-internal pairs were already
+    emitted when the archive itself was last deduplicated.  (Band
+    collision is a symmetric per-doc property, so probing the stored
+    index finds the identical candidate set the full re-band would.)
+
+    100 TB shape:
+
+      * the archive-side index (id, band_no, band_key) is PERSISTED
+        state — pass it via ``archive_index`` (in production a parquet
+        table bucketed by band key; here any DataFrame).  Omitting it
+        builds the index in-session (the registry's self-contained
+        oracle query does this) — but the probe plan is identical.
+      * only the delta (a fraction of a percent of the corpus) is
+        shingled + minhashed; its banded rows BROADCAST into the probe
+        join, so the archive index never shuffles.
+      * the archive text is scanned only to tokenize the candidate
+        docs' verify side — a broadcast semi-join on candidate ids
+        prunes that scan before the CPU-bound shingling.
+      * afterwards the caller appends ``minhash_band_index`` of the
+        delta to the stored index — the day-N+1 state.
+    """
+    d_toks = tracked_persist(minhash_features(delta, id_col, text_col, ngram))
+    # delta bands: probe side vs the archive index AND the delta-delta
+    # self-join — two consumers, persist once
+    d_bands = tracked_persist(minhash_band_index(d_toks, num_hashes, band_size))
+    if archive_index is None:
+        archive_index = minhash_band_index(
+            minhash_features(archive, id_col, text_col, ngram), num_hashes, band_size
+        )
+    probe = (
+        archive_index.alias("a")
+        .join(
+            F.broadcast(d_bands).alias("d"),
+            (F.col("a.band_no") == F.col("d.band_no"))
+            & (F.col("a.band_key") == F.col("d.band_key")),
+        )
         .select(
-            "id_a",
-            "id_b",
-            F.col("ta.toks").alias("toks_a"),
-            F.col("tb.toks").alias("toks_b"),
+            F.least(F.col("a.id"), F.col("d.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("d.id")).alias("id_b"),
         )
     )
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    union = F.size(F.array_union("toks_a", "toks_b"))
-    jac = inter / F.greatest(union, F.lit(1))
-    return verify.select(
-        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
-    ).where(F.col("jaccard") >= threshold)
+    intra = (
+        d_bands.alias("x")
+        .join(
+            d_bands.alias("y"),
+            (F.col("x.band_no") == F.col("y.band_no"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+    )
+    # candidates feed the verify join AND the id semi-join that prunes
+    # the archive tokenization — persist so the banded probe runs once
+    cand = tracked_persist(
+        probe.unionByName(intra).dropDuplicates(["id_a", "id_b"])
+    )
+    cand_ids = (
+        cand.select(F.col("id_a").alias("cid"))
+        .unionByName(cand.select(F.col("id_b").alias("cid")))
+        .distinct()
+    )
+    # tokenize ONLY the archive docs that appear in a candidate pair:
+    # at 100 TB the verify side must not re-shingle the corpus
+    pruned_archive = archive.join(
+        F.broadcast(cand_ids), F.col(id_col) == F.col("cid"), "left_semi"
+    )
+    a_toks = minhash_features(pruned_archive, id_col, text_col, ngram)
+    return _jaccard_verify(cand, a_toks.unionByName(d_toks), threshold)
 
 
 def simhash_signatures(

@@ -504,3 +504,26 @@ SELECT event_id,
        regexp_replace(t1, '{LONGNUM_RE}', '<NUM>', 'g') AS redacted
 FROM step1
 """
+
+
+def incremental_minhash_sql(
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.4,
+    ngram: int | None = None,
+    delta_mod: int = 10,
+) -> str:
+    """Oracle for ``dedup.incremental_minhash_pairs``: the FULL-corpus
+    MinHash-LSH recompute restricted to pairs with >= 1 delta endpoint
+    (delta = doc_id % delta_mod = 0).  Band collision is a symmetric
+    per-doc property, so probing a stored archive index finds the
+    identical candidate set the full re-band does — the incremental
+    path must therefore match this recompute exactly."""
+    base = minhash_lsh_sql(num_hashes, band_size, threshold, ngram)
+    anchor = "ON a.band_no = b.band_no AND a.band_key = b.band_key AND a.doc_id < b.doc_id"
+    assert anchor in base
+    return base.replace(
+        anchor,
+        anchor
+        + f"\n       AND (a.doc_id % {delta_mod} = 0 OR b.doc_id % {delta_mod} = 0)",
+    )
