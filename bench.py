@@ -89,10 +89,12 @@ HEADLINE = [
     "dedup_exact",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_incremental",
     "knn_bruteforce",
     "knn_ann_srp",
     "knn_ann_ivf",
     "embedding_near_dup_ann",
+    "embedding_near_dup_t90",
     "multimodal_features",
 ]
 
@@ -117,11 +119,20 @@ def main() -> None:
     # table; bench then times the merge the layout exists to serve)
     force(qs["shot_team_summary_bucketed"](spark, sf_dir))
 
+    # min-of-2 per query (VERDICT r3 item 3): single-shot timings moved
+    # ±0.2-0.4 s round-over-round on a 0.5 s median query, hiding real
+    # regressions; the min of two timed runs is stable because the
+    # registry wrapper releases the previous run's caches, so both runs
+    # do the full work and the min strips scheduler/GC jitter only.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        force(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            force(qs[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

