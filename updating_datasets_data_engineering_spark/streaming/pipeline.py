@@ -60,9 +60,26 @@ def streaming_enriched_shots(records: DataFrame, watermark_delay: str = "1 day")
     )
 
 
-def upsert_each_batch(archive_path: str, key: Sequence[str] = M.SHOT_KEY):
+def upsert_each_batch(
+    archive_path: str,
+    key: Sequence[str] = M.SHOT_KEY,
+    op_col: str | None = None,
+    delete_op: str = "delete",
+    tiebreak: Sequence[str] | None = None,
+):
     """foreachBatch function: merge the micro-batch delta into the
     parquet archive with delta-wins semantics.
+
+    ``op_col`` switches the merge to CDC semantics (VERDICT r3 item 6):
+    each streamed row carries an op tag, ``delete_op`` rows are
+    tombstones that RETRACT their key from the checkpointed archive,
+    everything else upserts — the exact plan of the batch
+    ``merge.merge_cdc`` (broadcast anti-join on every delta key, union
+    of non-tombstone rows), so a streamed delete and a batch delete
+    produce identical archives (asserted in tests/test_streaming.py).
+    A bootstrap batch (no archive yet) applies the same CDC against an
+    empty frame, so tombstones in the very first batch are honored and
+    the per-key ``tiebreak`` picks the same winner the batch path does.
 
     Every filesystem touch goes through the Hadoop FileSystem API
     (``fs`` module), so the archive can live on file://, HDFS, or
@@ -82,9 +99,26 @@ def upsert_each_batch(archive_path: str, key: Sequence[str] = M.SHOT_KEY):
         fs.recover_swap(spark, archive_path)
         if fs.has_parquet(spark, archive_path):
             archive = spark.read.parquet(archive_path)
-            merged = M.merge_anti_join(archive, delta, key=list(key))
+        elif op_col is not None:
+            # bootstrap: CDC against an empty archive (delta schema
+            # minus the op column) — first-batch tombstones are no-ops,
+            # not rows
+            archive = spark.createDataFrame([], delta.drop(op_col).schema)
         else:
+            archive = None
+        if archive is None:
             merged = delta.dropDuplicates(list(key))
+        elif op_col is not None:
+            merged = M.merge_cdc(
+                archive,
+                delta,
+                key=list(key),
+                op_col=op_col,
+                delete_op=delete_op,
+                tiebreak=tiebreak,
+            )
+        else:
+            merged = M.merge_anti_join(archive, delta, key=list(key))
         staging = fs.staging_path(archive_path)
         fs.delete(spark, staging)
         merged.write.mode("overwrite").parquet(staging)
@@ -103,12 +137,18 @@ def run_available_now(
     archive_path: str,
     checkpoint_dir: str,
     key: Sequence[str] = M.SHOT_KEY,
+    op_col: str | None = None,
+    delete_op: str = "delete",
+    tiebreak: Sequence[str] | None = None,
 ) -> None:
     """Run-to-completion streaming upsert: process everything available,
     checkpoint offsets, stop — the durable-offset equivalent of the
-    reference's daily batch-and-delete-topic cycle."""
+    reference's daily batch-and-delete-topic cycle.  ``op_col`` enables
+    CDC tombstone semantics (see :func:`upsert_each_batch`)."""
     query = (
-        stream_df.writeStream.foreachBatch(upsert_each_batch(archive_path, key))
+        stream_df.writeStream.foreachBatch(
+            upsert_each_batch(archive_path, key, op_col, delete_op, tiebreak)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .outputMode("update")
