@@ -686,3 +686,144 @@ def q22_global_sales(customer, orders, cutoff: str = "2000-01-01"):
         )
         .orderBy("c_nationkey")
     )
+
+
+def q21_waiting_suppliers(supplier, lineitem, orders):
+    """TPC-H Q21 shape: the classic multi-EXISTS + NOT-EXISTS pattern —
+    suppliers whose returned line (l_returnflag = 'R') sits in a
+    finished multi-supplier order where NO other supplier also
+    returned.  (The fixture schema has no l_receiptdate/l_commitdate,
+    so "at fault" is the return flag; the join topology is the point.)
+
+    Plan shape: both the EXISTS and NOT-EXISTS decompose into
+    LeftSemi / LeftAnti self-joins on l_orderkey with the
+    supplier-inequality as a residual condition — one hash key each,
+    no correlated re-execution; the supplier dim broadcasts.
+    """
+    l1 = lineitem.where(F.col("l_returnflag") == "R").alias("l1")
+    fin = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    base = l1.join(fin, F.col("l1.l_orderkey") == F.col("o_orderkey"))
+    l2 = lineitem.select("l_orderkey", "l_suppkey").alias("l2")
+    base = base.join(
+        l2,
+        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    l3 = (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    base = base.join(
+        l3,
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        base.join(F.broadcast(supplier), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+def q20_dominant_suppliers(supplier, lineitem, part, frac: float = 0.5):
+    """TPC-H Q20 shape: nested semi-join over an AGGREGATED subquery —
+    suppliers who shipped more than ``frac`` of some selected part's
+    1997 volume (the fixture has no partsupp/ps_availqty; the
+    aggregate-inside-IN topology is the point).
+
+    Plan shape: per-(part,supplier) and per-part aggregates share one
+    exchange (the second groups a subset of the first's key), the
+    part filter semi-joins as a broadcast, and the outer supplier
+    probe is a broadcast LeftSemi — the supplier table never shuffles.
+    """
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    per_p = per_ps.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    sel_parts = part.where(F.col("p_size") < 20).select("p_partkey")
+    dominant = (
+        per_ps.join(F.broadcast(per_p), F.col("l_partkey") == F.col("pk"))
+        .where(F.col("qty") > frac * F.col("total_qty"))
+        .join(
+            F.broadcast(sel_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .orderBy("s_suppkey")
+    )
+
+
+def q2_min_cost_supplier(lineitem, part, supplier):
+    """TPC-H Q2 shape: correlated scalar MIN over a group — for each
+    small part, the supplier(s) whose unit cost equals that part's
+    minimum (the fixture has no partsupp.ps_supplycost; unit cost =
+    sum(price)/sum(qty) per (part, supplier), rounded BEFORE the
+    min/equality so the correlated comparison is stable under
+    double-sum ordering — same discipline as q15).
+
+    Plan shape: the correlated subquery decomposes into a per-part min
+    re-joined on (partkey, unit_cost = min_cost); part and supplier
+    dims broadcast.
+    """
+    cost = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.sum("l_extendedprice") / F.sum("l_quantity"), 4).alias("unit_cost")
+    )
+    mn = cost.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    sel = part.where(F.col("p_size") < 10).select("p_partkey", "p_brand")
+    return (
+        cost.join(
+            F.broadcast(mn),
+            (F.col("l_partkey") == F.col("pk"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(sel), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_acctbal", "s_name", "p_partkey", "p_brand", "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+    )
+
+
+def q11_important_stock(lineitem, mult: float = 1.5):
+    """TPC-H Q11 shape: HAVING against a GLOBAL scalar aggregate —
+    parts whose total inventory value exceeds ``mult`` × the average
+    per-part value (no partsupp in the fixture; value = sum(price ×
+    qty) per part).  The canonical Q11 compares against a FRACTION of
+    the total, which is scale-dependent (part count grows with SF, so
+    any fixed fraction goes empty or total at the wrong scale); a
+    multiple of the average keeps the predicate — and the test —
+    non-trivial at every SF (4 / 49 / 514 rows at sf0.001/0.01/0.1).
+
+    Plan shape: one hash-aggregate on l_partkey; the global average is
+    a one-row broadcast re-joined as a range predicate — the classic
+    "scalar subquery in HAVING" decomposition, no second scan of
+    lineitem (the scalar re-aggregates the per-part frame).
+    """
+    val = lineitem.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("v")
+    )
+    avg = val.agg(F.avg("v").alias("a"))
+    return (
+        val.join(F.broadcast(avg), F.col("v") > mult * F.col("a"))
+        .select("l_partkey", F.round("v", 2).alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )

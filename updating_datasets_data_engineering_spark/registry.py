@@ -1765,6 +1765,114 @@ def embedding_near_dup_ann(spark, sf_dir):
     return SIM.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.5)
 
 
+def q21_waiting(spark, sf_dir):
+    """TPC-H Q21 shape (VERDICT r3 item 7): multi-EXISTS + NOT-EXISTS
+    via LeftSemi/LeftAnti self-joins with residual inequality."""
+    return A.q21_waiting_suppliers(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+    )
+
+
+_ORACLE_Q21 = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+def q20_dominant(spark, sf_dir):
+    """TPC-H Q20 shape (VERDICT r3 item 7): nested semi-join over an
+    aggregated subquery."""
+    return A.q20_dominant_suppliers(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
+_ORACLE_Q20 = """
+WITH li AS (
+    SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+),
+per_ps AS (
+    SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty FROM li GROUP BY 1, 2
+),
+per_p AS (
+    SELECT l_partkey, sum(qty) AS total_qty FROM per_ps GROUP BY 1
+),
+dominant AS (
+    SELECT DISTINCT ps.l_suppkey
+    FROM per_ps ps JOIN per_p p ON p.l_partkey = ps.l_partkey
+    WHERE ps.qty > 0.5 * p.total_qty
+      AND ps.l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 20)
+)
+SELECT s_suppkey, s_name, s_nationkey FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+ORDER BY s_suppkey
+"""
+
+
+def q2_min_cost(spark, sf_dir):
+    """TPC-H Q2 shape (VERDICT r3 item 7): correlated scalar MIN over
+    a group, decomposed into per-part min + equality re-join."""
+    return A.q2_min_cost_supplier(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+_ORACLE_Q2 = """
+WITH cost AS (
+    SELECT l_partkey, l_suppkey,
+           round(sum(l_extendedprice) / sum(l_quantity), 4) AS unit_cost
+    FROM lineitem GROUP BY 1, 2
+),
+mn AS (
+    SELECT l_partkey, min(unit_cost) AS min_cost FROM cost GROUP BY 1
+)
+SELECT s_acctbal, s_name, p_partkey, p_brand, unit_cost
+FROM cost c
+JOIN mn m ON m.l_partkey = c.l_partkey AND c.unit_cost = m.min_cost
+JOIN part ON p_partkey = c.l_partkey AND p_size < 10
+JOIN supplier ON s_suppkey = c.l_suppkey
+ORDER BY s_acctbal DESC, s_name, p_partkey
+"""
+
+
+def q11_important(spark, sf_dir):
+    """TPC-H Q11 shape (VERDICT r3 item 7): HAVING against a fraction
+    of a global scalar aggregate."""
+    return A.q11_important_stock(_t(spark, sf_dir, "lineitem"))
+
+
+_ORACLE_Q11 = """
+WITH val AS (
+    SELECT l_partkey, sum(l_extendedprice * l_quantity) AS v
+    FROM lineitem GROUP BY 1
+),
+avgv AS (SELECT avg(v) AS a FROM val)
+SELECT l_partkey, round(v, 2) AS value
+FROM val, avgv WHERE v > 1.5 * a
+ORDER BY value DESC, l_partkey
+"""
+
+
 def embedding_near_dup_t90(spark, sf_dir):
     """Production-threshold near-dup (VERDICT r3 item 5): cosine ≥ 0.9
     with the matched r=8 × L=8 banding geometry — the banded join emits
@@ -2225,6 +2333,10 @@ SPECS: list[QuerySpec] = [
         embedding_near_dup_t90,
         OE.embedding_near_dup_ann_sql(0.9, 8, 8, 64),
     ),
+    QuerySpec("q21_waiting_suppliers", q21_waiting, _ORACLE_Q21),
+    QuerySpec("q20_dominant_suppliers", q20_dominant, _ORACLE_Q20),
+    QuerySpec("q2_min_cost_supplier", q2_min_cost, _ORACLE_Q2),
+    QuerySpec("q11_important_stock", q11_important, _ORACLE_Q11),
 ]
 
 
