@@ -396,6 +396,41 @@ def simhash_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def incremental_simhash_groups(
+    archive: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    archive_index: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental SimHash maintenance: the collision groups a daily
+    delta creates or grows, WITHOUT re-hashing the archive.
+
+    The persisted state is the (id, simhash) signature index
+    (``archive_index``; built in-session when omitted).  Only the
+    delta is tokenized + bit-aggregated; its signatures broadcast a
+    semi-join that prunes the stored index to the touched signatures,
+    then one small aggregate emits the affected groups.  Output =
+    exactly the groups of a full recompute on archive ∪ delta that
+    contain ≥ 1 delta member (signature equality is per-doc, so probe
+    ≡ re-hash — same argument as :func:`incremental_minhash_pairs`).
+    Afterwards the caller appends the delta signatures to the index:
+    state ⊕ delta, the reference's archive ∪ daily-delta loop
+    (scripts/spark_merge_dfs.py:82-83).
+    """
+    if archive_index is None:
+        archive_index = simhash_signatures(archive, id_col, text_col)
+    d_sigs = tracked_persist(simhash_signatures(delta, id_col, text_col))
+    touched = d_sigs.select("simhash").distinct()
+    all_sigs = archive_index.unionByName(d_sigs)
+    return (
+        all_sigs.join(F.broadcast(touched), "simhash", "left_semi")
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 15,

@@ -476,6 +476,7 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN top-k: the corpus is cell-assigned once
     (:func:`ivf_assign_cells`); each query probes its ``n_probe``
@@ -498,7 +499,13 @@ def ivf_ann_topk(
         # scoring passes over the corpus); persist so cell assignment
         # and query-probe don't recompute the Lloyd iterations twice
         centroids = tracked_persist(centroids)
-    cells = ivf_assign_cells(corpus, n_cells, id_col, vec_col, centroids=centroids)
+    if cells is None:
+        # cells may be passed in as PERSISTED INDEX STATE — the
+        # incremental path (knn_ann_ivf_incremental) assigns only the
+        # daily delta and unions it with the stored archive assignment;
+        # per-vector assignment is deterministic, so index-append and
+        # full rebuild are bit-identical
+        cells = ivf_assign_cells(corpus, n_cells, id_col, vec_col, centroids=centroids)
     cents = centroids if centroids is not None else corpus.where(
         F.col(id_col) < n_cells
     ).select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))

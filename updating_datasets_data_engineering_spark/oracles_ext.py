@@ -527,3 +527,19 @@ def incremental_minhash_sql(
         anchor
         + f"\n       AND (a.doc_id % {delta_mod} = 0 OR b.doc_id % {delta_mod} = 0)",
     )
+
+
+def incremental_simhash_sql(delta_mod: int = 10) -> str:
+    """Oracle for ``dedup.incremental_simhash_groups``: the full-corpus
+    SimHash recompute restricted to collision groups containing >= 1
+    delta member (delta = doc_id % delta_mod = 0).  Signature equality
+    is a per-doc property, so probing a stored index finds the same
+    groups the full re-hash does."""
+    base = simhash_sql()
+    anchor = "FROM sigs GROUP BY simhash HAVING count(*) > 1"
+    assert anchor in base
+    return base.replace(
+        anchor,
+        anchor
+        + f"\n   AND simhash IN (SELECT simhash FROM sigs WHERE doc_id % {delta_mod} = 0)",
+    )

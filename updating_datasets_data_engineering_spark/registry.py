@@ -1765,6 +1765,46 @@ def embedding_near_dup_ann(spark, sf_dir):
     return SIM.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.5)
 
 
+def dedup_incremental_simhash(spark, sf_dir):
+    """Incremental SimHash maintenance (the archive ∪ daily-delta loop
+    applied to the signature index): only doc_id % 10 == 0 docs are
+    hashed; their signatures broadcast-prune the persisted (id,
+    simhash) index; output = the collision groups a full recompute
+    would emit that contain ≥ 1 delta member."""
+    docs = _t(spark, sf_dir, "documents")
+    archive = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    return D.incremental_simhash_groups(archive, delta)
+
+
+def knn_ann_ivf_incremental(spark, sf_dir):
+    """Incremental IVF index maintenance: vectors with vec_id >= 450
+    are "today's delta" — only they are assigned to the persisted
+    centroids (all centroid ids < 16 live in the archive), and the
+    union of stored archive assignment + delta assignment feeds the
+    probe.  Per-vector assignment is deterministic, so index-append ≡
+    full rebuild and the oracle is the SAME ivf_ann_sql the full-index
+    query uses — the equality IS the correctness claim."""
+    emb = _t(spark, sf_dir, "embeddings")
+    archive = emb.where(F.col("vec_id") < 450)
+    delta = emb.where(F.col("vec_id") >= 450)
+    cents = archive.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    from .caching import tracked_persist
+
+    a_cells = tracked_persist(SIM.ivf_assign_cells(archive, 16))
+    d_cells = SIM.ivf_assign_cells(delta, 16, centroids=cents)
+    return SIM.ivf_ann_topk(
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        k=5,
+        n_cells=16,
+        n_probe=4,
+        cells=a_cells.unionByName(d_cells),
+    )
+
+
 def q21_waiting(spark, sf_dir):
     """TPC-H Q21 shape (VERDICT r3 item 7): multi-EXISTS + NOT-EXISTS
     via LeftSemi/LeftAnti self-joins with residual inequality."""
@@ -2337,6 +2377,13 @@ SPECS: list[QuerySpec] = [
     QuerySpec("q20_dominant_suppliers", q20_dominant, _ORACLE_Q20),
     QuerySpec("q2_min_cost_supplier", q2_min_cost, _ORACLE_Q2),
     QuerySpec("q11_important_stock", q11_important, _ORACLE_Q11),
+    QuerySpec(
+        "dedup_incremental_simhash",
+        dedup_incremental_simhash,
+        OE.incremental_simhash_sql(10),
+    ),
+    # index-append ≡ full rebuild, so the oracle is the full-index SQL
+    QuerySpec("knn_ann_ivf_incremental", knn_ann_ivf_incremental, OE.ivf_ann_sql()),
 ]
 
 
