@@ -119,3 +119,22 @@ def test_upsert_merges_partitioned_archive(spark, tmp_path):
     assert len(got) == 7            # 6 archive keys + 1 brand-new
     assert got["g0"] == "new0"      # delta wins on collision
     assert got["g5"] == "old5"      # archive rows survived
+
+
+def test_s3a_stand_in_is_impossible_here(spark, tmp_path):
+    """VERDICT r3 item 9 (stretch) resolution: pins the two measured
+    facts that make an in-sandbox s3a contract test impossible, so the
+    documented impossibility in fs.py stays executable — if either
+    assertion ever flips (hadoop-aws lands on the classpath, or a
+    Hadoop release drops RawLocalFileSystem's URI check), this test
+    fails and the s3a test should be written."""
+    jvm = spark._jvm
+    with pytest.raises(Exception, match="ClassNotFoundException|s3a"):
+        jvm.java.lang.Class.forName("org.apache.hadoop.fs.s3a.S3AFileSystem")
+
+    conf = spark._jsc.hadoopConfiguration()
+    conf.set("fs.mocks3.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    with pytest.raises(Exception, match="Wrong FS"):
+        spark.range(1).write.mode("overwrite").parquet(
+            f"mocks3:{tmp_path}/probe"
+        )
