@@ -2041,6 +2041,129 @@ SELECT doc_id, lang, quality FROM ranked WHERE rn * 2 <= n
 """
 
 
+def docs_repeated_spans(spark, sf_dir):
+    """Exact repeated-span detection across the corpus — the span-
+    granular exact-substring dedup family (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    public), here at fixed 10-word alignment: every full non-
+    overlapping 10-word chunk is hashed by its text and chunks
+    appearing in more than one document are reported (116/108 spans at
+    sf0.001/0.01 — the near-dup edit pairs share their unedited runs).
+
+    Plan shape: map-side chunking (transform over a sequence — no
+    UDF), one explode, ONE hash-aggregate on the span text (uniform
+    high-cardinality key).  At 100 TB this is the scalable alternative
+    to a distributed suffix array: alignment-quantized, so it trades
+    sub-span recall for a single uniform shuffle."""
+    from .functions import text as TXT
+
+    docs = _td(spark, sf_dir)
+    w = TXT.words(F.col("text"))
+    n_chunks = F.floor(F.size(w) / 10).cast("int")
+    chunks = F.when(
+        F.size(w) >= 10,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(w, i * 10 + 1, 10), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = docs.select("doc_id", F.explode(chunks).alias("span"))
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+_ORACLE_REPEATED_SPANS = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+    FROM documents
+),
+spans AS (
+    SELECT doc_id, unnest(CASE WHEN len(w) >= 10 THEN
+        list_transform(generate_series(0, CAST(len(w) / 10 AS INT) - 1),
+                       i -> array_to_string(w[i * 10 + 1 : i * 10 + 10], ' '))
+        ELSE [] END) AS span
+    FROM toks
+)
+SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences,
+       min(doc_id) AS first_doc
+FROM spans GROUP BY span HAVING count(DISTINCT doc_id) > 1
+"""
+
+
+def docs_tfidf_keywords(spark, sf_dir):
+    """Per-document top-3 TF-IDF keywords (classic salience scoring —
+    tf/doclen × ln(N/df)).  The tfidf is ROUNDED before ranking (with
+    the term as tiebreak) so the per-doc top-k is stable across
+    engines' last-bit log/divide differences.
+
+    Plan shape: one (doc, term) hash-aggregate; doc length re-
+    aggregates that frame co-partitioned (no extra exchange of the
+    corpus); document frequency and the corpus size are tiny broadcast
+    sides; the final top-k is the per-doc window."""
+    from pyspark.sql import Window
+
+    from .functions import text as TXT
+
+    docs = _td(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(TXT.words(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("tf") / F.col("dl")) * F.log(F.col("n") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+    )
+
+
+_ORACLE_TFIDF = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+    SELECT t.doc_id, t.term,
+           round((t.tf / dl.dl) * ln(n.n / dfreq.df), 6) AS tfidf
+    FROM tf t
+    JOIN dl ON dl.doc_id = t.doc_id
+    JOIN dfreq ON dfreq.term = t.term
+    CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, term, tfidf,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
 def docs_repetition(spark, sf_dir):
     """Gopher-style repetition signals (Rae et al. 2021, public):
     per-doc top-bigram fraction, duplicate-bigram fraction, duplicate-
@@ -2384,6 +2507,8 @@ SPECS: list[QuerySpec] = [
     ),
     # index-append ≡ full rebuild, so the oracle is the full-index SQL
     QuerySpec("knn_ann_ivf_incremental", knn_ann_ivf_incremental, OE.ivf_ann_sql()),
+    QuerySpec("docs_repeated_spans", docs_repeated_spans, _ORACLE_REPEATED_SPANS),
+    QuerySpec("docs_tfidf_keywords", docs_tfidf_keywords, _ORACLE_TFIDF),
 ]
 
 
