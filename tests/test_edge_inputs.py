@@ -120,3 +120,59 @@ def test_redact_handles_no_pii_and_multiple_hits(spark):
     assert out[0]["red"] == "nothing sensitive here"
     assert (out[1]["n_emails"], out[1]["n_nums"]) == (2, 2)
     assert out[1]["red"] == "<EMAIL> and <EMAIL> plus <NUM> and <NUM>"
+
+
+def test_incremental_minhash_empty_delta(spark):
+    """An empty delta must produce zero new pairs (and not error in the
+    broadcast probe or the semi-join prune)."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="alpha beta gamma delta epsilon zeta") for i in range(5)]
+    )
+    empty = spark.createDataFrame([], docs.schema)
+    out = D.incremental_minhash_pairs(docs, empty, ngram=3)
+    assert out.count() == 0
+
+
+def test_incremental_minhash_archive_empty(spark):
+    """Day-zero bootstrap: all docs are delta — every near-dup pair is
+    'new', matching the full-corpus run exactly."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=3, text="completely different words entirely here now"),
+        ]
+    )
+    empty = spark.createDataFrame([], docs.schema)
+    inc = D.incremental_minhash_pairs(empty, docs, ngram=3)
+    full = D.minhash_lsh_pairs(docs, ngram=3)
+    key = lambda r: (r.id_a, r.id_b, r.jaccard)  # noqa: E731
+    assert sorted(map(key, inc.collect())) == sorted(map(key, full.collect()))
+    assert inc.count() == 1  # the identical pair (1,2)
+
+
+def test_incremental_simhash_empty_delta(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="alpha beta gamma") for i in range(4)]
+    )
+    empty = spark.createDataFrame([], docs.schema)
+    out = D.incremental_simhash_groups(docs, empty)
+    assert out.count() == 0  # no touched signatures
+
+
+def test_ivf_cells_passthrough_equals_rebuild(spark):
+    """Passing a precomputed (persisted) cell assignment must be
+    bit-identical to the in-query rebuild — the incremental index
+    append's correctness argument."""
+    import random
+
+    random.seed(7)
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[random.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    )
+    q = emb.where(F.col("vec_id") < 2)
+    cells = SIM.ivf_assign_cells(emb, n_cells=4)
+    via_cells = SIM.ivf_ann_topk(emb, q, k=3, n_cells=4, n_probe=2, cells=cells)
+    rebuilt = SIM.ivf_ann_topk(emb, q, k=3, n_cells=4, n_probe=2)
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.cos_sim)  # noqa: E731
+    assert sorted(map(key, via_cells.collect())) == sorted(map(key, rebuilt.collect()))

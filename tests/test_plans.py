@@ -155,3 +155,42 @@ def test_incremental_dedup_scans_index_not_rebands(spark, sf_dir, tmp_path):
     assert sorted(map(key, with_index.collect())) == sorted(
         map(key, rebanding.collect())
     )
+
+
+def test_q21_semi_anti_join_decomposition(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS must decompose into semi/anti joins (no
+    correlated re-execution) with the supplier dim broadcast."""
+    import re
+
+    from updating_datasets_data_engineering_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(Q["q21_waiting_suppliers"](spark, sf_dir))
+    assert re.search(r"Join LeftSemi|BroadcastHashJoin.*LeftSemi", plan, re.S)
+    assert re.search(r"Join LeftAnti|BroadcastHashJoin.*LeftAnti", plan, re.S)
+    f = analyze(Q["q21_waiting_suppliers"](spark, sf_dir))
+    assert f.n_broadcast_joins >= 1
+    assert not f.has_python_udf
+
+
+def test_q20_supplier_never_shuffles(spark, sf_dir):
+    """The outer supplier probe is a broadcast LeftSemi — only the
+    lineitem aggregates shuffle."""
+    f = analyze(Q["q20_dominant_suppliers"](spark, sf_dir))
+    assert f.n_broadcast_joins >= 2, "part semi + supplier probe broadcast"
+    assert not f.has_python_udf
+
+
+def test_tfidf_no_python_and_broadcast_df(spark, sf_dir):
+    """TF-IDF: document frequency and corpus size are broadcast; the
+    whole pipeline stays native."""
+    f = analyze(Q["docs_tfidf_keywords"](spark, sf_dir))
+    assert f.n_broadcast_joins >= 2
+    assert not f.has_python_udf
+
+
+def test_repeated_spans_single_aggregate_shape(spark, sf_dir):
+    """Repeated-span detection is chunk → explode → ONE span aggregate:
+    no joins, no Python."""
+    f = analyze(Q["docs_repeated_spans"](spark, sf_dir))
+    assert f.n_broadcast_joins == 0 and f.n_sortmerge_joins == 0
+    assert not f.has_python_udf
