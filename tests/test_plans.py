@@ -180,11 +180,13 @@ def test_q20_supplier_never_shuffles(spark, sf_dir):
     assert not f.has_python_udf
 
 
-def test_tfidf_no_python_and_broadcast_df(spark, sf_dir):
-    """TF-IDF: document frequency and corpus size are broadcast; the
-    whole pipeline stays native."""
+def test_tfidf_window_formulation_is_lean(spark, sf_dir):
+    """TF-IDF: df and doc-length are WINDOW aggregates over the single
+    (doc, term) frame, not self-joins — the join formulation measured
+    12 exchanges, the window one 7; no SMJ, no Python."""
     f = analyze(Q["docs_tfidf_keywords"](spark, sf_dir))
-    assert f.n_broadcast_joins >= 2
+    assert f.n_exchanges <= 8
+    assert f.n_sortmerge_joins == 0
     assert not f.has_python_udf
 
 

