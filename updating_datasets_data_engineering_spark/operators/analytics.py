@@ -827,3 +827,130 @@ def q11_important_stock(lineitem, mult: float = 1.5):
         .select("l_partkey", F.round("v", 2).alias("value"))
         .orderBy(F.col("value").desc(), "l_partkey")
     )
+
+
+def q8_market_share(
+    lineitem, orders, customer, supplier, nation, region,
+    target_nation: str = "NATION_2", region_name: str = "ASIA",
+):
+    """TPC-H Q8 shape: national market share — per order-year, the
+    fraction of a region's customer revenue delivered by suppliers of
+    one nation, as a conditional-sum ratio inside one aggregate.
+
+    Plan shape: the region→nation→customer filter chain collapses to a
+    broadcast semi-join on the orders side; supplier→nation broadcasts
+    onto lineitem; one hash-aggregate on the year computes both sums.
+    """
+    rnations = nation.join(
+        F.broadcast(region.where(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    cust = customer.join(
+        F.broadcast(rnations), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    o = orders.select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    supp = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "n_name")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (
+        lineitem.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("o_year", volume.alias("volume"), "n_name")
+    )
+    national = F.sum(
+        F.when(F.col("n_name") == target_nation, F.col("volume")).otherwise(0.0)
+    )
+    return (
+        rev.groupBy("o_year")
+        .agg(F.round(national / F.sum("volume"), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+def q9_product_profit(lineitem, orders, part, supplier, nation, name_like: str = "%red%"):
+    """TPC-H Q9 shape: product-type profit by nation and year — profit
+    = revenue minus a deterministic unit-cost proxy (0.1 × retail ×
+    qty; the fixture has no partsupp.ps_supplycost), parts selected by
+    name pattern, grouped by the SUPPLIER's nation and order year.
+
+    Plan shape: part (name-filtered) and supplier→nation broadcast
+    onto lineitem; orders joins on the orderkey for the year; one
+    hash-aggregate on (nation, o_year).
+    """
+    sel_part = part.where(F.col("p_name").like(name_like)).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "n_name")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        lineitem.join(F.broadcast(sel_part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q12_priority_counts(lineitem, orders, from_date: str = "1997-01-01", to_date: str = "1998-01-01"):
+    """TPC-H Q12 shape: conditional-count aggregation after the join —
+    per return flag (the fixture has no l_shipmode), how many lines
+    belong to high- vs low-priority orders, for a ship-date year.
+
+    Plan shape: the date filter pushes to the lineitem scan; orders
+    joins on the orderkey; one hash-aggregate computes both CASE
+    counts in a single pass.
+    """
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(from_date))
+            & (F.col("l_shipdate") < F.lit(to_date))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q16_supplier_counts(lineitem, part, supplier, excluded_brand: str = "Brand#12"):
+    """TPC-H Q16 shape: distinct-count by part attributes with a
+    NOT-IN supplier exclusion — the excluded set is "complaint"
+    suppliers (negative account balance stands in for the comment
+    scan), removed via a broadcast anti-join BEFORE the distinct
+    count.
+
+    Plan shape: anti-join broadcasts the tiny exclusion set; part
+    attributes broadcast; one aggregate with count(DISTINCT
+    l_suppkey) — Spark plans it as the standard two-phase distinct
+    expand, keys are (brand, type, size), uniform.
+    """
+    bad = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    attrs = part.where(F.col("p_brand") != excluded_brand).select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    return (
+        lineitem.join(
+            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .join(F.broadcast(attrs), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )

@@ -1805,6 +1805,102 @@ def knn_ann_ivf_incremental(spark, sf_dir):
     )
 
 
+def q8_market_share_q(spark, sf_dir):
+    """TPC-H Q8 shape: conditional-sum market-share ratio per year."""
+    return A.q8_market_share(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+_ORACLE_Q8 = """
+WITH rnations AS (
+    SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+),
+rev AS (
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           l_extendedprice * (1 - l_discount) AS volume,
+           n.n_name
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n ON s_nationkey = n.n_nationkey
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_nationkey IN (SELECT n_nationkey FROM rnations))
+)
+SELECT o_year,
+       round(sum(CASE WHEN n_name = 'NATION_2' THEN volume ELSE 0 END) / sum(volume), 6) AS mkt_share
+FROM rev GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q9_product_profit_q(spark, sf_dir):
+    """TPC-H Q9 shape: product-profit by supplier nation and year."""
+    return A.q9_product_profit(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+_ORACLE_Q9 = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.1 * p_retailprice * l_quantity), 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY n_name, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+def q12_priority_q(spark, sf_dir):
+    """TPC-H Q12 shape: conditional-count aggregation after the join."""
+    return A.q12_priority_counts(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
+_ORACLE_Q12 = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q16_supplier_counts_q(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier count by part attributes
+    with a NOT-IN exclusion set."""
+    return A.q16_supplier_counts(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+_ORACLE_Q16 = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_brand <> 'Brand#12'
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
 def q21_waiting(spark, sf_dir):
     """TPC-H Q21 shape (VERDICT r3 item 7): multi-EXISTS + NOT-EXISTS
     via LeftSemi/LeftAnti self-joins with residual inequality."""
@@ -2508,6 +2604,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("knn_ann_ivf_incremental", knn_ann_ivf_incremental, OE.ivf_ann_sql()),
     QuerySpec("docs_repeated_spans", docs_repeated_spans, _ORACLE_REPEATED_SPANS),
     QuerySpec("docs_tfidf_keywords", docs_tfidf_keywords, _ORACLE_TFIDF),
+    QuerySpec("q8_market_share", q8_market_share_q, _ORACLE_Q8),
+    QuerySpec("q9_product_profit", q9_product_profit_q, _ORACLE_Q9),
+    QuerySpec("q12_priority_counts", q12_priority_q, _ORACLE_Q12),
+    QuerySpec("q16_supplier_counts", q16_supplier_counts_q, _ORACLE_Q16),
 ]
 
 
