@@ -90,12 +90,25 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_incremental",
+    "dedup_incremental_simhash",
     "knn_bruteforce",
     "knn_ann_srp",
     "knn_ann_ivf",
+    "knn_ann_ivf_incremental",
     "embedding_near_dup_ann",
     "embedding_near_dup_t90",
     "multimodal_features",
+    # r4 tail additions: TPC-H shape closures + new text ops
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_priority_counts",
+    "q16_supplier_counts",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "docs_repeated_spans",
+    "docs_tfidf_keywords",
 ]
 
 
