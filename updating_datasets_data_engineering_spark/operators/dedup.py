@@ -431,6 +431,49 @@ def incremental_simhash_groups(
     )
 
 
+def incremental_components(
+    archive_labels: DataFrame,
+    new_pairs: DataFrame,
+    max_iter: int = 15,
+) -> DataFrame:
+    """State ⊕ delta connected components: given the previous day's
+    label fixpoint ``archive_labels`` (id, cluster_id) and the delta's
+    ``new_pairs`` (≥ 1 delta endpoint, from
+    :func:`incremental_minhash_pairs`), recompute ONLY the affected
+    components — the propagation never sees untouched clusters.
+
+    Each old component is re-encoded as its 1-hop STAR graph (member →
+    hub edges, the hub being the label = the component's min id), so
+    old connectivity costs one edge per member instead of the original
+    pair set, and min-label propagation over (new pairs ∪ touched
+    stars) reaches the same fixpoint a full recompute would: the min
+    reachable id of a merged component is the min over the merged
+    hubs' mins.  Nodes in untouched components are NOT re-emitted —
+    their labels cannot change (delta docs only connect through
+    delta-incident pairs).
+
+    At 100 TB this is the difference between re-closing the entire
+    pair graph nightly and closing a subgraph proportional to the
+    day's churn.
+    """
+    nodes = (
+        new_pairs.select(F.col("id_a").alias("id"))
+        .unionByName(new_pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    affected = (
+        archive_labels.join(F.broadcast(nodes), "id", "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    members = archive_labels.join(F.broadcast(affected), "cluster_id", "left_semi")
+    star = members.select(
+        F.col("id").alias("id_a"), F.col("cluster_id").alias("id_b")
+    )
+    edges = new_pairs.select("id_a", "id_b").unionByName(star)
+    return connected_components(edges, max_iter=max_iter)
+
+
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 15,

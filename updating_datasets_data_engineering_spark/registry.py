@@ -1805,6 +1805,57 @@ def knn_ann_ivf_incremental(spark, sf_dir):
     )
 
 
+def dedup_clusters_incremental(spark, sf_dir):
+    """Incremental dedup-CLUSTER maintenance — the last stage of the
+    state ⊕ delta dedup pipeline: yesterday's label fixpoint (here
+    computed from the archive; in production a persisted table) plus
+    the delta's new pairs → updated labels for the AFFECTED components
+    only, plus delta singletons.  Untouched archive clusters are never
+    re-closed.  Oracle = the full-corpus recursive-CTE closure
+    restricted to clusters containing ≥ 1 delta doc — the incremental
+    subgraph propagation must reproduce it exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    archive = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    archive_pairs = D.minhash_lsh_pairs(
+        archive, num_hashes=16, band_size=4, threshold=0.4, ngram=3
+    )
+    archive_labels = D.connected_components(archive_pairs)
+    new_pairs = D.incremental_minhash_pairs(
+        archive, delta, num_hashes=16, band_size=4, threshold=0.4, ngram=3
+    )
+    updated = D.incremental_components(archive_labels, new_pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    singles = delta.select("doc_id").join(
+        updated.select(F.col("doc_id").alias("u")),
+        F.col("doc_id") == F.col("u"),
+        "left_anti",
+    ).select("doc_id", F.col("doc_id").alias("cluster_id"))
+    return updated.unionByName(singles)
+
+
+def _oracle_clusters_incremental_sql(delta_mod: int = 10) -> str:
+    """Full-corpus cluster closure filtered to clusters with >= 1 delta
+    member (same CTE surgery style as _oracle_dedup_corpus_sql)."""
+    inner = _oracle_clusters_sql().strip()
+    assert inner.startswith("WITH RECURSIVE ")
+    body = inner[len("WITH RECURSIVE ") :]
+    head, _ = body.rsplit("SELECT doc_id, cluster_id FROM labels", 1)
+    head = head.strip().rstrip(",")
+    return f"""
+WITH RECURSIVE {head},
+allc AS (
+    SELECT doc_id, cluster_id FROM labels
+    UNION ALL
+    SELECT doc_id, doc_id AS cluster_id FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM nodes)
+)
+SELECT doc_id, cluster_id FROM allc
+WHERE cluster_id IN (SELECT cluster_id FROM allc WHERE doc_id % {delta_mod} = 0)
+"""
+
+
 def q8_market_share_q(spark, sf_dir):
     """TPC-H Q8 shape: conditional-sum market-share ratio per year."""
     return A.q8_market_share(
@@ -2604,6 +2655,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("knn_ann_ivf_incremental", knn_ann_ivf_incremental, OE.ivf_ann_sql()),
     QuerySpec("docs_repeated_spans", docs_repeated_spans, _ORACLE_REPEATED_SPANS),
     QuerySpec("docs_tfidf_keywords", docs_tfidf_keywords, _ORACLE_TFIDF),
+    QuerySpec(
+        "dedup_clusters_incremental",
+        dedup_clusters_incremental,
+        _oracle_clusters_incremental_sql(10),
+    ),
     QuerySpec("q8_market_share", q8_market_share_q, _ORACLE_Q8),
     QuerySpec("q9_product_profit", q9_product_profit_q, _ORACLE_Q9),
     QuerySpec("q12_priority_counts", q12_priority_q, _ORACLE_Q12),
