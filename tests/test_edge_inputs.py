@@ -176,3 +176,18 @@ def test_ivf_cells_passthrough_equals_rebuild(spark):
     rebuilt = SIM.ivf_ann_topk(emb, q, k=3, n_cells=4, n_probe=2)
     key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.cos_sim)  # noqa: E731
     assert sorted(map(key, via_cells.collect())) == sorted(map(key, rebuilt.collect()))
+
+
+def test_minhash_banding_drops_empty_feature_docs(spark):
+    """Skew guard: empty-token docs must produce ZERO banded index rows
+    (they'd otherwise all share band key "" — one quadratic hot bucket
+    at corpus scale) while the pair output is unchanged (empty sets
+    have Jaccard 0 and can never verify)."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=""), Row(doc_id=2, text=""), Row(doc_id=3, text="a b c d")]
+    )
+    toks = D.minhash_features(docs, ngram=3)
+    banded = D.minhash_band_index(toks)
+    assert banded.count() == 4  # only doc 3 (1 band set of 4), not 12
+    assert banded.where(F.col("id").isin(1, 2)).count() == 0
+    assert D.minhash_lsh_pairs(docs, ngram=3).count() == 0

@@ -180,8 +180,18 @@ def minhash_band_index(
     writes to a table once per corpus snapshot (bucketed by
     (band_no, band_key) so probes co-locate) and APPENDS each day's
     delta to; see :func:`incremental_minhash_pairs`.
+
+    Skew guard: docs with an EMPTY feature array are excluded — their
+    min-hash is NULL in every permutation, so ``concat_ws`` gives them
+    all the identical band key "" and at corpus scale every empty doc
+    lands in ONE bucket, turning the self-join quadratic in the empty
+    count.  Excluding them changes no result at any threshold > 0:
+    two empty token sets have Jaccard 0 (= 0/max(|∪|,1)) and can never
+    pass verification.  (The n-gram fingerprint path is naturally
+    immune — its NULL block keys never join-match.)
     """
     assert num_hashes % band_size == 0
+    toks = toks.where(F.size("toks") > 0)
     sig = TXT.minhash_signature_of(F.col("toks"), k=num_hashes)
     n_bands = num_hashes // band_size
     band_structs = [
