@@ -289,3 +289,48 @@ def test_streaming_cdc_tombstones_match_batch(spark, tmp_path):
     assert 3 not in keys, "streamed tombstone must retract k=3"
     assert keys == {1, 2, 4, 5, 6, 7, 8, 9, 10, 11}
     assert got.where("k = 5").collect()[0]["v"] == "v5-new"
+
+
+def test_streaming_minhash_index_maintenance(spark, tmp_path):
+    """Streaming twin of incremental_minhash_pairs: two document
+    micro-batches maintain the persisted band index, pair log, and doc
+    archive; the accumulated pair log must equal the full-corpus
+    recompute over everything streamed so far."""
+    from updating_datasets_data_engineering_spark.operators import dedup as D
+    from updating_datasets_data_engineering_spark.tables import load_table
+
+    src = str(tmp_path / "docs_src")
+    docs_path = str(tmp_path / "docs_archive")
+    index_path = str(tmp_path / "band_index")
+    pairs_path = str(tmp_path / "pair_log")
+    ckpt = str(tmp_path / "idx_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    all_docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    day1 = all_docs.where(F.col("doc_id") % 10 != 0)
+    day2 = all_docs.where(F.col("doc_id") % 10 == 0)
+
+    def run_increment(batch_df):
+        batch_df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        SP.run_index_maintenance_available_now(
+            stream, docs_path, index_path, pairs_path, ckpt, ngram=3
+        )
+
+    run_increment(day1)
+    log1 = spark.read.parquet(pairs_path)
+    full1 = D.minhash_lsh_pairs(day1, ngram=3)
+    key = ["id_a", "id_b", "jaccard"]
+    assert _sorted_rows(log1.select(*key), key) == _sorted_rows(full1, key)
+
+    run_increment(day2)
+    log2 = spark.read.parquet(pairs_path)
+    full2 = D.minhash_lsh_pairs(all_docs, ngram=3)
+    assert _sorted_rows(log2.select(*key), key) == _sorted_rows(full2, key)
+    # the index accumulated exactly one band set per streamed doc
+    idx = spark.read.parquet(index_path)
+    assert idx.count() == idx.select("id", "band_no").distinct().count()
+    assert idx.select("id").distinct().count() == D.minhash_features(
+        all_docs, ngram=3
+    ).where(F.size("toks") > 0).count()
