@@ -51,3 +51,37 @@ def test_release_clears_jvm_storage_level(spark):
     assert df.storageLevel != StorageLevel.NONE
     assert caching.release_tracked(blocking=True) == 1
     assert df.storageLevel == StorageLevel.NONE
+
+
+def test_scope_releases_only_its_suffix(spark):
+    """ADVICE r4: a scoped release must not unpersist frames tracked
+    BEFORE the scope (a concurrent query's caches)."""
+    caching.release_tracked()
+    outer = caching.tracked_persist(spark.range(5).select(F.col("id")))
+    outer.count()
+    with caching.scope(blocking=True):
+        inner = caching.tracked_persist(spark.range(7).select(F.col("id")))
+        inner.count()
+        assert inner.storageLevel != StorageLevel.NONE
+    # scope exit released the inner frame only
+    assert inner.storageLevel == StorageLevel.NONE
+    assert outer.storageLevel != StorageLevel.NONE
+    # the outer frame is still tracked and releasable
+    assert caching.release_tracked(blocking=True) == 1
+    assert outer.storageLevel == StorageLevel.NONE
+
+
+def test_scope_releases_on_exception(spark):
+    """ADVICE r4: a failed batch must not leak its caches — the scope's
+    finally releases even when the body raises."""
+    caching.release_tracked()
+    inner = None
+    try:
+        with caching.scope(blocking=True):
+            inner = caching.tracked_persist(spark.range(3).select(F.col("id")))
+            inner.count()
+            raise RuntimeError("batch failed")
+    except RuntimeError:
+        pass
+    assert inner.storageLevel == StorageLevel.NONE
+    assert caching.release_tracked() == 0

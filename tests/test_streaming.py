@@ -318,7 +318,12 @@ def test_streaming_minhash_index_maintenance(spark, tmp_path):
             stream, docs_path, index_path, pairs_path, ckpt, ngram=3
         )
 
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    conf_before = spark.conf.get(conf_key)
     run_increment(day1)
+    # ADVICE r4: dynamic overwrite must be scoped per-write, not leaked
+    # into the shared session conf
+    assert spark.conf.get(conf_key) == conf_before
     log1 = spark.read.parquet(pairs_path)
     full1 = D.minhash_lsh_pairs(day1, ngram=3)
     key = ["id_a", "id_b", "jaccard"]

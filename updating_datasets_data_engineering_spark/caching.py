@@ -19,6 +19,8 @@ natural plan-lifecycle boundaries:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
 # STRONG references (ADVICE r3): operators drop their local DataFrame
@@ -40,12 +42,40 @@ def tracked_persist(df: DataFrame, storage_level=None) -> DataFrame:
 
 def release_tracked(blocking: bool = False) -> int:
     """Unpersist every tracked frame; returns how many were released."""
+    return _release(_TRACKED, blocking)
+
+
+def _release(frames: list[DataFrame], blocking: bool = False) -> int:
     released = 0
-    for df in _TRACKED:
+    for df in frames:
         try:
             df.unpersist(blocking)
             released += 1
         except Exception:
             pass  # session already stopped — nothing to release
-    _TRACKED.clear()
+    frames.clear()
     return released
+
+
+@contextmanager
+def scope(blocking: bool = False):
+    """Scoped release (ADVICE r4): unpersist only the frames tracked
+    INSIDE this block, even if the block raises.
+
+    ``release_tracked()`` clears the whole module-global list, so a
+    foreachBatch calling it could unpersist frames a concurrent query
+    in the same driver had just cached (silent recompute), and a batch
+    that raised before its release point leaked its caches.  A scope
+    snapshots the list position on entry and, in a ``finally``, releases
+    exactly the suffix appended since — frames tracked before the scope
+    are left alone.  (If a concurrent thread interleaves appends into
+    the suffix its frames are released early — a recompute, never a
+    wrong result; single-threaded callers get exact scoping.)
+    """
+    mark = len(_TRACKED)
+    try:
+        yield
+    finally:
+        suffix = _TRACKED[mark:]
+        del _TRACKED[mark:]
+        _release(suffix, blocking)

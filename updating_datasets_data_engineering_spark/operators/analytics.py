@@ -817,14 +817,19 @@ def q11_important_stock(lineitem, mult: float = 1.5):
     a one-row broadcast re-joined as a range predicate — the classic
     "scalar subquery in HAVING" decomposition, no second scan of
     lineitem (the scalar re-aggregates the per-part frame).
+
+    Both sides of the HAVING predicate are rounded BEFORE the
+    comparison (same discipline as q2/q15): Spark and an ANSI engine
+    sum doubles in different orders, so an unrounded `v > mult*a` can
+    flip for a borderline part on last-bit differences.
     """
     val = lineitem.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("v")
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias("v")
     )
-    avg = val.agg(F.avg("v").alias("a"))
+    avg = val.agg(F.round(F.avg("v"), 2).alias("a"))
     return (
         val.join(F.broadcast(avg), F.col("v") > mult * F.col("a"))
-        .select("l_partkey", F.round("v", 2).alias("value"))
+        .select("l_partkey", F.col("v").alias("value"))
         .orderBy(F.col("value").desc(), "l_partkey")
     )
 

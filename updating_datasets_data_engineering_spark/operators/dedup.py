@@ -252,7 +252,18 @@ def minhash_lsh_pairs(
     one-pass job instead of four.  The token arrays never enter the
     self-join shuffle (they re-enter at the verify join on the deduped
     candidate set).
+
+    ``threshold`` must be > 0: the band index's empty-doc skew guard
+    (see :func:`minhash_band_index`) relies on empty-empty pairs
+    (Jaccard 0) never passing verification, which only holds for a
+    strictly positive threshold — enforced here (ADVICE r4).
     """
+    if threshold <= 0:
+        raise ValueError(
+            f"threshold must be > 0 (got {threshold}): the empty-doc skew "
+            "guard excludes empty feature sets from banding, which is "
+            "result-preserving only when Jaccard-0 pairs cannot pass"
+        )
     toks = tracked_persist(minhash_features(docs, id_col, text_col, ngram))
     banded = tracked_persist(minhash_band_index(toks, num_hashes, band_size))
     candidates = (
@@ -308,7 +319,16 @@ def incremental_minhash_pairs(
         prunes that scan before the CPU-bound shingling.
       * afterwards the caller appends ``minhash_band_index`` of the
         delta to the stored index — the day-N+1 state.
+
+    ``threshold`` must be > 0 — same skew-guard contract as
+    :func:`minhash_lsh_pairs` (ADVICE r4).
     """
+    if threshold <= 0:
+        raise ValueError(
+            f"threshold must be > 0 (got {threshold}): the empty-doc skew "
+            "guard excludes empty feature sets from banding, which is "
+            "result-preserving only when Jaccard-0 pairs cannot pass"
+        )
     d_toks = tracked_persist(minhash_features(delta, id_col, text_col, ngram))
     # delta bands: probe side vs the archive index AND the delta-delta
     # self-join — two consumers, persist once

@@ -97,37 +97,38 @@ def upsert_each_batch(
         spark = delta.sparkSession
         delta = delta.drop("event_time")
         fs.recover_swap(spark, archive_path)
-        if fs.has_parquet(spark, archive_path):
-            archive = spark.read.parquet(archive_path)
-        elif op_col is not None:
-            # bootstrap: CDC against an empty archive (delta schema
-            # minus the op column) — first-batch tombstones are no-ops,
-            # not rows
-            archive = spark.createDataFrame([], delta.drop(op_col).schema)
-        else:
-            archive = None
-        if archive is None:
-            merged = delta.dropDuplicates(list(key))
-        elif op_col is not None:
-            merged = M.merge_cdc(
-                archive,
-                delta,
-                key=list(key),
-                op_col=op_col,
-                delete_op=delete_op,
-                tiebreak=tiebreak,
-            )
-        else:
-            merged = M.merge_anti_join(archive, delta, key=list(key))
-        staging = fs.staging_path(archive_path)
-        fs.delete(spark, staging)
-        merged.write.mode("overwrite").parquet(staging)
-        spark.read.parquet(staging).count()  # materialize before swap
-        fs.swap_directory(spark, staging, archive_path)
-        # the merge's internal persist (deduped delta) is consumed by the
-        # write above; release it so a long-running stream doesn't
-        # accumulate one cached delta per micro-batch
-        caching.release_tracked()
+        # scoped release (ADVICE r4): only this batch's tracked persists
+        # (the merge's deduped delta) are dropped, even if the batch
+        # raises — a long-running stream doesn't accumulate one cached
+        # delta per micro-batch, and concurrent queries keep theirs
+        with caching.scope():
+            if fs.has_parquet(spark, archive_path):
+                archive = spark.read.parquet(archive_path)
+            elif op_col is not None:
+                # bootstrap: CDC against an empty archive (delta schema
+                # minus the op column) — first-batch tombstones are
+                # no-ops, not rows
+                archive = spark.createDataFrame([], delta.drop(op_col).schema)
+            else:
+                archive = None
+            if archive is None:
+                merged = delta.dropDuplicates(list(key))
+            elif op_col is not None:
+                merged = M.merge_cdc(
+                    archive,
+                    delta,
+                    key=list(key),
+                    op_col=op_col,
+                    delete_op=delete_op,
+                    tiebreak=tiebreak,
+                )
+            else:
+                merged = M.merge_anti_join(archive, delta, key=list(key))
+            staging = fs.staging_path(archive_path)
+            fs.delete(spark, staging)
+            merged.write.mode("overwrite").parquet(staging)
+            spark.read.parquet(staging).count()  # materialize before swap
+            fs.swap_directory(spark, staging, archive_path)
 
     return _apply
 
@@ -312,51 +313,62 @@ def maintain_minhash_index_each_batch(
 
     def _apply(batch_docs: DataFrame, batch_id: int) -> None:
         spark = batch_docs.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         delta = batch_docs.select(id_col, text_col)
-        if fs.has_parquet(spark, docs_path):
-            archive = (
-                spark.read.parquet(docs_path)
-                .where(F.col("_batch_id") < batch_id)
-                .select(id_col, text_col)
+        # scoped release (ADVICE r4): drop only this batch's tracked
+        # persists, even on failure — see upsert_each_batch
+        with caching.scope():
+            if fs.has_parquet(spark, docs_path):
+                archive = (
+                    spark.read.parquet(docs_path)
+                    .where(F.col("_batch_id") < batch_id)
+                    .select(id_col, text_col)
+                )
+                index = (
+                    spark.read.parquet(index_path)
+                    .where(F.col("_batch_id") < batch_id)
+                    .select("id", "band_no", "band_key")
+                )
+            else:
+                archive = spark.createDataFrame([], delta.schema)
+                index = spark.createDataFrame(
+                    [], "id long, band_no int, band_key string"
+                )
+            pairs = D.incremental_minhash_pairs(
+                archive,
+                delta,
+                id_col=id_col,
+                text_col=text_col,
+                num_hashes=num_hashes,
+                band_size=band_size,
+                threshold=threshold,
+                ngram=ngram,
+                archive_index=index,
             )
-            index = (
-                spark.read.parquet(index_path)
-                .where(F.col("_batch_id") < batch_id)
-                .select("id", "band_no", "band_key")
+            batch_lit = F.lit(batch_id).cast("long").alias("_batch_id")
+
+            def _append(df: DataFrame, path: str) -> None:
+                # per-write dynamic overwrite (ADVICE r4): scoping the
+                # mode to the DataFrameWriter leaves the session conf
+                # alone, so unrelated overwrite+partitionBy writes in
+                # the same application keep static semantics
+                (
+                    df.withColumn("_batch_id", batch_lit)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_batch_id")
+                    .parquet(path)
+                )
+
+            _append(pairs, pairs_path)
+            _append(
+                D.minhash_band_index(
+                    D.minhash_features(delta, id_col, text_col, ngram),
+                    num_hashes,
+                    band_size,
+                ),
+                index_path,
             )
-        else:
-            archive = spark.createDataFrame([], delta.schema)
-            index = spark.createDataFrame([], "id long, band_no int, band_key string")
-        pairs = D.incremental_minhash_pairs(
-            archive,
-            delta,
-            id_col=id_col,
-            text_col=text_col,
-            num_hashes=num_hashes,
-            band_size=band_size,
-            threshold=threshold,
-            ngram=ngram,
-            archive_index=index,
-        )
-        batch_lit = F.lit(batch_id).cast("long").alias("_batch_id")
-
-        def _append(df: DataFrame, path: str) -> None:
-            df.withColumn("_batch_id", batch_lit).write.mode("overwrite").partitionBy(
-                "_batch_id"
-            ).parquet(path)
-
-        _append(pairs, pairs_path)
-        _append(
-            D.minhash_band_index(
-                D.minhash_features(delta, id_col, text_col, ngram),
-                num_hashes,
-                band_size,
-            ),
-            index_path,
-        )
-        _append(delta, docs_path)
-        caching.release_tracked()
+            _append(delta, docs_path)
 
     return _apply
 
