@@ -109,6 +109,24 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "docs_repeated_spans",
     "docs_tfidf_keywords",
+    # r5 (VERDICT r4 item 3): every registered spec except the
+    # quarantined O(n^2) all-pairs baseline (embedding_near_dup) gets a
+    # timing signal — a regression in cluster propagation or the merge
+    # variants was previously invisible to BENCH.
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_clusters_incremental",
+    "docs_deduplicated",
+    "shot_time_typed",
+    "merge_dedup_reference",
+    "merge_upsert_with_deletes",
+    "merge_schema_drift",
+    "streaming_dedup_archive",
+    "nation_key_set_ops",
+    "orders_with_big_items",
+    "nation_balance_full_outer",
+    "nation_segments",
+    "sql_passthrough_revenue",
 ]
 
 

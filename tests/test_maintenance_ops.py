@@ -115,6 +115,73 @@ def test_incremental_hll_distinct_close_to_exact(spark, sf_dir):
         assert abs(got[k] - exact[k]) <= max(2, 0.02 * exact[k]), (k, got[k], exact[k])
 
 
+def test_multiday_incremental_dedup_replay(spark, sf_dir, tmp_path):
+    """VERDICT r4 item 2: the reference's daily production loop
+    (dags/kafka_stream_dag.py:51 + scripts/spark_merge_dfs.py:151-157)
+    applied to the LLM dedup tier — N=3 daily batch deltas chained
+    through incremental_minhash_pairs → band-index append →
+    incremental_components → persisted label store.  Day-N accumulated
+    pairs AND day-N cluster labels must equal a full recompute on the
+    union; only the per-day delta is ever shingled, and each day's
+    state (band index, label store) round-trips through parquet like a
+    real nightly job."""
+    from updating_datasets_data_engineering_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx_path = str(tmp_path / "band_index")
+    pairs_path = str(tmp_path / "pair_log")
+
+    n_days = 3
+    store = None  # label store: (id, cluster_id) fixpoint, parquet per day
+    for day in range(n_days):
+        delta = docs.where(F.col("doc_id") % n_days == day)
+        archive = docs.where(F.col("doc_id") % n_days < day)
+        index = (
+            spark.read.parquet(idx_path)
+            if day > 0
+            else spark.createDataFrame([], "id long, band_no int, band_key string")
+        )
+        pairs = D.incremental_minhash_pairs(
+            archive, delta, num_hashes=16, band_size=4, threshold=0.4,
+            ngram=3, archive_index=index,
+        )
+        pairs.withColumn("_day", F.lit(day)).write.mode("append").partitionBy(
+            "_day"
+        ).parquet(pairs_path)
+        # day-N+1 index state: append only the delta's band rows.
+        # NOTE the ordering hazard this test pins: `pairs` lazily reads
+        # idx_path, so it must be MATERIALIZED (written above) before
+        # the delta's bands are appended — re-executing the plan after
+        # the append would probe the delta against its own bands and
+        # emit self-pairs.  The label step therefore reads the written
+        # partition back instead of reusing the plan (the streaming
+        # twin gets the same guarantee from its _batch_id filter).
+        D.minhash_band_index(
+            D.minhash_features(delta, "doc_id", "text", 3), 16, 4
+        ).write.mode("append").parquet(idx_path)
+        # label store: re-close only the touched components
+        day_pairs = (
+            spark.read.parquet(pairs_path)
+            .where(F.col("_day") == day)
+            .drop("_day")
+        )
+        prev = (
+            spark.read.parquet(str(tmp_path / f"labels_{day - 1}"))
+            if day > 0
+            else spark.createDataFrame([], "id long, cluster_id long")
+        )
+        updated = D.incremental_components(prev, day_pairs)
+        new_store = prev.join(updated, "id", "left_anti").unionByName(updated)
+        new_store.write.mode("overwrite").parquet(str(tmp_path / f"labels_{day}"))
+        store = spark.read.parquet(str(tmp_path / f"labels_{day}"))
+
+    full_pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=16, band_size=4, threshold=0.4, ngram=3
+    )
+    assert _norm(spark.read.parquet(pairs_path).drop("_day")) == _norm(full_pairs)
+    assert _norm(store) == _norm(D.connected_components(full_pairs))
+
+
 def test_incremental_exact_distinct_pairs(spark, sf_dir):
     """Exact distinct via pair state: equals full COUNT(DISTINCT), and
     a replayed delta (at-least-once) does not inflate the state."""

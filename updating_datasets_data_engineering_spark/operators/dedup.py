@@ -486,6 +486,16 @@ def incremental_components(
     pair graph nightly and closing a subgraph proportional to the
     day's churn.
     """
+    # the pair frame is typically the output of an (expensive) verify
+    # plan and is consumed THREE times below (node extraction + both
+    # directions of the edge union) — without materialization each
+    # consumer re-runs the verify join and re-shingles the pruned
+    # archive (measured ~3× the probe cost at sf0.1).  localCheckpoint,
+    # not persist: a persisted frame keeps its full lineage for
+    # recompute, so every downstream task ships the multi-MB minhash
+    # plan closure ("broadcasting large task binary" warnings);
+    # truncating the lineage shrinks every loop job's task binary.
+    new_pairs = new_pairs.select("id_a", "id_b").localCheckpoint(eager=False)
     nodes = (
         new_pairs.select(F.col("id_a").alias("id"))
         .unionByName(new_pairs.select(F.col("id_b").alias("id")))
@@ -501,7 +511,10 @@ def incremental_components(
         F.col("id").alias("id_a"), F.col("cluster_id").alias("id_b")
     )
     edges = new_pairs.select("id_a", "id_b").unionByName(star)
-    return connected_components(edges, max_iter=max_iter)
+    # new_pairs is already materialized above; the star side is one
+    # broadcast-pruned pass over the label store — skip the closure's
+    # own input persist (it would spend an extra materialization job)
+    return connected_components(edges, max_iter=max_iter, persist_input=False)
 
 
 def connected_components(
@@ -509,6 +522,7 @@ def connected_components(
     max_iter: int = 15,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    persist_input: bool = True,
 ) -> DataFrame:
     """Cluster near-dup PAIRS into dedup GROUPS: connected components
     by iterative min-label propagation (each node adopts the smallest
@@ -524,6 +538,15 @@ def connected_components(
     (SoCC 2014) — O(log n) rounds on adversarial graphs; the oracle
     semantics (min reachable id) are identical.
     """
+    # both directions of the edge union consume `pairs`; materialize so
+    # an expensive upstream (LSH verify) plan runs once, not twice
+    # (``persist_input=False`` when the caller already materialized it).
+    # localCheckpoint rather than persist: it also TRUNCATES the
+    # lineage, so the iteration jobs don't re-ship the upstream verify
+    # plan's multi-MB closure in every task binary.
+    pairs = pairs.select(id_a, id_b)
+    if persist_input:
+        pairs = pairs.localCheckpoint(eager=False)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -532,29 +555,34 @@ def connected_components(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
-    edges = edges.localCheckpoint()
-    labels = labels.localCheckpoint()
+    # LAZY checkpoints: an eager localCheckpoint is one Spark job each,
+    # and the per-job floor (task-binary ship + schedule; the minhash
+    # plans serialize to MBs) dominates the small iteration data — a
+    # lazy checkpoint still truncates lineage but materializes inside
+    # the next action, so each round costs ONE job (the convergence
+    # count) instead of three (edges ckpt + labels ckpt + round ckpt)
+    edges = edges.localCheckpoint(eager=False)
+    labels = labels.localCheckpoint(eager=False)
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        # carry the OLD label through the propagation so convergence is
+        # a map-only count over the checkpointed partitions, not a
+        # second join-based shuffle job per round
+        merged = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
                 "id",
+                F.col("label").alias("_old"),
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
             )
         )
-        new_labels = new_labels.localCheckpoint()  # cut lineage per round
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        merged = merged.localCheckpoint(eager=False)  # cut lineage per round
+        changed = merged.where(F.col("label") != F.col("_old")).count()
+        labels = merged.select("id", "label")
         if changed == 0:
             break
     else:

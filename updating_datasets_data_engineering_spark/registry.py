@@ -1865,22 +1865,47 @@ def knn_ann_ivf_incremental(spark, sf_dir):
 
 def dedup_clusters_incremental(spark, sf_dir):
     """Incremental dedup-CLUSTER maintenance — the last stage of the
-    state ⊕ delta dedup pipeline: yesterday's label fixpoint (here
-    computed from the archive; in production a persisted table) plus
-    the delta's new pairs → updated labels for the AFFECTED components
-    only, plus delta singletons.  Untouched archive clusters are never
-    re-closed.  Oracle = the full-corpus recursive-CTE closure
-    restricted to clusters containing ≥ 1 delta doc — the incremental
-    subgraph propagation must reproduce it exactly."""
+    state ⊕ delta dedup pipeline: yesterday's label fixpoint (a
+    PERSISTED parquet table, materialized once per session — see
+    ``_persisted_index``) plus the delta's new pairs → updated labels
+    for the AFFECTED components only, plus delta singletons.  Untouched
+    archive clusters are never re-closed, and neither the archive's
+    band index nor its label fixpoint is rebuilt per call (VERDICT r4
+    item 1 applied to the cluster stage: the in-session rebuild of
+    pairs + labels benched 22 s, ~10× the probe-only plan).  Oracle =
+    the full-corpus recursive-CTE closure restricted to clusters
+    containing ≥ 1 delta doc — the incremental subgraph propagation
+    must reproduce it exactly."""
     docs = _t(spark, sf_dir, "documents")
     archive = docs.where(F.col("doc_id") % 10 != 0)
     delta = docs.where(F.col("doc_id") % 10 == 0)
-    archive_pairs = D.minhash_lsh_pairs(
-        archive, num_hashes=16, band_size=4, threshold=0.4, ngram=3
+    # shares the (sf_dir, "minhash_band") state with dedup_incremental
+    band_index = _persisted_index(
+        spark,
+        sf_dir,
+        "minhash_band",
+        lambda: D.minhash_band_index(
+            D.minhash_features(archive, "doc_id", "text", 3), 16, 4
+        ),
     )
-    archive_labels = D.connected_components(archive_pairs)
+    archive_labels = _persisted_index(
+        spark,
+        sf_dir,
+        "cluster_labels",
+        lambda: D.connected_components(
+            D.minhash_lsh_pairs(
+                archive, num_hashes=16, band_size=4, threshold=0.4, ngram=3
+            )
+        ),
+    )
     new_pairs = D.incremental_minhash_pairs(
-        archive, delta, num_hashes=16, band_size=4, threshold=0.4, ngram=3
+        archive,
+        delta,
+        num_hashes=16,
+        band_size=4,
+        threshold=0.4,
+        ngram=3,
+        archive_index=band_index,
     )
     updated = D.incremental_components(archive_labels, new_pairs).select(
         F.col("id").alias("doc_id"), "cluster_id"
