@@ -339,3 +339,72 @@ def test_streaming_minhash_index_maintenance(spark, tmp_path):
     assert idx.select("id").distinct().count() == D.minhash_features(
         all_docs, ngram=3
     ).where(F.size("toks") > 0).count()
+
+
+def test_streaming_index_delete_lifecycle(spark, tmp_path):
+    """VERDICT r4 item 4: a CDC tombstone must remove the doc from ALL
+    persisted dedup state — doc archive, band index, pair log — and
+    re-close its cluster, so the index never diverges from the corpus
+    under GDPR-style deletes.  Post-delete, every piece of state must
+    equal a full recompute on the post-delete corpus."""
+    from updating_datasets_data_engineering_spark.operators import dedup as D
+    from updating_datasets_data_engineering_spark.tables import load_table
+
+    src = str(tmp_path / "docs_src")
+    docs_path = str(tmp_path / "docs_archive")
+    index_path = str(tmp_path / "band_index")
+    pairs_path = str(tmp_path / "pair_log")
+    labels_path = str(tmp_path / "labels")
+    ckpt = str(tmp_path / "idx_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    all_docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batch_df):
+        batch_df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        SP.run_index_maintenance_available_now(
+            stream, docs_path, index_path, pairs_path, ckpt,
+            ngram=3, op_col="op", labels_path=labels_path,
+        )
+
+    # batch 1: insert the corpus; label store must equal the closure
+    run(all_docs.withColumn("op", F.lit("upsert")))
+    full = D.minhash_lsh_pairs(all_docs, ngram=3)
+    full_labels = D.connected_components(full)
+    lcols = ["id", "cluster_id"]
+    assert _sorted_rows(spark.read.parquet(labels_path), lcols) == _sorted_rows(
+        full_labels, lcols
+    )
+
+    # batch 2: tombstone the HUB (min id) of a multi-member cluster —
+    # the surviving members must be relabelled to their new min
+    victim = (
+        full_labels.groupBy("cluster_id")
+        .count()
+        .where(F.col("count") >= 2)
+        .agg(F.min("cluster_id"))
+        .collect()[0][0]
+    )
+    run(
+        spark.createDataFrame(
+            [(int(victim), "", "delete")], "doc_id long, text string, op string"
+        )
+    )
+
+    assert spark.read.parquet(docs_path).where(F.col("doc_id") == victim).count() == 0
+    assert spark.read.parquet(index_path).where(F.col("id") == victim).count() == 0
+    plog = spark.read.parquet(pairs_path)
+    assert plog.where(
+        (F.col("id_a") == victim) | (F.col("id_b") == victim)
+    ).count() == 0
+
+    remaining = all_docs.where(F.col("doc_id") != victim)
+    key = ["id_a", "id_b", "jaccard"]
+    expect_pairs = D.minhash_lsh_pairs(remaining, ngram=3)
+    assert _sorted_rows(plog.select(*key), key) == _sorted_rows(expect_pairs, key)
+    expect_labels = D.connected_components(expect_pairs)
+    assert _sorted_rows(spark.read.parquet(labels_path), lcols) == _sorted_rows(
+        expect_labels, lcols
+    )

@@ -517,6 +517,68 @@ def incremental_components(
     return connected_components(edges, max_iter=max_iter, persist_input=False)
 
 
+def retract_index_rows(
+    index: DataFrame, deleted: DataFrame, id_col: str = "id"
+) -> DataFrame:
+    """Remove a deleted document's rows from a persisted per-doc index
+    (band index, signature index, IVF cell assignment — anything keyed
+    by a doc/vector id).  The delete set is churn-sized, so it
+    broadcasts into an anti-join and the index itself never shuffles —
+    the GDPR-delete twin of the incremental probe's economics
+    (VERDICT r4 item 4)."""
+    d = deleted.selectExpr(f"{deleted.columns[0]} as {id_col}").distinct()
+    return index.join(F.broadcast(d), id_col, "left_anti")
+
+
+def retract_from_components(
+    archive_labels: DataFrame,
+    pair_log: DataFrame,
+    deleted: DataFrame,
+    max_iter: int = 15,
+) -> DataFrame:
+    """Re-close cluster labels after document DELETIONS (the retraction
+    twin of :func:`incremental_components`, VERDICT r4 item 4).
+
+    Star re-encoding is NOT sufficient here: rebuilding a touched
+    component's star without the deleted member keeps the remaining
+    members connected through the hub even when the deleted doc was the
+    only bridge between two sub-groups — a delete must be able to SPLIT
+    a cluster.  Correct re-closure therefore replays the component's
+    ORIGINAL pairs from the persisted pair log (which the maintenance
+    pipeline already keeps as its dedup evidence), minus pairs incident
+    to the deleted docs.
+
+    Scale shape: the delete set and the touched-component member set
+    are churn-sized and broadcast; the label store and the pair log are
+    only semi/anti-join-pruned, never shuffled.  Members left with no
+    surviving pair drop out of the store, matching the paired-nodes
+    convention of :func:`connected_components` (a full recompute on the
+    post-delete corpus would not emit them either).
+    """
+    d = deleted.selectExpr(f"{deleted.columns[0]} as id").distinct()
+    touched = (
+        archive_labels.join(F.broadcast(d), "id", "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    untouched = archive_labels.join(F.broadcast(touched), "cluster_id", "left_anti")
+    members = archive_labels.join(F.broadcast(touched), "cluster_id", "left_semi")
+    # pairs are intra-component, so one endpoint in the member set
+    # implies both; then drop every pair incident to a deleted doc
+    comp_pairs = (
+        pair_log.select("id_a", "id_b")
+        .join(
+            F.broadcast(members.select(F.col("id").alias("id_a"))),
+            "id_a",
+            "left_semi",
+        )
+        .join(F.broadcast(d.select(F.col("id").alias("id_a"))), "id_a", "left_anti")
+        .join(F.broadcast(d.select(F.col("id").alias("id_b"))), "id_b", "left_anti")
+    )
+    reclosed = connected_components(comp_pairs, max_iter=max_iter)
+    return untouched.unionByName(reclosed)
+
+
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 15,

@@ -283,6 +283,9 @@ def maintain_minhash_index_each_batch(
     band_size: int = 4,
     threshold: float = 0.4,
     ngram: int | None = 3,
+    op_col: str | None = None,
+    delete_op: str = "delete",
+    labels_path: str | None = None,
 ):
     """foreachBatch function: STREAMING dedup-index maintenance — the
     streaming twin of ``dedup.incremental_minhash_pairs`` (VERDICT r3
@@ -306,17 +309,93 @@ def maintain_minhash_index_each_batch(
     pre-batch archive.  The accumulated pair log over any prefix of
     batches equals the full-corpus recompute on that prefix —
     asserted against ``minhash_lsh_pairs`` in tests/test_streaming.py.
+
+    CDC extensions (VERDICT r4 item 4):
+
+      * ``op_col`` — rows whose op equals ``delete_op`` are tombstones:
+        the doc's rows are REMOVED from the archive, the band index,
+        and the pair log (broadcast anti-joins through the crash-safe
+        stage-and-swap, so the index can no longer diverge from the
+        corpus under GDPR-style deletes), and its cluster is re-closed
+        from the surviving pair log (``dedup.retract_from_components``
+        — a bridge delete correctly SPLITS its cluster).
+      * ``labels_path`` — maintain the cluster-label fixpoint as
+        per-batch state alongside the index: inserts close the new
+        pairs into the store via ``dedup.incremental_components``,
+        deletes retract via ``retract_from_components``.  With both
+        options on, the foreachBatch is the reference's complete daily
+        loop (archive ∪ delta ⊖ deletes, scripts/spark_merge_dfs.py)
+        applied to the LLM dedup tier.
     """
     from pyspark.sql import functions as F
 
     from ..operators import dedup as D
 
+    def _swap_overwrite(df: DataFrame, path: str, partition_col: str | None) -> None:
+        """Rewrite persisted state through the crash-safe swap (a
+        deletion rewrite touches every partition, so the partition-
+        scoped idempotent overwrite doesn't apply; at real scale this
+        becomes a rewrite of only the partitions holding the deleted
+        ids)."""
+        spark = df.sparkSession
+        staging = fs.staging_path(path)
+        fs.delete(spark, staging)
+        w = df.write.mode("overwrite")
+        if partition_col is not None and partition_col in df.columns:
+            w = w.partitionBy(partition_col)
+        w.parquet(staging)
+        spark.read.parquet(staging).count()  # materialize before swap
+        fs.swap_directory(spark, staging, path)
+
     def _apply(batch_docs: DataFrame, batch_id: int) -> None:
         spark = batch_docs.sparkSession
-        delta = batch_docs.select(id_col, text_col)
+        for p in (docs_path, index_path, pairs_path, labels_path):
+            if p is not None:
+                fs.recover_swap(spark, p)
+        if op_col is not None and op_col in batch_docs.columns:
+            tomb = batch_docs.where(F.col(op_col) == delete_op).select(id_col).distinct()
+            delta = batch_docs.where(F.col(op_col) != delete_op).select(id_col, text_col)
+        else:
+            tomb = None
+            delta = batch_docs.select(id_col, text_col)
         # scoped release (ADVICE r4): drop only this batch's tracked
         # persists, even on failure — see upsert_each_batch
         with caching.scope():
+            if tomb is not None and fs.has_parquet(spark, docs_path) and not tomb.isEmpty():
+                # labels retract FIRST — it replays the touched
+                # components' original pairs, so it needs the pair log
+                # before the tombstones prune it
+                if labels_path is not None and fs.has_parquet(spark, labels_path):
+                    labels = spark.read.parquet(labels_path)
+                    plog = spark.read.parquet(pairs_path).select("id_a", "id_b")
+                    _swap_overwrite(
+                        D.retract_from_components(labels, plog, tomb),
+                        labels_path,
+                        None,
+                    )
+                _swap_overwrite(
+                    D.retract_index_rows(spark.read.parquet(docs_path), tomb, id_col),
+                    docs_path,
+                    "_batch_id",
+                )
+                _swap_overwrite(
+                    D.retract_index_rows(spark.read.parquet(index_path), tomb, "id"),
+                    index_path,
+                    "_batch_id",
+                )
+                plog = spark.read.parquet(pairs_path)
+                pruned = plog.join(
+                    F.broadcast(tomb.select(F.col(id_col).alias("id_a"))),
+                    "id_a",
+                    "left_anti",
+                ).join(
+                    F.broadcast(tomb.select(F.col(id_col).alias("id_b"))),
+                    "id_b",
+                    "left_anti",
+                )
+                _swap_overwrite(pruned, pairs_path, "_batch_id")
+            if delta.isEmpty():
+                return
             if fs.has_parquet(spark, docs_path):
                 archive = (
                     spark.read.parquet(docs_path)
@@ -369,6 +448,24 @@ def maintain_minhash_index_each_batch(
                 index_path,
             )
             _append(delta, docs_path)
+            if labels_path is not None:
+                # the day's pairs are read BACK from the written
+                # partition — re-executing the lazy plan after the index
+                # append would probe the delta against its own bands
+                # (the ordering hazard pinned in test_maintenance_ops)
+                day_pairs = (
+                    spark.read.parquet(pairs_path)
+                    .where(F.col("_batch_id") == batch_id)
+                    .select("id_a", "id_b")
+                )
+                prev = (
+                    spark.read.parquet(labels_path)
+                    if fs.has_parquet(spark, labels_path)
+                    else spark.createDataFrame([], "id long, cluster_id long")
+                )
+                updated = D.incremental_components(prev, day_pairs)
+                new_store = prev.join(updated, "id", "left_anti").unionByName(updated)
+                _swap_overwrite(new_store, labels_path, None)
 
     return _apply
 
