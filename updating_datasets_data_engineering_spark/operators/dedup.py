@@ -206,6 +206,86 @@ def minhash_band_index(
     )
 
 
+def banded_self_candidates(
+    banded: DataFrame,
+    bucket_cap: int | None = None,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from a band-index self-join, with a
+    result-preserving skew guard for adversarial corpora (VERDICT r4
+    item 7).
+
+    The band keys of a natural corpus are uniform md5 concatenations,
+    so the self-join shuffle is skew-free.  An ADVERSARIAL corpus —
+    thousands of identical or identical-prefix documents — collapses
+    into ONE band bucket, whose B² candidate pairs all land on the
+    single task owning that key; at corpus scale that task runs for
+    hours while the rest of the stage idles.
+
+    With ``bucket_cap`` set, buckets above the cap join through an
+    s × s SALT GRID instead: member a (salt u(a), md5-derived) is
+    emitted once per grid column (u(a), j) on the left and once per
+    grid row (i, u(a)) on the right, so pair (a, b) matches in exactly
+    one cell (u(a), u(b)) and the hot bucket's quadratic work spreads
+    over s² independently-scheduled join partitions.  Every pair is
+    still produced exactly once — the guard redistributes work, it
+    never drops candidates (unlike capped/sampled variants, which trade
+    recall) — so any bucket_cap/n_salts setting yields identical query
+    results, asserted in tests/test_ml_lsh.py.  Normal-size buckets
+    keep the plain join; only members of oversized buckets (found with
+    one aggregate, broadcast both ways) pay the s× replication.
+    """
+    plain = banded
+    if bucket_cap is not None:
+        sizes = (
+            banded.groupBy("band_no", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > bucket_cap)
+            .select("band_no", "band_key")
+        )
+        plain = banded.join(
+            F.broadcast(sizes), ["band_no", "band_key"], "left_anti"
+        )
+        hot = banded.join(
+            F.broadcast(sizes), ["band_no", "band_key"], "left_semi"
+        )
+        # md5-derived salt: deterministic and oracle-replayable, same
+        # discipline as the minhash permutations
+        salt = F.pmod(
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+            .cast("long"),
+            F.lit(n_salts),
+        ).cast("int")
+        grid = F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+        left = hot.withColumn("_u", salt).withColumn("_j", grid)
+        right = hot.withColumn("_u", salt).withColumn("_i", grid)
+        hot_pairs = (
+            left.alias("a")
+            .join(
+                right.alias("b"),
+                (F.col("a.band_no") == F.col("b.band_no"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a._u") == F.col("b._i"))
+                & (F.col("a._j") == F.col("b._u"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+    plain_pairs = (
+        plain.alias("a")
+        .join(
+            plain.alias("b"),
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    if bucket_cap is not None:
+        plain_pairs = plain_pairs.unionByName(hot_pairs)
+    return plain_pairs.dropDuplicates(["id_a", "id_b"])
+
+
 def _jaccard_verify(cand: DataFrame, toks: DataFrame, threshold: float) -> DataFrame:
     """Exact token-set Jaccard over candidate (id_a, id_b) pairs."""
     verify = (
@@ -234,6 +314,8 @@ def minhash_lsh_pairs(
     band_size: int = 4,
     threshold: float = 0.4,
     ngram: int | None = None,
+    bucket_cap: int | None = None,
+    n_salts: int = 8,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs with exact-Jaccard verification.
 
@@ -266,17 +348,9 @@ def minhash_lsh_pairs(
         )
     toks = tracked_persist(minhash_features(docs, id_col, text_col, ngram))
     banded = tracked_persist(minhash_band_index(toks, num_hashes, band_size))
-    candidates = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # bucket_cap arms the oversized-bucket salt grid for adversarial
+    # corpora (identical-prefix floods); result-identical at any setting
+    candidates = banded_self_candidates(banded, bucket_cap, n_salts)
     return _jaccard_verify(candidates, toks, threshold)
 
 

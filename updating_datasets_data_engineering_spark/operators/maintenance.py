@@ -21,6 +21,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from .. import fs
 
@@ -50,6 +51,49 @@ def compact(
     staging = fs.staging_path(path)
     fs.delete(spark, staging)
     df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).count()  # materialize before swap
+    fs.swap_directory(spark, staging, path)
+    files_after, _ = parquet_file_stats(spark, path)
+    return files_before, files_after
+
+
+def compact_batch_index(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> tuple[int, int]:
+    """Compact a ``_batch_id``-partitioned incremental index (the state
+    the streaming dedup maintenance appends to, one partition per
+    micro-batch) into a SINGLE partition tier (VERDICT r4 item 6).
+
+    A plain :func:`compact` would flatten the partition tier, and then
+    the next micro-batch's dynamic-partition append would produce a
+    mixed layout.  Instead every committed row is re-tagged with the
+    compaction WATERMARK — the max ``_batch_id`` present — and written
+    as one partition: future batches keep appending their own
+    partitions, and the maintenance readers' ``_batch_id < batch_id``
+    filter still sees every compacted row (watermark < any future
+    batch id by construction).
+
+    Run this only between streaming runs (or behind the checkpoint's
+    committed offset): a crash-replayed COMMITTED batch would re-append
+    rows the compaction folded into the watermark partition.  The swap
+    is the same crash-safe rename-aside as :func:`compact`.
+
+    Returns (files_before, files_after).
+    """
+    fs.recover_swap(spark, path)
+    files_before, total_bytes = parquet_file_stats(spark, path)
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(path)
+    watermark = df.agg(F.max("_batch_id")).collect()[0][0]
+    compacted = df.withColumn("_batch_id", F.lit(watermark).cast("long"))
+    staging = fs.staging_path(path)
+    fs.delete(spark, staging)
+    (
+        compacted.repartition(n_files)
+        .write.mode("overwrite")
+        .partitionBy("_batch_id")
+        .parquet(staging)
+    )
     spark.read.parquet(staging).count()  # materialize before swap
     fs.swap_directory(spark, staging, path)
     files_after, _ = parquet_file_stats(spark, path)
