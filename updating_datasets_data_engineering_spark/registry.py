@@ -1939,6 +1939,85 @@ WHERE cluster_id IN (SELECT cluster_id FROM allc WHERE doc_id % {delta_mod} = 0)
 """
 
 
+def dedup_minhash_lsh_salted(spark, sf_dir):
+    """MinHash+LSH with the oversized-bucket salt grid armed (VERDICT
+    r4 item 7): buckets over 2 members join through a 4×4 md5-salt grid
+    instead of one hot-key task.  The oracle is the SAME plain-join SQL
+    as ``dedup_minhash_lsh`` — passing the value-hash gate IS the proof
+    that the guard redistributes work without changing results."""
+    return D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=16,
+        band_size=4,
+        threshold=0.4,
+        ngram=3,
+        bucket_cap=2,
+        n_salts=4,
+    )
+
+
+def dedup_labels_after_delete(spark, sf_dir):
+    """Cluster-label RETRACTION (VERDICT r4 item 4 as a graded query):
+    docs with doc_id % 10 == 5 are deleted; their rows leave the
+    persisted pair log and the touched components are re-closed from
+    the log's surviving pairs (``retract_from_components`` — a bridge
+    delete can split a cluster, which star re-encoding cannot express).
+    Pair log and label fixpoint are persisted parquet state (see
+    ``_persisted_index``); only churn-sized frames broadcast.  Oracle =
+    the full recursive closure over the POST-delete corpus (paired
+    nodes only) — the retraction must reproduce it exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    deleted = docs.where(F.col("doc_id") % 10 == 5).select("doc_id")
+
+    def _pairs():
+        return D.minhash_lsh_pairs(
+            docs, num_hashes=16, band_size=4, threshold=0.4, ngram=3
+        )
+
+    plog = _persisted_index(spark, sf_dir, "lsh_pair_log", _pairs)
+    labels = _persisted_index(
+        spark, sf_dir, "cluster_labels_full", lambda: D.connected_components(plog)
+    )
+    return D.retract_from_components(labels, plog, deleted).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
+def _oracle_labels_after_delete_sql(mod: int = 10, rem: int = 5) -> str:
+    """Recursive closure over the post-delete corpus, paired nodes only
+    (same CTE surgery as _oracle_clusters_sql, with the delete filter
+    pushed into the document scan)."""
+    inner = OE.minhash_lsh_sql(16, 4, 0.4, ngram=3).strip()
+    inner = inner.replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents WHERE doc_id % {mod} <> {rem})",
+    )
+    assert inner.startswith("WITH ")
+    body = inner[len("WITH ") :]
+    head, _ = body.rsplit(
+        "SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.4", 1
+    )
+    head = head.strip().rstrip(",")
+    return f"""
+WITH RECURSIVE {head},
+pairs AS (
+    SELECT id_a, id_b FROM verified WHERE jaccard >= 0.4
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+    SELECT id, id AS peer FROM nodes
+    UNION
+    SELECT r.id, e.dst AS peer FROM reach r JOIN edges e ON e.src = r.peer
+)
+SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 def q8_market_share_q(spark, sf_dir):
     """TPC-H Q8 shape: conditional-sum market-share ratio per year."""
     return A.q8_market_share(
@@ -2747,6 +2826,18 @@ SPECS: list[QuerySpec] = [
     QuerySpec("q9_product_profit", q9_product_profit_q, _ORACLE_Q9),
     QuerySpec("q12_priority_counts", q12_priority_q, _ORACLE_Q12),
     QuerySpec("q16_supplier_counts", q16_supplier_counts_q, _ORACLE_Q16),
+    # r5: skew guard proved result-preserving by sharing the plain
+    # join's oracle; retraction graded against the post-delete closure
+    QuerySpec(
+        "dedup_minhash_lsh_salted",
+        dedup_minhash_lsh_salted,
+        OE.minhash_lsh_sql(16, 4, 0.4, ngram=3),
+    ),
+    QuerySpec(
+        "dedup_labels_after_delete",
+        dedup_labels_after_delete,
+        _oracle_labels_after_delete_sql(),
+    ),
 ]
 
 
