@@ -196,3 +196,36 @@ def test_incremental_exact_distinct_pairs(spark, sf_dir):
     exact = {r["event_type"]: r["d"] for r in
              events.groupBy("event_type").agg(F.countDistinct("user_id").alias("d")).collect()}
     assert got == exact
+
+
+def test_retraction_equals_rebuild_for_all_index_families(spark, sf_dir):
+    """VERDICT r4 item 4 across every index family: pruning a deleted
+    doc's rows from persisted state (anti-join retraction) must leave
+    exactly the state a full rebuild on the post-delete corpus would
+    produce — band index, SimHash signature index, and IVF cells."""
+    from updating_datasets_data_engineering_spark.operators import dedup as D
+    from updating_datasets_data_engineering_spark.operators import similarity as SIM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    deleted = docs.where(F.col("doc_id") % 7 == 0).select("doc_id")
+    remaining = docs.where(F.col("doc_id") % 7 != 0)
+
+    band = D.minhash_band_index(D.minhash_features(docs, "doc_id", "text", 3), 16, 4)
+    got = D.retract_index_rows(band, deleted, "id")
+    want = D.minhash_band_index(
+        D.minhash_features(remaining, "doc_id", "text", 3), 16, 4
+    )
+    assert _norm(got) == _norm(want)
+
+    sigs = D.simhash_signatures(docs)
+    got = D.retract_index_rows(sigs, deleted, "doc_id")
+    assert _norm(got) == _norm(D.simhash_signatures(remaining))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vdel = emb.where(F.col("vec_id") % 7 == 0).where(F.col("vec_id") >= 16).select("vec_id")
+    cells = SIM.ivf_assign_cells(emb, 16)
+    got = D.retract_index_rows(cells, vdel, "vec_id")
+    vrem = emb.join(vdel, "vec_id", "left_anti")
+    # centroids (vec_id < 16) survive the delete set, so rebuild on the
+    # remaining corpus uses the same quantizer
+    assert _norm(got) == _norm(SIM.ivf_assign_cells(vrem, 16))

@@ -139,10 +139,14 @@ def test_incremental_dedup_scans_index_not_rebands(spark, sf_dir, tmp_path):
     D.minhash_band_index(D.minhash_features(archive, ngram=3), 16, 4).write.parquet(
         idx_path
     )
+    # materialize=False: identical dataflow, but skips the internal
+    # localCheckpoints whose RDD-scan placeholders would hide the index
+    # scan from explain()
     with_index = D.incremental_minhash_pairs(
-        archive, delta, ngram=3, archive_index=spark.read.parquet(idx_path)
+        archive, delta, ngram=3,
+        archive_index=spark.read.parquet(idx_path), materialize=False,
     )
-    rebanding = D.incremental_minhash_pairs(archive, delta, ngram=3)
+    rebanding = D.incremental_minhash_pairs(archive, delta, ngram=3, materialize=False)
 
     p_idx = formatted_plan(with_index)
     p_full = formatted_plan(rebanding)

@@ -364,9 +364,14 @@ def incremental_minhash_pairs(
     threshold: float = 0.4,
     ngram: int | None = None,
     archive_index: DataFrame | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Incremental dedup-index maintenance: the NEW near-dup pairs a
     daily delta introduces, WITHOUT re-banding the archive.
+
+    ``materialize=False`` skips the internal localCheckpoint wrappers
+    (identity dataflow) so plan tests can inspect the full logical
+    plan — a checkpointed subtree renders as an RDD scan in explain().
 
     The reference's defining loop is archive ∪ daily-delta
     (`scripts/spark_merge_dfs.py:82-83`); this applies that state ⊕
@@ -403,10 +408,15 @@ def incremental_minhash_pairs(
             "guard excludes empty feature sets from banding, which is "
             "result-preserving only when Jaccard-0 pairs cannot pass"
         )
-    d_toks = tracked_persist(minhash_features(delta, id_col, text_col, ngram))
+    # lazy localCheckpoints, not persist (same lineage argument as the
+    # closure loop): each frame is consumed 2-3 times, and truncating
+    # the lineage keeps the minhash expression tree — which serializes
+    # to MBs — out of every downstream task binary
+    _mat = (lambda df: df.localCheckpoint(eager=False)) if materialize else (lambda df: df)
+    d_toks = _mat(minhash_features(delta, id_col, text_col, ngram))
     # delta bands: probe side vs the archive index AND the delta-delta
-    # self-join — two consumers, persist once
-    d_bands = tracked_persist(minhash_band_index(d_toks, num_hashes, band_size))
+    # self-join — two consumers, materialize once
+    d_bands = _mat(minhash_band_index(d_toks, num_hashes, band_size))
     if archive_index is None:
         archive_index = minhash_band_index(
             minhash_features(archive, id_col, text_col, ngram), num_hashes, band_size
@@ -434,10 +444,8 @@ def incremental_minhash_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
     )
     # candidates feed the verify join AND the id semi-join that prunes
-    # the archive tokenization — persist so the banded probe runs once
-    cand = tracked_persist(
-        probe.unionByName(intra).dropDuplicates(["id_a", "id_b"])
-    )
+    # the archive tokenization — materialize so the banded probe runs once
+    cand = _mat(probe.unionByName(intra).dropDuplicates(["id_a", "id_b"]))
     cand_ids = (
         cand.select(F.col("id_a").alias("cid"))
         .unionByName(cand.select(F.col("id_b").alias("cid")))
@@ -524,7 +532,10 @@ def incremental_simhash_groups(
     """
     if archive_index is None:
         archive_index = simhash_signatures(archive, id_col, text_col)
-    d_sigs = tracked_persist(simhash_signatures(delta, id_col, text_col))
+    # lazy localCheckpoint (not persist): consumed twice, and lineage
+    # truncation keeps the 32-bit-term simhash expression tree out of
+    # downstream task binaries — same argument as incremental_minhash_pairs
+    d_sigs = simhash_signatures(delta, id_col, text_col).localCheckpoint(eager=False)
     touched = d_sigs.select("simhash").distinct()
     all_sigs = archive_index.unionByName(d_sigs)
     return (
