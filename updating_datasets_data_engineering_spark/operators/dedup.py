@@ -346,8 +346,14 @@ def minhash_lsh_pairs(
             "guard excludes empty feature sets from banding, which is "
             "result-preserving only when Jaccard-0 pairs cannot pass"
         )
-    toks = tracked_persist(minhash_features(docs, id_col, text_col, ngram))
-    banded = tracked_persist(minhash_band_index(toks, num_hashes, band_size))
+    # lazy localCheckpoints (not persist): toks feeds banding + both
+    # verify sides, banded feeds both self-join sides; checkpointing
+    # truncates the minhash expression lineage so downstream task
+    # binaries stay small (same argument as incremental_minhash_pairs)
+    toks = minhash_features(docs, id_col, text_col, ngram).localCheckpoint(eager=False)
+    banded = minhash_band_index(toks, num_hashes, band_size).localCheckpoint(
+        eager=False
+    )
     # bucket_cap arms the oversized-bucket salt grid for adversarial
     # corpora (identical-prefix floods); result-identical at any setting
     candidates = banded_self_candidates(banded, bucket_cap, n_salts)

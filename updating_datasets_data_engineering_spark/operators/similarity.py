@@ -269,17 +269,20 @@ def near_dup_candidates(
     bands_sql = "explode(array(" + ", ".join(
         _bucket_sql(l) for l in range(n_bands)
     ) + ")) AS bb"
-    # persist the banded index: the self-join consumes it on BOTH sides,
-    # and without materialization each side recomputes the L*r
+    # materialize the banded index: the self-join consumes it on BOTH
+    # sides, and without materialization each side recomputes the L*r
     # projection folds (the most CPU-heavy part of the whole operator —
     # measured 2x the banding cost, 6.5s -> 2.2s at sf0.1).  The index
     # is 3 small integer/long columns (no vectors), so its footprint is
     # rows*L tuples of ~24 bytes; at 100 TB this is the LSH index a
     # production system would persist to a table once per corpus
-    # snapshot anyway.
-    banded = tracked_persist(
-        b.selectExpr("id", bands_sql).select("id", "bb.band_no", "bb.bucket")
-    )
+    # snapshot anyway.  Lazy localCheckpoint rather than persist: the
+    # r*L plane-fold expression closure serializes to MBs, and lineage
+    # truncation keeps it out of every downstream task binary (same
+    # argument as dedup's incremental operators).
+    banded = b.selectExpr("id", bands_sql).select(
+        "id", "bb.band_no", "bb.bucket"
+    ).localCheckpoint(eager=False)
     # fan the probe side out to full parallelism: the join PRODUCES the
     # candidate set (orders of magnitude more rows than it reads), so
     # probe-side task count caps throughput — a single-partition scan
