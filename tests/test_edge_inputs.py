@@ -191,3 +191,95 @@ def test_minhash_banding_drops_empty_feature_docs(spark):
     assert banded.count() == 4  # only doc 3 (1 band set of 4), not 12
     assert banded.where(F.col("id").isin(1, 2)).count() == 0
     assert D.minhash_lsh_pairs(docs, ngram=3).count() == 0
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+def test_retract_with_empty_delete_set_is_identity(spark):
+    """An empty tombstone batch must leave labels and indexes unchanged."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w v u t")],
+        "doc_id long, text string",
+    )
+    pairs = D.minhash_lsh_pairs(docs, ngram=3)
+    labels = D.connected_components(pairs)
+    empty = spark.createDataFrame([], "doc_id long")
+    assert _rows(D.retract_from_components(labels, pairs, empty)) == _rows(labels)
+    band = D.minhash_band_index(D.minhash_features(docs, "doc_id", "text", 3), 16, 4)
+    assert _rows(D.retract_index_rows(band, empty, "id")) == _rows(band)
+
+
+def test_retract_unknown_id_is_noop(spark):
+    """Deleting an id that was never indexed must change nothing."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g")], "doc_id long, text string"
+    )
+    pairs = D.minhash_lsh_pairs(docs, ngram=3)
+    labels = D.connected_components(pairs)
+    ghost = spark.createDataFrame([(999,)], "doc_id long")
+    assert _rows(D.retract_from_components(labels, pairs, ghost)) == _rows(labels)
+
+
+def test_retract_bridge_doc_splits_cluster(spark):
+    """The case star re-encoding cannot express: A~B and B~C (but not
+    A~C) form one cluster through bridge B; deleting B must SPLIT the
+    cluster, leaving A and C unpaired (dropped from the store)."""
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "id long, cluster_id long"
+    )
+    pair_log = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    deleted = spark.createDataFrame([(2,)], "doc_id long")
+    got = D.retract_from_components(labels, pair_log, deleted)
+    # no surviving pairs -> neither 1 nor 3 is emitted (singleton
+    # convention), and 2 is gone
+    assert got.count() == 0
+
+
+def test_retract_partial_split_keeps_surviving_edge(spark):
+    """Cluster {1,2,3,4} with edges 1-2, 2-3, 3-4: deleting 2 must
+    leave exactly the component {3,4} (via the surviving 3-4 edge)."""
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 1)], "id long, cluster_id long"
+    )
+    pair_log = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    deleted = spark.createDataFrame([(2,)], "doc_id long")
+    got = {(r["id"], r["cluster_id"]) for r in
+           D.retract_from_components(labels, pair_log, deleted).collect()}
+    assert got == {(3, 3), (4, 3)}
+
+
+def test_salt_grid_with_no_oversized_buckets_matches_plain(spark):
+    """bucket_cap higher than every bucket size must leave the plan's
+    RESULTS identical to the plain join (the guard arms only on
+    oversized buckets)."""
+    docs = spark.createDataFrame(
+        [(i, f"some unique text {i} with shared words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plain = D.minhash_lsh_pairs(docs, ngram=3)
+    capped = D.minhash_lsh_pairs(docs, ngram=3, bucket_cap=10_000, n_salts=4)
+    assert _rows(capped) == _rows(plain)
+
+
+def test_compact_batch_index_idempotent(spark, tmp_path):
+    """Compacting an already-compacted index is a no-op in content and
+    leaves one partition tier."""
+    from updating_datasets_data_engineering_spark.operators import maintenance as MNT
+
+    path = str(tmp_path / "idx")
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 3).alias("_batch_id")
+    )
+    df.write.partitionBy("_batch_id").parquet(path)
+    MNT.compact_batch_index(spark, path)
+    first = _rows(spark.read.parquet(path))
+    MNT.compact_batch_index(spark, path)
+    assert _rows(spark.read.parquet(path)) == first
+    assert spark.read.parquet(path).select("_batch_id").distinct().count() == 1
