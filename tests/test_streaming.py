@@ -465,3 +465,26 @@ def test_streaming_index_delete_lifecycle(spark, tmp_path):
     assert _sorted_rows(spark.read.parquet(labels_path), lcols) == _sorted_rows(
         expect_labels, lcols
     )
+
+    # batch 3: re-insert the deleted doc's text under a NEW id — the
+    # pruned index must still serve probes, the new doc must rejoin its
+    # old cluster, and end state must equal a full recompute on the
+    # final corpus (insert ⊖ delete ⊕ insert, the complete CDC cycle)
+    reborn_id = 10_000_000
+    victim_text = all_docs.where(F.col("doc_id") == victim).collect()[0]["text"]
+    run(
+        spark.createDataFrame(
+            [(reborn_id, victim_text, "upsert")],
+            "doc_id long, text string, op string",
+        )
+    )
+    final_docs = remaining.unionByName(
+        spark.createDataFrame([(reborn_id, victim_text)], "doc_id long, text string")
+    )
+    final_pairs = D.minhash_lsh_pairs(final_docs, ngram=3)
+    assert _sorted_rows(
+        spark.read.parquet(pairs_path).select(*key), key
+    ) == _sorted_rows(final_pairs, key)
+    assert _sorted_rows(spark.read.parquet(labels_path), lcols) == _sorted_rows(
+        D.connected_components(final_pairs), lcols
+    )
