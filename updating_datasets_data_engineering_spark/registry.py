@@ -1735,15 +1735,22 @@ def _persisted_index(
     spark: SparkSession, sf_dir: str, kind: str, build: Callable[[], DataFrame]
 ) -> DataFrame:
     """Read the persisted index for (sf_dir, kind), materializing it
-    once per session on first use."""
+    once per session on first use.  The build plan's partitioning
+    (often 32 map tasks) would leave 32 kilobyte files whose open/
+    footer costs tax every probe — size-aware compaction (the same
+    operator production runs nightly) bin-packs the state once at
+    build time."""
     import os
     import tempfile
+
+    from .operators import maintenance as MNT
 
     key = (sf_dir.rstrip("/"), kind)
     path = _PERSISTED_INDEX.get(key)
     if path is None or not os.path.isdir(path):
         path = tempfile.mkdtemp(prefix=f"graft_idx_{kind}_")
         build().write.mode("overwrite").parquet(path)
+        MNT.compact(spark, path)
         _PERSISTED_INDEX[key] = path
     return spark.read.parquet(path)
 
