@@ -283,3 +283,31 @@ def test_compact_batch_index_idempotent(spark, tmp_path):
     MNT.compact_batch_index(spark, path)
     assert _rows(spark.read.parquet(path)) == first
     assert spark.read.parquet(path).select("_batch_id").distinct().count() == 1
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Adversarial CHAIN of near-dups: plain min-label propagation
+    needs diameter rounds (a 60-node path would blow the 15-round cap
+    and raise); the pointer-jumping rounds added after round 4 converge
+    in O(log d).  All nodes must label to the chain's minimum."""
+    n = 60
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    labels = D.connected_components(pairs)
+    got = {(r["id"], r["cluster_id"]) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(n)}
+
+
+def test_connected_components_two_chains_and_a_clique(spark):
+    """Mixed topology: two disjoint chains plus a dense clique must
+    each close to their own minimum."""
+    rows = [(i, i + 1) for i in range(0, 19)]          # chain 0..19
+    rows += [(100 + i, 101 + i) for i in range(0, 19)]  # chain 100..119
+    rows += [(200 + a, 200 + b) for a in range(5) for b in range(a + 1, 5)]
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    got = {(r["id"], r["cluster_id"]) for r in D.connected_components(pairs).collect()}
+    expect = {(i, 0) for i in range(20)}
+    expect |= {(100 + i, 100) for i in range(20)}
+    expect |= {(200 + i, 200) for i in range(5)}
+    assert got == expect

@@ -684,12 +684,19 @@ def connected_components(
     regardless of iteration order).
 
     Returns (id, cluster_id) for every node appearing in a pair.
-    Iterations needed = graph diameter (near-dup clusters are shallow
-    chains; each round is one join + one aggregate).  At extreme scale
-    swap the propagation step for the large-star/small-star rounds of
-    Kiveris et al., "Connected Components in MapReduce and Beyond"
-    (SoCC 2014) — O(log n) rounds on adversarial graphs; the oracle
-    semantics (min reachable id) are identical.
+    Plain propagation needs diameter-many rounds — fine for dedup
+    clusters (dense, shallow), fatal for an adversarial CHAIN of
+    near-dups (a 40-doc chain exceeded the old 15-round cap and
+    raised).  After ``_JUMP_AFTER`` plain rounds the loop therefore
+    adds POINTER JUMPING — each node also adopts its label's label,
+    doubling propagation distance per round (the path-halving idea
+    behind Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — so convergence is O(diameter) on shallow
+    graphs (no extra join paid) and O(log diameter) past the switch,
+    with max_iter=15 covering diameters into the thousands.  A label is
+    always the id of a reachable node, and min(reachable) is invariant
+    under both steps, so the fixpoint — and the oracle semantics — are
+    unchanged.
     """
     # both directions of the edge union consume `pairs`; materialize so
     # an expensive upstream (LSH verify) plan runs once, not twice
@@ -716,7 +723,8 @@ def connected_components(
     # count) instead of three (edges ckpt + labels ckpt + round ckpt)
     edges = edges.localCheckpoint(eager=False)
     labels = labels.localCheckpoint(eager=False)
-    for _ in range(max_iter):
+    _JUMP_AFTER = 4  # shallow graphs converge before this; chains switch
+    for round_no in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
@@ -734,6 +742,25 @@ def connected_components(
             )
         )
         merged = merged.localCheckpoint(eager=False)  # cut lineage per round
+        if round_no >= _JUMP_AFTER:
+            # pointer jump: adopt the label's label too — doubles the
+            # propagation distance per round, O(log d) convergence on
+            # chains; one extra self-join paid only when plain rounds
+            # haven't already converged
+            hop = merged.select(
+                F.col("id").alias("hid"), F.col("label").alias("hlabel")
+            )
+            merged = (
+                merged.join(hop, merged["label"] == hop["hid"], "left")
+                .select(
+                    "id",
+                    "_old",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("hlabel"), F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=False)
+            )
         changed = merged.where(F.col("label") != F.col("_old")).count()
         labels = merged.select("id", "label")
         if changed == 0:
