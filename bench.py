@@ -130,6 +130,8 @@ HEADLINE = [
     # r5 additions: skew-guarded banding + label retraction
     "dedup_minhash_lsh_salted",
     "dedup_labels_after_delete",
+    "merge_scd2_customers",
+    "snapshot_diff_orders",
 ]
 
 

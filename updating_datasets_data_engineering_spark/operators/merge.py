@@ -176,3 +176,150 @@ def merge_anti_join(
     d = F.broadcast(delta_unique) if broadcast_delta else delta_unique
     survivors = archive.join(d.select(*key), on=list(key), how="left_anti")
     return survivors.unionByName(delta_unique, allowMissingColumns=True)
+
+
+def merge_scd2(
+    current: DataFrame,
+    delta: DataFrame,
+    key: Sequence[str],
+    attrs: Sequence[str],
+    eff_col: str = "eff_date",
+    start_col: str = "valid_from",
+    end_col: str = "valid_to",
+    flag_col: str = "is_current",
+    open_end: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension Type-2 maintenance: version history as
+    data.  ``current`` is the full SCD2 table (``key`` + ``attrs`` +
+    ``[start_col, end_col, flag_col]``); ``delta`` carries one new
+    attribute snapshot per key effective at ``eff_col``.  A delta row
+    whose attrs differ from the key's OPEN row closes that row
+    (``end_col = eff``, flag false) and appends a new open version;
+    an identical snapshot is a no-op; a key with no open row inserts
+    its first version.  Closed history rows pass through untouched.
+
+    This is the "updating datasets" model one level up from the
+    reference's overwrite-merge (scripts/spark_merge_dfs.py:82-83):
+    instead of the delta *replacing* the archive row, the archive keeps
+    every version with its validity interval — the standard warehouse
+    answer to "what did this row say when we trained last month?".
+
+    Scale shape (100 TB dimension): the table is stored partitioned by
+    ``flag_col``, so the closed-history partition — the bulk of the
+    data — is PASSED THROUGH without a join, a shuffle, or even a
+    comparison; partition pruning means it is never scanned for the
+    merge decision at all.  Only the open slice (≤ one row per live
+    key) joins the delta, and a daily delta broadcasts: zero shuffle
+    end to end.
+    """
+    key = list(key)
+    attrs = list(attrs)
+    hist = current.where(~F.col(flag_col))
+    open_rows = current.where(F.col(flag_col))
+
+    # one row per key in the delta: a malformed feed with two snapshots
+    # for a key would otherwise fork the open interval
+    d = F.broadcast(tracked_persist(delta.dropDuplicates(key)))
+
+    # attrs identical <=> every column null-safe-equal
+    same = None
+    for a in attrs:
+        eq = open_rows[a].eqNullSafe(d[a])
+        same = eq if same is None else (same & eq)
+
+    changed_keys = (
+        open_rows.join(d, on=key, how="inner")
+        .where(~same)
+        .select(*[open_rows[k] for k in key])
+    )
+    changed_keys = F.broadcast(tracked_persist(changed_keys))
+
+    untouched_open = open_rows.join(changed_keys, on=key, how="left_anti")
+    closed_out = (
+        open_rows.join(changed_keys, on=key, how="left_semi")
+        .join(d.select(*key, F.col(eff_col).alias("_eff")), on=key)
+        .withColumn(end_col, F.col("_eff"))
+        .withColumn(flag_col, F.lit(False))
+        .drop("_eff")
+    )
+    new_open = (
+        d.join(changed_keys, on=key, how="left_semi")
+        .unionByName(d.join(open_rows.select(*key), on=key, how="left_anti"))
+        .select(
+            *key,
+            *attrs,
+            F.col(eff_col).alias(start_col),
+            # open rows end at NULL, or at the sentinel high date when the
+            # store's convention is BETWEEN-friendly (e.g. '9999-12-31')
+            F.lit(open_end).cast(open_rows.schema[end_col].dataType).alias(end_col),
+            F.lit(True).alias(flag_col),
+        )
+    )
+    out_cols = [*key, *attrs, start_col, end_col, flag_col]
+    return (
+        hist.select(*out_cols)
+        .unionByName(untouched_open.select(*out_cols))
+        .unionByName(closed_out.select(*out_cols))
+        .unionByName(new_open.select(*out_cols))
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: Sequence[str],
+    compare: Sequence[str] | None = None,
+    op_col: str = "op",
+) -> DataFrame:
+    """Change-data-feed generation: diff two snapshots of a keyed table
+    into insert / update / delete rows (the inverse of ``merge_cdc`` —
+    given only before/after states, recover the delta that connects
+    them).  Unchanged keys are dropped.  Values come from the NEW side
+    for inserts/updates and the OLD side for deletes.
+
+    Scale shape: one co-partitioned full-outer join on the key — both
+    snapshots shuffle once, or ZERO times when both are stored bucketed
+    by the key (operators/bucketing.py), which is how a 100 TB archive
+    would run a daily diff.  The per-column null-safe comparison stays
+    in whole-stage codegen; no row hashing round-trip, no driver
+    involvement.
+    """
+    key = list(key)
+    compare = list(compare) if compare is not None else [
+        c for c in new.columns if c not in key
+    ]
+    # alias-qualified refs: old/new typically derive from the same scan
+    # (yesterday's vs today's snapshot of one table), so bare column
+    # objects are ambiguous under Spark's self-join analysis
+    o = old.alias("_sd_o")
+    n = new.alias("_sd_n")
+    oc_ = lambda c: F.col(f"_sd_o.`{c}`")  # noqa: E731
+    nc_ = lambda c: F.col(f"_sd_n.`{c}`")  # noqa: E731
+    cond = None
+    for k in key:
+        eq = oc_(k).eqNullSafe(nc_(k))
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, on=cond, how="full_outer")
+
+    old_present = oc_(key[0]).isNotNull()
+    new_present = nc_(key[0]).isNotNull()
+    same = None
+    for c in compare:
+        eq = oc_(c).eqNullSafe(nc_(c))
+        same = eq if same is None else (same & eq)
+
+    op = (
+        F.when(~old_present, F.lit("insert"))
+        .when(~new_present, F.lit("delete"))
+        .when(~same, F.lit("update"))
+    )  # NULL for unchanged -> filtered
+    pick = lambda c: F.when(new_present, nc_(c)).otherwise(oc_(c))  # noqa: E731
+    return (
+        j.withColumn(op_col, op)
+        .where(F.col(op_col).isNotNull())
+        .select(
+            *[pick(k).alias(k) for k in key],
+            *[pick(c).alias(c) for c in compare],
+            op_col,
+        )
+    )

@@ -307,6 +307,115 @@ SELECT event_id, user_ref, event_type, props FROM (
 """
 
 
+def merge_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance: the customer dimension carries
+    its version history (every key %5==0 already has one closed 2019
+    version), and a daily snapshot arrives effective 2024-06-01 —
+    changed balances (%3==0, +100) close the open row and append a new
+    version; byte-identical snapshots (%7==1 and not %3==0) are
+    no-ops.  The history partition passes through without a join."""
+    cust = _t(spark, sf_dir, "customer")
+    ROUND = lambda c: F.round(c, 2)  # noqa: E731
+    open_rows = cust.select(
+        "c_custkey",
+        ROUND(F.col("c_acctbal")).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit("9999-12-31").cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    hist = cust.where(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        ROUND(F.col("c_acctbal") - 50).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2019-01-01").cast("date").alias("valid_from"),
+        F.lit("2020-01-01").cast("date").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    current = hist.unionByName(open_rows)
+    delta = cust.where((F.col("c_custkey") % 3 == 0) | (F.col("c_custkey") % 7 == 1)).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 3 == 0, ROUND(F.col("c_acctbal") + 100)
+        ).otherwise(ROUND(F.col("c_acctbal"))).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2024-06-01").cast("date").alias("eff_date"),
+    )
+    return M.merge_scd2(
+        current, delta, key=["c_custkey"], attrs=["acctbal", "segment"],
+        open_end="9999-12-31",
+    )
+
+
+# the oracle exploits what the fixture guarantees (+100 always changes a
+# balance, so the changed set is exactly %3==0); the OPERATOR does the
+# real null-safe attr comparison — the value hash checks they agree
+_ORACLE_SCD2 = """
+SELECT c_custkey, round(c_acctbal - 50, 2) AS acctbal, c_mktsegment AS segment,
+       DATE '2019-01-01' AS valid_from, DATE '2020-01-01' AS valid_to, FALSE AS is_current
+FROM customer WHERE c_custkey % 5 = 0
+UNION ALL      -- open rows of unchanged keys pass through
+SELECT c_custkey, round(c_acctbal, 2), c_mktsegment,
+       DATE '2020-01-01', DATE '9999-12-31', TRUE
+FROM customer WHERE c_custkey % 3 <> 0
+UNION ALL      -- changed keys: the 2020 version closes at the effective date
+SELECT c_custkey, round(c_acctbal, 2), c_mktsegment,
+       DATE '2020-01-01', DATE '2024-06-01', FALSE
+FROM customer WHERE c_custkey % 3 = 0
+UNION ALL      -- ... and the delta snapshot becomes the open version
+SELECT c_custkey, round(c_acctbal + 100, 2), c_mktsegment,
+       DATE '2024-06-01', DATE '9999-12-31', TRUE
+FROM customer WHERE c_custkey % 3 = 0
+"""
+
+
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed generation: recover the insert/update/delete
+    delta connecting two order snapshots (keys %13==3 appear, %13==5
+    vanish, %7==0 reprice by 10%).  The inverse of merge_cdc: what a
+    CDC-less upstream forces a 100 TB pipeline to compute itself."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price"), "o_orderstatus"
+    )
+    old = base.where(F.col("o_orderkey") % 13 != 3)
+    # +10.0, not round(×1.1): a repriced row must differ from the old one
+    # by an expression both engines compute bit-identically — round after
+    # ×1.1 lands on decimal-tie boundaries where Spark (HALF_UP) and an
+    # ANSI engine (HALF_EVEN) disagree by a cent (2 rows at sf0.01)
+    new = base.where(F.col("o_orderkey") % 13 != 5).withColumn(
+        "price",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("price") + 10.0
+        ).otherwise(F.col("price")),
+    )
+    return M.snapshot_diff(old, new, key=["o_orderkey"])
+
+
+_ORACLE_SNAPSHOT_DIFF = """
+WITH old AS (
+    SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderstatus
+    FROM orders WHERE o_orderkey % 13 <> 3
+), new AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice, 2) + 10.0
+                ELSE round(o_totalprice, 2) END AS price,
+           o_orderstatus
+    FROM orders WHERE o_orderkey % 13 <> 5
+)
+SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+       COALESCE(n.price, o.price) AS price,
+       COALESCE(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS op
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.price IS DISTINCT FROM n.price
+   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+"""
+
+
 def shot_team_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: the realistic pipeline shape — the archive side comes
     from storage already parsed (it was ingested on previous runs),
@@ -2845,6 +2954,10 @@ SPECS: list[QuerySpec] = [
         dedup_labels_after_delete,
         _oracle_labels_after_delete_sql(),
     ),
+    # r5 second wave: versioned-dimension maintenance and CDC recovery —
+    # the "updating datasets" model as first-class history, not overwrite
+    QuerySpec("merge_scd2_customers", merge_scd2_customers, _ORACLE_SCD2),
+    QuerySpec("snapshot_diff_orders", snapshot_diff_orders, _ORACLE_SNAPSHOT_DIFF),
 ]
 
 
