@@ -132,6 +132,8 @@ HEADLINE = [
     "dedup_labels_after_delete",
     "merge_scd2_customers",
     "snapshot_diff_orders",
+    "events_concurrency",
+    "events_trend",
 ]
 
 

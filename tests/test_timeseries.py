@@ -117,3 +117,56 @@ def test_hypertable_rollup_grains(spark, sf_dir):
     )
     joined = day_rows.join(hour_sum, ["grp", "day"])
     assert joined.where(F.col("n_events") != F.col("n")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# interval concurrency (sweep line) + group trend (r5)
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+from updating_datasets_data_engineering_spark.operators.timeseries import (
+    group_trend,
+    interval_concurrency,
+)
+
+
+def _min(minute):
+    return _dt.datetime(2024, 1, 1, 12, minute, 0)
+
+
+def test_interval_concurrency_counts_overlap(spark):
+    rows = [
+        # k=a: [0,10) [5,15) [20,30) -> peak 2
+        ("a", _min(0), _min(10)),
+        ("a", _min(5), _min(15)),
+        ("a", _min(20), _min(30)),
+        # k=b: three nested -> peak 3
+        ("b", _min(0), _min(30)),
+        ("b", _min(5), _min(25)),
+        ("b", _min(10), _min(20)),
+    ]
+    df = spark.createDataFrame(rows, ["k", "s", "e"])
+    out = {r["k"]: r for r in interval_concurrency(df, ["k"], "s", "e").collect()}
+    assert out["a"]["max_concurrent"] == 2 and out["a"]["n_intervals"] == 3
+    assert out["b"]["max_concurrent"] == 3 and out["b"]["n_intervals"] == 3
+
+
+def test_interval_concurrency_touching_is_not_overlap(spark):
+    # [0,10) then [10,20): half-open — end==start never counts as 2
+    df = spark.createDataFrame(
+        [("a", _min(0), _min(10)), ("a", _min(10), _min(20))], ["k", "s", "e"]
+    )
+    out = interval_concurrency(df, ["k"], "s", "e").collect()[0]
+    assert out["max_concurrent"] == 1
+
+
+def test_group_trend_recovers_known_line(spark):
+    # y = 3x + 2 exactly -> slope 3, intercept 2, r2 1
+    rows = [("g", float(x), 3.0 * x + 2.0) for x in range(10)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = group_trend(df, ["g"], "x", "y").collect()[0]
+    assert out["slope"] == 3.0
+    assert out["intercept"] == 2.0
+    assert out["r2"] == 1.0
+    assert out["n"] == 10

@@ -175,3 +175,80 @@ def hypertable_rollup(
         )
         .select("grp", "day", "hour", "grain_id", "n_events", "sum_value")
     )
+
+
+def interval_concurrency(
+    df: DataFrame,
+    key: Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Maximum number of simultaneously-open intervals per key, by
+    sweep line: each interval becomes a (+1 at start, -1 at end) event
+    pair, a running sum ordered by time reconstructs the concurrency
+    curve, and one aggregate takes its peak.  Half-open ``[start,
+    end)`` semantics: at a tie the ``-1`` sorts first, so an interval
+    ending exactly when another starts never counts as overlap.
+
+    The classic alternative — self-join on ``a.start < b.end AND
+    b.start < a.end`` — is an inequality-only join: quadratic candidate
+    volume and a nested-loop plan.  The sweep line is one map-side
+    explode (2 rows per interval) plus one window sort per key: linear
+    data volume, one shuffle, survives any scale-up that a sort does.
+
+    The peak value is order-insensitive within a tie group: ties are
+    (time, delta)-ordered, same-sign runs only strengthen monotonically
+    toward their last row, and the pre-group running total is itself a
+    candidate — so whatever order equal rows land in, the max is the
+    same (the per-row running sums are not unique, the PEAK is).
+    """
+    key = list(key)
+    ev = df.select(
+        *key,
+        F.explode(
+            F.array(
+                F.struct(F.col(start_col).alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col(end_col).alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("e"),
+    ).select(*key, F.col("e.t").alias("t"), F.col("e.delta").alias("delta"))
+    w = (
+        Window.partitionBy(*key)
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = ev.withColumn("open_now", F.sum("delta").over(w))
+    return running.groupBy(*key).agg(
+        F.max("open_now").alias("max_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+    )
+
+
+def group_trend(
+    df: DataFrame,
+    key: Sequence[str],
+    x: str,
+    y: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group least-squares trend line — slope, intercept, fit (R²),
+    and sample count of ``y`` over ``x`` — via the SQL regression
+    aggregates (``regr_slope`` etc.), which Catalyst computes as one
+    pass of running moments: a single map-side-combined hash aggregate,
+    no window, no second scan.  The closed-form moments are exactly the
+    summaries an INCREMENTAL maintainer can fold delta-wise (same state
+    algebra as operators/incremental.py), which is why the trend family
+    belongs to a continuously-updating 100 TB table.
+
+    Both sides of a cross-engine comparison must round: the moment sums
+    accumulate in data order, so last-bit sum differences reach the
+    slope ratio (same discipline as q2/q11/q15).
+    """
+    key = list(key)
+    xc, yc = F.col(x), F.col(y)
+    return df.groupBy(*key).agg(
+        F.round(F.regr_slope(yc, xc), decimals).alias("slope"),
+        F.round(F.regr_intercept(yc, xc), decimals).alias("intercept"),
+        F.round(F.regr_r2(yc, xc), decimals).alias("r2"),
+        F.regr_count(yc, xc).alias("n"),
+    )

@@ -1672,6 +1672,76 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def events_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per event type via sweep line (each
+    event opens a 1-to-50-minute interval).  The join-free answer to
+    'how many were open at once' — interval self-overlap as a sort,
+    not an inequality join."""
+    from .operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").alias("s"),
+        F.timestamp_add(
+            "MINUTE", (F.col("event_id") % 50 + 1).cast("int"), F.col("ts")
+        ).alias("e"),
+    )
+    return TS.interval_concurrency(ev, key=["event_type"], start_col="s", end_col="e")
+
+
+_ORACLE_CONCURRENCY = """
+WITH iv AS (
+    SELECT event_type, ts AS s,
+           ts + (event_id % 50 + 1) * INTERVAL 1 MINUTE AS e
+    FROM events
+), ev AS (
+    SELECT event_type, s AS t, 1 AS delta FROM iv
+    UNION ALL
+    SELECT event_type, e AS t, -1 AS delta FROM iv
+), run AS (
+    SELECT event_type,
+           sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                            ROWS UNBOUNDED PRECEDING) AS open_now
+    FROM ev
+)
+SELECT event_type, CAST(max(open_now) AS BIGINT) AS max_concurrent,
+       CAST(count(*) / 2 AS BIGINT) AS n_intervals
+FROM run GROUP BY event_type
+"""
+
+
+def events_trend(spark, sf_dir):
+    """Per-type least-squares trend of value over time (slope /
+    intercept / R² / n) — the regression aggregates as one moment
+    pass.  x is epoch-days as a double, identical arithmetic in both
+    engines; ±0.0 normalized (a ~0 slope rounds to a signed zero on
+    whichever side the last bit fell)."""
+    from .operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "x", F.unix_micros(F.col("ts")) / F.lit(86400000000.0)
+    )
+    t = TS.group_trend(ev, key=["event_type"], x="x", y="value")
+    return t.select(
+        "event_type",
+        (F.col("slope") + 0.0).alias("slope"),
+        (F.col("intercept") + 0.0).alias("intercept"),
+        (F.col("r2") + 0.0).alias("r2"),
+        "n",
+    )
+
+
+_ORACLE_TREND = """
+SELECT event_type,
+       round(regr_slope(value, x), 6) + 0.0 AS slope,
+       round(regr_intercept(value, x), 6) + 0.0 AS intercept,
+       round(regr_r2(value, x), 6) + 0.0 AS r2,
+       regr_count(value, x) AS n
+FROM (SELECT event_type, value, epoch_us(ts) / 86400000000.0 AS x FROM events)
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Extension tier: text analysis / dedup / similarity / multimodal
 # (SURVEY.md §7 stage 9; oracles in oracles_ext.py mirror the md5-based
@@ -2958,6 +3028,8 @@ SPECS: list[QuerySpec] = [
     # the "updating datasets" model as first-class history, not overwrite
     QuerySpec("merge_scd2_customers", merge_scd2_customers, _ORACLE_SCD2),
     QuerySpec("snapshot_diff_orders", snapshot_diff_orders, _ORACLE_SNAPSHOT_DIFF),
+    QuerySpec("events_concurrency", events_concurrency, _ORACLE_CONCURRENCY),
+    QuerySpec("events_trend", events_trend, _ORACLE_TREND),
 ]
 
 
