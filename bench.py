@@ -134,6 +134,7 @@ HEADLINE = [
     "snapshot_diff_orders",
     "events_concurrency",
     "events_trend",
+    "dedup_fuzzy_titles",
 ]
 
 

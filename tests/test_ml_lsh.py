@@ -99,3 +99,47 @@ def test_salt_grid_guard_is_result_preserving(spark):
         assert r["m"] <= (b // n_salts) + max(6, b // n_salts), (
             f"salt group holds {r['m']} of {b} members - md5 salt degenerated"
         )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_pairs (edit-distance dedup with blocking) — r5
+# ---------------------------------------------------------------------------
+
+from updating_datasets_data_engineering_spark.operators.dedup import fuzzy_pairs
+
+
+def test_fuzzy_pairs_finds_edits_within_block(spark):
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "the quick brown fox jumpz"),      # 1 substitution
+        (3, "the quick brown fox jump"),       # 1 deletion
+        (4, "the quick brown cat sleeps"),     # same prefix, dist > 2
+        (5, "a totally different title"),      # different block
+    ]
+    df = spark.createDataFrame(rows, ["id", "title"])
+    out = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in fuzzy_pairs(df, max_dist=2, prefix_len=8).collect()}
+    assert out[(1, 2)] == 1 and out[(1, 3)] == 1 and out[(2, 3)] == 1
+    assert all(4 not in p and 5 not in p for p in out)
+
+
+def test_fuzzy_pairs_length_band_boundary_complete(spark):
+    # titles of length 29 and 30 straddle a floor(len/3) bucket boundary
+    # (9 vs 10): the two-bucket emission must still pair them
+    a = "x" * 29
+    b = "x" * 30
+    df = spark.createDataFrame([(1, a), (2, b)], ["id", "title"])
+    out = fuzzy_pairs(df, max_dist=2, prefix_len=8).collect()
+    assert len(out) == 1 and out[0]["dist"] == 1
+
+
+def test_fuzzy_pairs_salt_grid_preserves_results(spark):
+    # identical-prefix flood: the salted path must return the same pairs
+    rows = [(i, f"boilerplate header {i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["id", "title"])
+    plain = {(r["id_a"], r["id_b"]) for r in fuzzy_pairs(df, max_dist=2).collect()}
+    salted = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_pairs(df, max_dist=2, bucket_cap=5, n_salts=4).collect()
+    }
+    assert plain == salted and len(plain) > 0

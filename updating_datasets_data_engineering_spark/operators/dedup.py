@@ -768,3 +768,78 @@ def connected_components(
     else:
         raise RuntimeError(f"components did not converge in {max_iter} rounds")
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def fuzzy_pairs(
+    docs: DataFrame,
+    title_col: str = "title",
+    id_col: str = "id",
+    max_dist: int = 2,
+    prefix_len: int = 8,
+    len_band: int | None = None,
+    bucket_cap: int | None = None,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Record-linkage-style fuzzy dedup: (id_a, id_b, dist) pairs whose
+    titles are within Levenshtein distance ``max_dist``, candidates
+    blocked on (title prefix, length band) — the standard blocking-key
+    scheme of the dedup/linkage literature (prefix blocking; the length
+    filter is lossless: |len(a)-len(b)| > d implies dist > d).
+
+    Blocking recall is part of the operator's DEFINITION (exactly as the
+    LSH family's banding is): two titles whose first ``prefix_len``
+    chars differ are not candidates.  That is the trade that makes the
+    problem linear — the exact all-pairs alternative is a quadratic
+    inequality join no engine survives at corpus scale.
+
+    Scale shape: one map pass builds the block key, the candidate
+    self-join reuses :func:`banded_self_candidates` — including its
+    oversized-bucket salt grid, since a boilerplate-title flood is the
+    same adversarial shape as an identical-prefix corpus — and the
+    verify is Spark's builtin bounded ``levenshtein(l, r, threshold)``,
+    which early-exits the DP at distance > d.  Titles travel into the
+    verify join only for candidate rows (two semi-pruned probes), never
+    through the banded shuffle.
+    """
+    t = F.col(title_col)
+    band = len_band if len_band is not None else max_dist
+    # a title near a length-bucket boundary has in-distance partners in
+    # the NEXT bucket: block on both buckets (explode, ≤2 rows per doc),
+    # so the length band never drops a true pair within the same prefix
+    # (lo(b) ∈ {lo(a), hi(a)} whenever |len(a)-len(b)| ≤ band)
+    lo = F.floor(F.length(t) / (band + 1))
+    blocked = docs.select(
+        F.col(id_col).alias("id"),
+        F.lit(0).alias("band_no"),
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.concat_ws("|", F.substring(t, 1, prefix_len), lo.cast("string")),
+                    F.concat_ws(
+                        "|",
+                        F.substring(t, 1, prefix_len),
+                        F.floor((F.length(t) + band) / (band + 1)).cast("string"),
+                    ),
+                )
+            )
+        ).alias("band_key"),
+    )
+    cand = banded_self_candidates(blocked, bucket_cap=bucket_cap, n_salts=n_salts)
+    titles = docs.select(F.col(id_col).alias("id"), t.alias("_title"))
+    verified = (
+        cand.join(titles.alias("fa"), F.col("id_a") == F.col("fa.id"))
+        .join(titles.alias("fb"), F.col("id_b") == F.col("fb.id"))
+        .where(
+            (
+                F.abs(F.length(F.col("fa._title")) - F.length(F.col("fb._title")))
+                <= max_dist
+            )
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("fa._title"), F.col("fb._title")).alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )
+    return verified

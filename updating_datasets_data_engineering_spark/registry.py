@@ -2733,6 +2733,39 @@ def docs_contamination(spark, sf_dir):
     )
 
 
+def dedup_fuzzy_titles(spark, sf_dir):
+    """Record-linkage fuzzy dedup: document 'titles' (first 40 chars,
+    lowercased) within Levenshtein distance 2, blocked on (8-char
+    prefix, length band).  The length band is lossless for d <= 2, so
+    the oracle states the clean semantics -- shared prefix + edit
+    distance -- with no banding replication."""
+    docs = _td(spark, sf_dir)
+    titled = docs.select(
+        "doc_id", F.lower(F.substring(F.col("text"), 1, 40)).alias("title")
+    )
+    return D.fuzzy_pairs(
+        titled, title_col="title", id_col="doc_id", max_dist=2, prefix_len=8
+    ).select(
+        F.col("id_a").alias("doc_id_a"),
+        F.col("id_b").alias("doc_id_b"),
+        "dist",
+    )
+
+
+_ORACLE_FUZZY = """
+WITH t AS (
+    SELECT doc_id, lower(substring(text, 1, 40)) AS title FROM documents
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       levenshtein(a.title, b.title) AS dist
+FROM t a JOIN t b
+  ON a.doc_id < b.doc_id
+ AND substring(a.title, 1, 8) = substring(b.title, 1, 8)
+ AND abs(length(a.title) - length(b.title)) <= 2
+WHERE levenshtein(a.title, b.title) <= 2
+"""
+
+
 def text_redact(spark, sf_dir):
     """PII redaction over deterministic synthesized contact strings
     (the fixtures carry no PII, so the query builds its own from
@@ -3030,6 +3063,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("snapshot_diff_orders", snapshot_diff_orders, _ORACLE_SNAPSHOT_DIFF),
     QuerySpec("events_concurrency", events_concurrency, _ORACLE_CONCURRENCY),
     QuerySpec("events_trend", events_trend, _ORACLE_TREND),
+    QuerySpec("dedup_fuzzy_titles", dedup_fuzzy_titles, _ORACLE_FUZZY),
 ]
 
 
