@@ -519,9 +519,15 @@ def streaming_dedup_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(base, "records")
     archive = os.path.join(base, "archive")
     ckpt = os.path.join(base, "ckpt")
-    records.select("value").coalesce(2).write.mode("overwrite").text(src)
+    # 16 source files, not 2: the availableNow batch parses at source-file
+    # parallelism (the regex-heavy play parse ran 2-wide on 32 cores);
+    # state store sized to the key count, not the session shuffle width
+    # (32 near-empty state partitions cost ~1.4 s/batch over 8, measured)
+    records.select("value").repartition(16).write.mode("overwrite").text(src)
     stream = SP.read_json_record_stream(spark, src)
-    SP.run_available_now(SP.streaming_enriched_shots(stream), archive, ckpt)
+    SP.run_available_now(
+        SP.streaming_enriched_shots(stream), archive, ckpt, state_partitions=8
+    )
     return spark.read.parquet(archive).select("game_id", "time_remaining", "quarter")
 
 
