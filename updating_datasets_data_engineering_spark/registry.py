@@ -2779,7 +2779,10 @@ def text_redact(spark, sf_dir):
     long digit runs are replaced with typed placeholders, counts kept
     for audit.  Pure regexp expressions — map-only, codegen, no UDF;
     patterns are RE2/Java-compatible so the oracle replays them."""
-    ev = _t(spark, sf_dir, "events")
+    from .tables import fan_out_if_narrow
+
+    # regex chain is CPU-bound: spread the single-file fixture scan
+    ev = fan_out_if_narrow(_t(spark, sf_dir, "events"))
     raw = ev.selectExpr("event_id", f"({OE.PII_TEXT_EXPR}) AS text")
     t1 = F.regexp_replace(F.col("text"), OE.EMAIL_RE, "<EMAIL>")
     step1 = raw.select(
