@@ -135,6 +135,7 @@ HEADLINE = [
     "events_concurrency",
     "events_trend",
     "dedup_fuzzy_titles",
+    "dedup_semantic",
 ]
 
 

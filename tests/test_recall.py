@@ -271,3 +271,38 @@ def test_ivf_trained_centroids_floor(emb):
     for r in probes:
         mass[r["qid"]] = mass.get(r["qid"], 0) + sizes.get(r["cid"], 0)
     assert max(mass.values()) / n <= 0.31, f"trained-IVF scan fractions {mass}"
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup) — r5
+# ---------------------------------------------------------------------------
+
+from updating_datasets_data_engineering_spark.operators.similarity import (
+    ivf_assign_cells,
+    semantic_dedup,
+)
+
+
+def test_semantic_dedup_absorbs_within_cell_only(spark):
+    # two near-identical vectors + one orthogonal: the pair collapses to
+    # the min id, the orthogonal survives
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # ~cos 1 with vec 0
+        (3, [0.0, 0.98, 0.2, 0.0]),     # ~cos .98 with vec 1
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in semantic_dedup(df, n_cells=2, threshold=0.9).collect()}
+    assert not out[0]["is_dup"] and not out[1]["is_dup"]   # min-id reps survive
+    assert out[2]["is_dup"] and out[3]["is_dup"]
+    assert out[0]["cell"] == out[2]["cell"] and out[1]["cell"] == out[3]["cell"]
+
+
+def test_semantic_dedup_accepts_persisted_assignment(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cells = ivf_assign_cells(df, n_cells=2)
+    a = semantic_dedup(df, n_cells=2, threshold=0.5).collect()
+    b = semantic_dedup(df, n_cells=2, threshold=0.5, cells=cells).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

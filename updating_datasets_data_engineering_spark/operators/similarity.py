@@ -541,3 +541,64 @@ def ivf_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cells: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, then mark
+    as duplicates the vectors that have a same-cell neighbor above the
+    cosine threshold with a smaller id (deterministic min-id
+    representative — the paper keeps one exemplar per similar group;
+    id order replaces its arbitrary choice so the oracle can replay
+    it).  Output: (vec_id, cell, is_dup) for every vector.
+
+    This is the semantic tier of the dedup family: exact dedup catches
+    byte-equal text, MinHash/SimHash catch lexical overlap, and this
+    catches *paraphrases* — same meaning, different words — which only
+    the embedding geometry sees.
+
+    Scale shape: the quadratic compare runs WITHIN cells only — the
+    whole point of the paper's clustering step.  Cell assignment is one
+    broadcast scoring pass (:func:`ivf_assign_cells`, reused verbatim
+    from the ANN index — at 100 TB the SAME persisted assignment serves
+    both search and dedup); the within-cell join shuffles on the cell
+    key once, and with k ∝ corpus size the expected cell stays
+    constant-sized, keeping per-task pair volume flat as the corpus
+    grows.  Vectors enter the pair join only via the cell-key shuffle —
+    at production scale pre-bucket the assignment by cell to make even
+    that shuffle disappear.
+    """
+    assigned = cells if cells is not None else ivf_assign_cells(
+        corpus, n_cells, id_col=id_col, vec_col=vec_col
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), V.norm(F.col(vec_col)).alias("nrm")
+    )
+    member = assigned.select(F.col(id_col).alias("id"), "cell").join(vecs, "id")
+    cos = V.dot(F.col("sa.vec"), F.col("sb.vec")) / (F.col("sa.nrm") * F.col("sb.nrm"))
+    absorbed = (
+        member.alias("sa")
+        .join(
+            member.alias("sb"),
+            (F.col("sa.cell") == F.col("sb.cell")) & (F.col("sa.id") < F.col("sb.id")),
+        )
+        .where(cos >= threshold)
+        .select(F.col("sb.id").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.select(F.col(id_col), "cell")
+        .join(absorbed.withColumn("_dup", F.lit(True)), F.col(id_col) == F.col("id"), "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )

@@ -543,3 +543,37 @@ def incremental_simhash_sql(delta_mod: int = 10) -> str:
         anchor
         + f"\n   AND simhash IN (SELECT simhash FROM sigs WHERE doc_id % {delta_mod} = 0)",
     )
+
+
+def semantic_dedup_sql(
+    n_cells: int = 16,
+    threshold: float = 0.4,
+    dim: int = 64,
+) -> str:
+    """Replays ``similarity.semantic_dedup``: IVF cell assignment
+    (centroids = vec_id < n_cells, ROW_NUMBER tie semantics identical
+    to the Spark window), then min-id absorption within cells at the
+    cosine threshold."""
+    cos_ec = cosine_sql("e.embedding", "c.embedding", dim)
+    cos_ab = cosine_sql("a.embedding", "b.embedding", dim)
+    return f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {n_cells}
+),
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+absorbed AS (
+    SELECT DISTINCT sb.vec_id
+    FROM assign sa JOIN assign sb ON sa.cell = sb.cell AND sa.vec_id < sb.vec_id
+    JOIN embeddings a ON a.vec_id = sa.vec_id
+    JOIN embeddings b ON b.vec_id = sb.vec_id
+    WHERE {cos_ab} >= {threshold}
+)
+SELECT s.vec_id, s.cell, (d.vec_id IS NOT NULL) AS is_dup
+FROM assign s LEFT JOIN absorbed d ON s.vec_id = d.vec_id
+"""

@@ -1987,6 +1987,17 @@ def knn_ann_ivf(spark, sf_dir):
     return SIM.ivf_ann_topk(emb, emb.where(F.col("vec_id") < 5), k=5, n_cells=16, n_probe=4)
 
 
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): coarse k-means-style cells (the
+    ANN index's own assignment, reused), then min-id absorption above
+    cosine 0.4 within cells.  The semantic tier of the dedup family --
+    paraphrase-level duplicates only embedding geometry can see.
+    Threshold fixture-calibrated (near-uniform synthetic vectors: 11 of
+    500 absorbed at sf0.01); production corpora use ~0.8+."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(emb, n_cells=16, threshold=0.4)
+
+
 def knn_ann_srp(spark, sf_dir):
     """Approximate (SRP-LSH, Hamming<=2 multi-probe) top-k.  Fully
     deterministic (md5-derived planes are plan literals), so the DuckDB
@@ -3073,6 +3084,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("events_concurrency", events_concurrency, _ORACLE_CONCURRENCY),
     QuerySpec("events_trend", events_trend, _ORACLE_TREND),
     QuerySpec("dedup_fuzzy_titles", dedup_fuzzy_titles, _ORACLE_FUZZY),
+    QuerySpec("dedup_semantic", dedup_semantic, OE.semantic_dedup_sql(16, 0.4)),
 ]
 
 
