@@ -136,6 +136,7 @@ HEADLINE = [
     "events_trend",
     "dedup_fuzzy_titles",
     "dedup_semantic",
+    "events_funnel",
 ]
 
 

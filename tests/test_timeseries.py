@@ -170,3 +170,36 @@ def test_group_trend_recovers_known_line(spark):
     assert out["intercept"] == 2.0
     assert out["r2"] == 1.0
     assert out["n"] == 10
+
+
+def test_funnel_requires_order(spark):
+    from updating_datasets_data_engineering_spark.operators.timeseries import funnel_stages
+
+    rows = [
+        # u=1: full in-order funnel
+        (1, _min(0), "view"), (1, _min(1), "click"), (1, _min(2), "purchase"),
+        # u=2: purchase BEFORE click -> only stage 2 (view, click)
+        (2, _min(0), "view"), (2, _min(1), "purchase"), (2, _min(2), "click"),
+        # u=3: click only, no view -> stage 0
+        (3, _min(0), "click"),
+        # u=4: view then purchase, no click -> stage 1
+        (4, _min(0), "view"), (4, _min(1), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {r["user_id"]: r for r in funnel_stages(
+        df, ["user_id"], "ts", "event_type", ["view", "click", "purchase"]
+    ).collect()}
+    assert out[1]["funnel_stage"] == 3
+    assert out[2]["funnel_stage"] == 2 and out[2]["t_purchase"] is None
+    assert out[3]["funnel_stage"] == 0
+    assert out[4]["funnel_stage"] == 1
+
+
+def test_funnel_same_timestamp_step_counts(spark):
+    from updating_datasets_data_engineering_spark.operators.timeseries import funnel_stages
+
+    # click at the SAME instant as view: >= semantics admits it
+    rows = [(1, _min(0), "view"), (1, _min(0), "click")]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = funnel_stages(df, ["user_id"], "ts", "event_type", ["view", "click"]).collect()[0]
+    assert out["funnel_stage"] == 2

@@ -252,3 +252,49 @@ def group_trend(
         F.round(F.regr_r2(yc, xc), decimals).alias("r2"),
         F.regr_count(yc, xc).alias("n"),
     )
+
+
+def funnel_stages(
+    df: DataFrame,
+    key: Sequence[str],
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Ordered-funnel detection: per key, the earliest time each step
+    of ``steps`` was reached IN ORDER (step N counts only at/after the
+    time step N-1 was first reached), plus the depth reached.  The
+    MATCH_RECOGNIZE / funnel-analytics shape, join-free.
+
+    Formulation: chained conditional window minima —
+    ``t_1 = min(ts | type = s_1)``, ``t_i = min(ts | type = s_i AND
+    ts >= t_{i-1})`` — all over the same key partition, so Catalyst
+    plans ONE exchange and a stack of Window operators over it; no
+    self-joins, no per-key sequence materialization (the collect_list
+    alternative drags every event row of a key into one buffer —
+    this keeps events columnar and the state per key at |steps|
+    timestamps).  A 100 TB event log funnels in one shuffle.
+    """
+    key = list(key)
+    w = Window.partitionBy(*key).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = df
+    prev = None
+    for i, s in enumerate(steps, start=1):
+        cond = F.col(type_col) == s
+        if prev is not None:
+            cond = cond & (F.col(ts_col) >= F.col(prev))
+        name = f"t_{s}"
+        out = out.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = name
+    stage = F.lit(0)
+    for i, s in enumerate(steps, start=1):
+        stage = F.when(F.col(f"t_{s}").isNotNull(), F.lit(i)).otherwise(stage)
+    return (
+        out.groupBy(*key)
+        .agg(
+            *[F.min(f"t_{s}").alias(f"t_{s}") for s in steps],
+            F.max(stage).alias("funnel_stage"),
+        )
+    )

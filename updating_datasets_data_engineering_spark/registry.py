@@ -1716,6 +1716,55 @@ FROM run GROUP BY event_type
 """
 
 
+def events_funnel(spark, sf_dir):
+    """Ordered funnel per (user, day) (view -> click -> purchase):
+    earliest
+    in-order reach time of each step + depth reached, as chained
+    conditional window minima (one exchange, no self-joins).  Times
+    surface as epoch micros: BIGINT nulls cross engines cleanly."""
+    from .operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date(F.col("ts")))
+    out = TS.funnel_stages(
+        ev, key=["user_id", "day"], ts_col="ts", type_col="event_type",
+        steps=["view", "click", "purchase"],
+    )
+    return out.select(
+        "user_id",
+        "day",
+        F.unix_micros(F.col("t_view")).alias("t_view_us"),
+        F.unix_micros(F.col("t_click")).alias("t_click_us"),
+        F.unix_micros(F.col("t_purchase")).alias("t_purchase_us"),
+        "funnel_stage",
+    )
+
+
+_ORACLE_FUNNEL = """
+WITH s1 AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, ts, event_type,
+           min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS t_view
+    FROM events
+), s2 AS (
+    SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t_view THEN ts END)
+              OVER (PARTITION BY user_id, day) AS t_click
+    FROM s1
+), s3 AS (
+    SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t_click THEN ts END)
+              OVER (PARTITION BY user_id, day) AS t_purchase
+    FROM s2
+)
+SELECT user_id, day,
+       min(epoch_us(t_view)) AS t_view_us,
+       min(epoch_us(t_click)) AS t_click_us,
+       min(epoch_us(t_purchase)) AS t_purchase_us,
+       max(CASE WHEN t_purchase IS NOT NULL THEN 3
+                WHEN t_click IS NOT NULL THEN 2
+                WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS funnel_stage
+FROM s3 GROUP BY user_id, day
+"""
+
+
 def events_trend(spark, sf_dir):
     """Per-type least-squares trend of value over time (slope /
     intercept / R² / n) — the regression aggregates as one moment
@@ -3082,6 +3131,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("merge_scd2_customers", merge_scd2_customers, _ORACLE_SCD2),
     QuerySpec("snapshot_diff_orders", snapshot_diff_orders, _ORACLE_SNAPSHOT_DIFF),
     QuerySpec("events_concurrency", events_concurrency, _ORACLE_CONCURRENCY),
+    QuerySpec("events_funnel", events_funnel, _ORACLE_FUNNEL),
     QuerySpec("events_trend", events_trend, _ORACLE_TREND),
     QuerySpec("dedup_fuzzy_titles", dedup_fuzzy_titles, _ORACLE_FUZZY),
     QuerySpec("dedup_semantic", dedup_semantic, OE.semantic_dedup_sql(16, 0.4)),
