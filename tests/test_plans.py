@@ -104,7 +104,13 @@ def test_contamination_benchmark_broadcasts(spark, sf_dir):
 def test_redact_is_map_only_codegen(spark, sf_dir):
     """Regex redaction is pure projection: no key shuffle, no Python —
     whole-stage codegen end to end (at most the source fan-out)."""
-    f = analyze(Q["text_redact"](spark, sf_dir))
+    df = Q["text_redact"](spark, sf_dir)
+    # the source fan-out exchange makes the plan adaptive, and an
+    # unexecuted AdaptiveSparkPlan prints no codegen ids — execute
+    # THIS df's queryExecution (count() would plan a separate one)
+    # so the finalized plan exposes the WholeStageCodegen spans
+    df.collect()
+    f = analyze(df)
     assert f.n_key_exchanges == 0
     assert not f.has_python_udf
     assert not f.has_arrow_python
