@@ -137,6 +137,14 @@ HEADLINE = [
     "dedup_fuzzy_titles",
     "dedup_semantic",
     "events_funnel",
+    # r5 continuation: cohort/sequence analytics + corpus curation
+    "events_retention_cohorts",
+    "events_markov_transitions",
+    "events_anomaly_hours",
+    "embedding_norm_outliers",
+    "docs_mixture_rebalance",
+    "docs_shuffle_shards",
+    "orders_profile",
 ]
 
 

@@ -206,3 +206,30 @@ def test_repeated_spans_single_aggregate_shape(spark, sf_dir):
     f = analyze(Q["docs_repeated_spans"](spark, sf_dir))
     assert f.n_broadcast_joins == 0 and f.n_sortmerge_joins == 0
     assert not f.has_python_udf
+
+
+def test_mixture_rebalance_broadcasts_rates(spark, sf_dir):
+    """The per-source rate summary is tiny at any corpus size — it must
+    come back as a broadcast join so the corpus pass never shuffles on
+    source (a low-cardinality, skew-prone key)."""
+    f = analyze(Q["docs_mixture_rebalance"](spark, sf_dir))
+    assert f.n_broadcast_joins >= 1, "keep-rate summary must broadcast"
+    assert f.n_sortmerge_joins == 0, "corpus must not sort-merge on source"
+    assert not f.has_python_udf
+
+
+def test_shuffle_shards_single_key_exchange(spark, sf_dir):
+    """Deterministic global shuffle: exactly one key shuffle (the
+    in-shard window) — the md5 shard key is uniform by construction."""
+    f = analyze(Q["docs_shuffle_shards"](spark, sf_dir))
+    assert f.n_key_exchanges == 1
+    assert not f.has_python_udf
+
+
+def test_retention_cohorts_two_key_exchanges(spark, sf_dir):
+    """Cohort matrix = user-partition window + one aggregate: two key
+    shuffles, no join back to the events scan."""
+    f = analyze(Q["events_retention_cohorts"](spark, sf_dir))
+    assert f.n_key_exchanges <= 3  # user window + agg (+ distinct expand)
+    assert f.n_sortmerge_joins == 0 and f.n_broadcast_joins == 0
+    assert not f.has_python_udf

@@ -51,8 +51,12 @@ def analyze(df: DataFrame) -> PlanFacts:
         # "(N) Operator" counts plan NODES (the AQE summary would
         # otherwise double-count operator names)
         n_exchanges=len(re.findall(r"\(\d+\) Exchange", text)),
+        # formatted mode prints the Exchange node as "(N) Exchange" with
+        # its partitioning on a separate "Arguments:" line — only
+        # Exchange nodes carry (hash|range)partitioning arguments, so
+        # counting those lines classifies key shuffles vs round-robin
         n_key_exchanges=len(
-            re.findall(r"\(\d+\) Exchange (?:hashpartitioning|rangepartitioning)", text)
+            re.findall(r"Arguments: (?:hashpartitioning|rangepartitioning)\(", text)
         ),
         n_broadcast_joins=len(re.findall(r"\(\d+\) BroadcastHashJoin", text)),
         n_sortmerge_joins=len(re.findall(r"\(\d+\) SortMergeJoin", text)),

@@ -2968,6 +2968,340 @@ GROUP BY p_brand
 
 
 # ---------------------------------------------------------------------------
+# Round-5 continuation: cohort/sequence analytics, corpus curation
+# ---------------------------------------------------------------------------
+
+
+def events_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention matrix — (first-event week, week offset)
+    -> distinct active users.  The cohort week is a MIN window over the
+    user partition (one key shuffle; no join back), then one aggregate:
+    at 100 TB this is two exchanges total, both on uniform keys."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    cohort = F.date_trunc("week", F.min("ts").over(w))
+    week = F.date_trunc("week", F.col("ts"))
+    return (
+        ev.select("user_id", cohort.alias("_cw"), week.alias("_ew"))
+        .groupBy(
+            F.col("_cw").cast("date").alias("cohort_week"),
+            (F.datediff(F.col("_ew"), F.col("_cw")) / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+# date_trunc('week') starts Monday in both engines; both weeks are
+# truncated, so the day diff is an exact multiple of 7 and the double
+# division is exact.
+_ORACLE_RETENTION = """
+WITH c AS (
+    SELECT user_id, date_trunc('week', min(ts)) AS cw FROM events GROUP BY user_id
+)
+SELECT CAST(c.cw AS DATE) AS cohort_week,
+       CAST(date_diff('day', c.cw, date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_offset,
+       count(DISTINCT e.user_id) AS active_users
+FROM events e JOIN c ON e.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event-type
+    sequences: LAG pairs -> counts -> row-normalized probabilities.
+    The lag window and the pair aggregate are the only shuffles; the
+    normalizing sum runs over the tiny (type x type) count frame."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = steps.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wp), 6
+        ).alias("p_transition"),
+    )
+
+
+_ORACLE_MARKOV = """
+WITH steps AS (
+    SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+           event_type AS next_type
+    FROM events
+), c AS (
+    SELECT prev_type, next_type, count(*) AS n_transitions
+    FROM steps WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_transitions,
+       round(n_transitions / CAST(sum(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p_transition
+FROM c
+"""
+
+
+def events_anomaly_hours(spark, sf_dir):
+    """Hourly event-count anomalies per type: |z| > 2 against the
+    type's own distribution.  Variance is computed from EXACT integer
+    moment sums (sum n, sum n², count) so the z-scores are identical
+    doubles on any engine and any partitioning — stddev aggregates
+    (Welford vs two-pass) differ in the last bit and would make the
+    |z|>2 cut nondeterministic at the boundary."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    wt = Window.partitionBy("event_type")
+    s1 = F.sum("n_events").over(wt).cast("double")
+    m2 = F.sum(F.col("n_events") * F.col("n_events")).over(wt).cast("double")
+    cnt = F.count(F.lit(1)).over(wt).cast("double")
+    mean = s1 / cnt
+    var = (m2 - s1 * s1 / cnt) / cnt
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    return (
+        hourly.withColumn("_z", z)
+        .where(F.abs(F.col("_z")) > 2.0)
+        .select(
+            "event_type",
+            "hour",
+            "n_events",
+            F.round(F.col("_z"), 6).alias("zscore"),
+        )
+    )
+
+
+_ORACLE_ANOMALY = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events
+    FROM events GROUP BY 1, 2
+), stats AS (
+    SELECT event_type, hour, n_events,
+           CAST(sum(n_events) OVER w AS DOUBLE) AS s1,
+           CAST(sum(n_events * n_events) OVER w AS DOUBLE) AS m2,
+           CAST(count(*) OVER w AS DOUBLE) AS cnt
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type)
+), z AS (
+    SELECT event_type, hour, n_events,
+           (n_events - s1 / cnt) / sqrt((m2 - s1 * s1 / cnt) / cnt) AS zv
+    FROM stats
+)
+SELECT event_type, hour, n_events, round(zv, 6) AS zscore
+FROM z WHERE abs(zv) > 2.0
+"""
+
+
+def embedding_norm_outliers(spark, sf_dir):
+    """Per-label L2-norm tail outliers (bottom/top 5% by rank).  The
+    cut is RANK-based on the rounded norm with vec_id tiebreak — the
+    same determinism discipline as docs_quality_filter; interpolated
+    percentile thresholds would be engine-dependent at the boundary.
+    k = ceil(n/20) uses /20.0 (exact when n is a multiple of 20),
+    never n*0.05 (decimal on one engine, double on the other)."""
+    from pyspark.sql import Window
+
+    from .functions import vectors as V
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id", "label", F.round(V.norm(F.col("embedding")), 6).alias("l2_norm")
+    )
+    wl = Window.partitionBy("label").orderBy("l2_norm", "vec_id")
+    wn = Window.partitionBy("label")
+    return (
+        scored.withColumn("_rn", F.row_number().over(wl))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .withColumn("_k", F.ceil(F.col("_n") / 20.0))
+        .where((F.col("_rn") <= F.col("_k")) | (F.col("_rn") > F.col("_n") - F.col("_k")))
+        .select(
+            "vec_id",
+            "label",
+            "l2_norm",
+            F.when(F.col("_rn") <= F.col("_k"), F.lit("low"))
+            .otherwise(F.lit("high"))
+            .alias("tail"),
+        )
+    )
+
+
+def _oracle_norm_outliers_sql() -> str:
+    dot = OE._dot_sql("embedding", "embedding", 64)
+    return f"""
+WITH scored AS (
+    SELECT vec_id, label, round(sqrt({dot}), 6) AS l2_norm FROM embeddings
+), ranked AS (
+    SELECT vec_id, label, l2_norm,
+           ROW_NUMBER() OVER (PARTITION BY label ORDER BY l2_norm, vec_id) AS rn,
+           COUNT(*) OVER (PARTITION BY label) AS n,
+           CEIL(COUNT(*) OVER (PARTITION BY label) / 20.0) AS k
+    FROM scored
+)
+SELECT vec_id, label, l2_norm,
+       CASE WHEN rn <= k THEN 'low' ELSE 'high' END AS tail
+FROM ranked WHERE rn <= k OR rn > n - k
+"""
+
+
+def docs_mixture_rebalance(spark, sf_dir):
+    """Domain-mixture rebalancing (the DoReMi/Pile-weights primitive):
+    per-source keep rates that move the corpus toward target TOKEN
+    shares, applied as deterministic md5-bucket sampling.  The
+    per-source token summary is tiny at any corpus size — it broadcasts
+    back, so the pass over the corpus is map-only: one small aggregate
+    plus one broadcast join, no corpus shuffle."""
+    from .functions.text import words
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(words(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    per_src = toks.groupBy("source").agg(F.sum("n_tokens").alias("_src_tokens"))
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    target = (
+        F.when(F.col("source") == "src0", F.lit(0.2))
+        .when(F.col("source") == "src1", F.lit(0.15))
+        .otherwise(F.lit(0.65 / 18.0))
+    )
+    rates = per_src.withColumn(
+        "_total", F.sum("_src_tokens").over(wall).cast("double")
+    ).select(
+        "source",
+        F.least(
+            F.lit(1.0), target * F.col("_total") / F.col("_src_tokens")
+        ).alias("keep_rate"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    return (
+        toks.join(F.broadcast(rates), "source")
+        .withColumn("_b", bucket)
+        .where(F.col("_b") < F.col("keep_rate") * 10000.0)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.round(F.col("keep_rate"), 6).alias("keep_rate"),
+        )
+    )
+
+
+# 0.65e0/18.0e0: e-notation keeps DuckDB in DOUBLE (bare decimals are
+# DECIMAL and would diverge from Python's double literal arithmetic)
+_ORACLE_MIXTURE = f"""
+WITH toks AS (
+    SELECT doc_id, source, CAST(len({OE.WORDS}) AS BIGINT) AS n_tokens FROM documents
+), per_src AS (
+    SELECT source, sum(n_tokens) AS src_tokens FROM toks GROUP BY source
+), rates AS (
+    SELECT source,
+           least(1.0e0,
+                 (CASE WHEN source = 'src0' THEN 0.2e0
+                       WHEN source = 'src1' THEN 0.15e0
+                       ELSE (0.65e0 / 18.0e0) END)
+                 * CAST(sum(src_tokens) OVER () AS DOUBLE) / src_tokens) AS keep_rate
+    FROM per_src
+)
+SELECT t.doc_id, t.source, t.n_tokens, round(r.keep_rate, 6) AS keep_rate
+FROM toks t JOIN rates r ON t.source = r.source
+WHERE ('0x' || substr(md5(CAST(t.doc_id AS STRING)), 1, 8))::BIGINT % 10000
+      < r.keep_rate * 10000.0e0
+"""
+
+
+def docs_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle for training-data sharding: md5
+    order -> shard assignment + in-shard position.  The md5 key is
+    uniform, so the shard partitioning is balanced by construction and
+    the in-shard row_number is one skew-free shuffle (this is how a
+    100 TB corpus gets a reproducible dataloader order without a
+    global sort)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 8
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("_h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("_h"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+_ORACLE_SHUFFLE_SHARDS = """
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM (
+    SELECT doc_id, md5(CAST(doc_id AS STRING)) AS h,
+           CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT % 8 AS INT) AS shard
+    FROM documents
+)
+"""
+
+
+def orders_profile(spark, sf_dir):
+    """Column-profiling audit (nulls / distinct / min / max per column)
+    in ONE aggregate pass over the table, unpivoted to a row per
+    column — the data-quality primitive that precedes any pipeline
+    onboarding.  min/max surface as strings so one schema covers
+    heterogeneous column types (doubles excluded: their string forms
+    are engine-formatted)."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        # timestamp->string renderings are engine-formatted; profile the DATE
+        "o_orderdate", F.col("o_orderdate").cast("date")
+    )
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct, min_val, max_val)"
+    )
+
+
+def _oracle_profile_sql() -> str:
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"]
+    parts = [
+        f"""SELECT '{c}' AS col_name,
+               count(*) - count({c}) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS STRING) AS min_val,
+               CAST(max({c}) AS STRING) AS max_val
+        FROM (SELECT * REPLACE (CAST(o_orderdate AS DATE) AS o_orderdate) FROM orders)"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -3135,6 +3469,13 @@ SPECS: list[QuerySpec] = [
     QuerySpec("events_trend", events_trend, _ORACLE_TREND),
     QuerySpec("dedup_fuzzy_titles", dedup_fuzzy_titles, _ORACLE_FUZZY),
     QuerySpec("dedup_semantic", dedup_semantic, OE.semantic_dedup_sql(16, 0.4)),
+    QuerySpec("events_retention_cohorts", events_retention_cohorts, _ORACLE_RETENTION),
+    QuerySpec("events_markov_transitions", events_markov_transitions, _ORACLE_MARKOV),
+    QuerySpec("events_anomaly_hours", events_anomaly_hours, _ORACLE_ANOMALY),
+    QuerySpec("embedding_norm_outliers", embedding_norm_outliers, _oracle_norm_outliers_sql()),
+    QuerySpec("docs_mixture_rebalance", docs_mixture_rebalance, _ORACLE_MIXTURE),
+    QuerySpec("docs_shuffle_shards", docs_shuffle_shards, _ORACLE_SHUFFLE_SHARDS),
+    QuerySpec("orders_profile", orders_profile, _oracle_profile_sql()),
 ]
 
 
