@@ -80,8 +80,8 @@ def plan_report(spark, sf_dir: str) -> str:
         '`.explain("formatted")` for every registered query: shuffles,',
         "join strategies, codegen stages, scan pushdown, Python exchange.",
         "",
-        "| query | exchanges | bcast joins | SMJ | codegen stages | pushed filters | python |",
-        "|---|---|---|---|---|---|---|",
+        "| query | exchanges | key shuffles | bcast joins | SMJ | codegen stages | pushed filters | python |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for spec in SPECS:
         f = analyze(spec.fn(spark, sf_dir))
@@ -90,7 +90,7 @@ def plan_report(spark, sf_dir: str) -> str:
             "row-UDF!" if f.has_python_udf else ("arrow" if f.has_arrow_python else "none")
         )
         lines.append(
-            f"| {spec.name} | {f.n_exchanges} | {f.n_broadcast_joins} | "
+            f"| {spec.name} | {f.n_exchanges} | {f.n_key_exchanges} | {f.n_broadcast_joins} | "
             f"{f.n_sortmerge_joins} | {f.n_codegen_stages} | {pf} | {py} |"
         )
     return "\n".join(lines) + "\n"
