@@ -145,6 +145,9 @@ HEADLINE = [
     "docs_mixture_rebalance",
     "docs_shuffle_shards",
     "orders_profile",
+    "window_function_census",
+    "events_value_histogram",
+    "events_user_count_approx",
 ]
 
 

@@ -311,3 +311,29 @@ def test_connected_components_two_chains_and_a_clique(spark):
     expect |= {(100 + i, 100) for i in range(20)}
     expect |= {(200 + i, 200) for i in range(5)}
     assert got == expect
+
+
+def test_hll_within_rsd_of_exact(spark, sf_dir):
+    """The HLL sketch query has no SQL oracle (implementations differ
+    across engines by construction) — its gate is this accuracy bound:
+    every per-type estimate within 5% of exact countDistinct (rsd=0.02
+    on the sketch; 2.5x headroom on the bound)."""
+    from pyspark.sql import functions as F
+
+    from updating_datasets_data_engineering_spark.registry import queries
+    from updating_datasets_data_engineering_spark.tables import load_table
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in queries()["events_user_count_approx"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(1, 0.05 * n), (t, approx[t], n)

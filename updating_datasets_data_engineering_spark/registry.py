@@ -3301,6 +3301,108 @@ def _oracle_profile_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+def window_function_census(spark, sf_dir):
+    """Window-function surface in one query: ranking (row_number /
+    rank / dense_rank with real ties), distribution (percent_rank /
+    cume_dist — exact rationals from integer ranks, so cross-engine
+    deterministic), ntile, offset (lag/lead), and frame (first/last
+    over the full partition).  Partitioned by customer: bounded
+    per-customer sequences, uniform keys, one shuffle at any scale."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    wk = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    # ties on purpose: ranking by DATE (many orders share a date)
+    wd = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+    wdt = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate"))
+    full = wk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(wk).cast("long").alias("rn"),
+        F.rank().over(wdt).cast("long").alias("rnk"),
+        F.dense_rank().over(wdt).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(wdt), 6).alias("prank"),
+        F.round(F.cume_dist().over(wdt), 6).alias("cdist"),
+        F.ntile(4).over(wk).cast("long").alias("quartile"),
+        F.lag("o_totalprice").over(wk).alias("prev_price"),
+        F.lead("o_totalprice").over(wk).alias("next_price"),
+        F.first(F.col("o_orderdate").cast("date")).over(wd.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )).alias("first_date"),
+        F.last(F.col("o_orderdate").cast("date")).over(wd.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )).alias("last_date"),
+        F.count(F.lit(1)).over(full).alias("n_orders"),
+    )
+
+
+_ORACLE_WINDOW_CENSUS = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROW_NUMBER() OVER wk AS BIGINT) AS rn,
+       CAST(RANK() OVER wdt AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER wdt AS BIGINT) AS drnk,
+       round(PERCENT_RANK() OVER wdt, 6) AS prank,
+       round(CUME_DIST() OVER wdt, 6) AS cdist,
+       CAST(NTILE(4) OVER wk AS BIGINT) AS quartile,
+       LAG(o_totalprice) OVER wk AS prev_price,
+       LEAD(o_totalprice) OVER wk AS next_price,
+       FIRST_VALUE(CAST(o_orderdate AS DATE)) OVER wdf AS first_date,
+       LAST_VALUE(CAST(o_orderdate AS DATE)) OVER wdf AS last_date,
+       COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+FROM orders
+WINDOW wk  AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+       wdt AS (PARTITION BY o_custkey ORDER BY o_orderdate),
+       wdf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def events_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of event values per type (width 10):
+    the profile primitive for choosing partition/bucket boundaries.
+    One hash-aggregate on a bounded key space — the histogram of a
+    100 TB stream is the same few hundred groups."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 10.0).cast("long")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
+_ORACLE_HISTOGRAM = """
+SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+       count(*) AS n, round(min(value), 6) AS lo, round(max(value), 6) AS hi
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_user_count_approx(spark, sf_dir):
+    """HyperLogLog++ distinct-user sketch per event type — the
+    cardinality estimator that replaces exact countDistinct when the
+    key space no longer fits a hash-aggregate (billions of users at
+    100 TB; the sketch is KB-sized and map-side mergeable).
+
+    No SQL oracle: HLL implementations differ across engines by
+    construction, so the driver records the weaker rows-only check;
+    the accuracy bound (±5% vs exact at sf0.01) is pinned by
+    tests/test_edge_inputs.py::test_hll_within_rsd_of_exact instead.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3476,6 +3578,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("docs_mixture_rebalance", docs_mixture_rebalance, _ORACLE_MIXTURE),
     QuerySpec("docs_shuffle_shards", docs_shuffle_shards, _ORACLE_SHUFFLE_SHARDS),
     QuerySpec("orders_profile", orders_profile, _oracle_profile_sql()),
+    QuerySpec("window_function_census", window_function_census, _ORACLE_WINDOW_CENSUS),
+    QuerySpec("events_value_histogram", events_value_histogram, _ORACLE_HISTOGRAM),
+    # HLL sketches differ across engines by construction: rows-only gate,
+    # accuracy pinned vs exact in tests (see docstring)
+    QuerySpec("events_user_count_approx", events_user_count_approx, None),
 ]
 
 
