@@ -148,6 +148,7 @@ HEADLINE = [
     "window_function_census",
     "events_value_histogram",
     "events_user_count_approx",
+    "merge_scd2_asof",
 ]
 
 

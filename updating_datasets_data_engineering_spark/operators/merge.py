@@ -323,3 +323,19 @@ def snapshot_diff(
             op_col,
         )
     )
+
+
+def scd2_asof(
+    scd2: DataFrame,
+    as_of: str,
+    start_col: str = "valid_from",
+    end_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (AS OF) reconstruction over an SCD Type-2 table:
+    the row version whose [valid_from, valid_to) interval covers the
+    date.  This is the query-side payoff of keeping history — "what
+    did the dimension look like on D" is one partition-prunable filter,
+    no joins, no log replay.  With the table partitioned or Z-ordered
+    on valid_from, the scan prunes to versions opened before D."""
+    d = F.lit(as_of).cast("date")
+    return scd2.where((F.col(start_col) <= d) & (F.col(end_col) > d))

@@ -3301,6 +3301,24 @@ def _oracle_profile_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+def merge_scd2_asof(spark, sf_dir):
+    """Time travel over the SCD2 dimension: reconstruct the customer
+    table AS OF 2019-06-15 — before the 2020 versions opened, so only
+    the keys that carry explicit history (%5==0) existed.  One filter
+    over the maintained SCD2 output (operators/merge.scd2_asof); at
+    scale the valid_from partitioning prunes the scan."""
+    return M.scd2_asof(merge_scd2_customers(spark, sf_dir), "2019-06-15").select(
+        "c_custkey", "acctbal", "segment", "valid_from", "valid_to"
+    )
+
+
+_ORACLE_SCD2_ASOF = """
+SELECT c_custkey, round(c_acctbal - 50, 2) AS acctbal, c_mktsegment AS segment,
+       DATE '2019-01-01' AS valid_from, DATE '2020-01-01' AS valid_to
+FROM customer WHERE c_custkey % 5 = 0
+"""
+
+
 def window_function_census(spark, sf_dir):
     """Window-function surface in one query: ranking (row_number /
     rank / dense_rank with real ties), distribution (percent_rank /
@@ -3583,6 +3601,7 @@ SPECS: list[QuerySpec] = [
     # HLL sketches differ across engines by construction: rows-only gate,
     # accuracy pinned vs exact in tests (see docstring)
     QuerySpec("events_user_count_approx", events_user_count_approx, None),
+    QuerySpec("merge_scd2_asof", merge_scd2_asof, _ORACLE_SCD2_ASOF),
 ]
 
 
