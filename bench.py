@@ -149,6 +149,7 @@ HEADLINE = [
     "events_value_histogram",
     "events_user_count_approx",
     "merge_scd2_asof",
+    "embedding_quantize",
 ]
 
 

@@ -3319,6 +3319,67 @@ FROM customer WHERE c_custkey % 5 = 0
 """
 
 
+def embedding_quantize(spark, sf_dir):
+    """Int8 embedding quantization — the storage/serving compression
+    step (4x smaller vectors, the standard trick before shipping
+    embeddings to an ANN index): per-dimension global [min, max] from
+    one stats pass, then code = round(255 * (x - min) / (max - min)).
+
+    Scale shape: the stats frame is 64 rows at ANY corpus size — it
+    broadcasts back, so the coding pass is map-only.  The stats pass
+    itself is posexplode + one hash-aggregate on the 64-value dim key.
+    Output is exploded (vec_id, dim, code) so the value hash compares
+    scalars, not engine-formatted array renderings; only vec_id < 50
+    is emitted to keep the gate result bounded while every vector still
+    feeds the stats.
+
+    Determinism: min/max of floats are exact (no summation); the
+    (x - min) / (max - min) arithmetic is written identically on both
+    sides, and a half-integer rounding boundary would need the ratio
+    to be exactly representable — guarded by the same round-before-
+    compare discipline as everywhere else (code compares as BIGINT).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    stats = flat.groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    return (
+        flat.join(F.broadcast(stats), "dim")
+        .where(F.col("vec_id") < 50)
+        .select(
+            "vec_id",
+            "dim",
+            F.round(
+                F.lit(255.0) * (F.col("x") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+            )
+            .cast("long")
+            .alias("code"),
+        )
+    )
+
+
+_ORACLE_QUANTIZE = """
+WITH flat AS (
+    SELECT vec_id, s['i'] - 1 AS dim, CAST(s['x'] AS DOUBLE) AS x
+    FROM (
+        SELECT vec_id,
+               unnest(list_transform(embedding, (x, i) -> {'x': x, 'i': i})) AS s
+        FROM embeddings
+    )
+), stats AS (
+    SELECT dim, min(x) AS lo, max(x) AS hi FROM flat GROUP BY dim
+)
+SELECT f.vec_id, f.dim,
+       CAST(round(255.0e0 * (f.x - s.lo) / (s.hi - s.lo)) AS BIGINT) AS code
+FROM flat f JOIN stats s ON f.dim = s.dim
+WHERE f.vec_id < 50
+"""
+
+
 def window_function_census(spark, sf_dir):
     """Window-function surface in one query: ranking (row_number /
     rank / dense_rank with real ties), distribution (percent_rank /
@@ -3602,6 +3663,7 @@ SPECS: list[QuerySpec] = [
     # accuracy pinned vs exact in tests (see docstring)
     QuerySpec("events_user_count_approx", events_user_count_approx, None),
     QuerySpec("merge_scd2_asof", merge_scd2_asof, _ORACLE_SCD2_ASOF),
+    QuerySpec("embedding_quantize", embedding_quantize, _ORACLE_QUANTIZE),
 ]
 
 
