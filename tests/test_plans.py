@@ -233,3 +233,12 @@ def test_retention_cohorts_two_key_exchanges(spark, sf_dir):
     assert f.n_key_exchanges <= 3  # user window + agg (+ distinct expand)
     assert f.n_sortmerge_joins == 0 and f.n_broadcast_joins == 0
     assert not f.has_python_udf
+
+
+def test_quantize_stats_broadcast(spark, sf_dir):
+    """The 64-row per-dimension stats frame must broadcast — the coding
+    pass over the corpus is map-only at any scale."""
+    f = analyze(Q["embedding_quantize"](spark, sf_dir))
+    assert f.n_broadcast_joins >= 1
+    assert f.n_sortmerge_joins == 0
+    assert not f.has_python_udf
