@@ -1,0 +1,135 @@
+"""Scale probe: measure how the flagship corpus operators scale as the
+input grows k× (k = 1, 2, 4, 8 over the sf0.1 fixtures).
+
+The per-round bench answers "how fast at sf0.1"; this answers the
+100 TB question directly: does runtime grow ~linearly with corpus size,
+or is there a quadratic term hiding in a self-join?  Replicas get a
+unique suffix token (docs) / a deterministic first-component nudge
+(embeddings) so copies are NOT near-duplicates of each other — the
+pair structure stays linear and the probe measures throughput, not an
+artificially inflated candidate explosion.
+
+Usage: python scale_probe.py [max_k]            (writes nothing to the repo)
+Output: one JSON line per (op, k) with seconds and output rows, then a
+per-op linearity summary (time_k / (k * time_1)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/graft_scale_probe"
+
+
+def replicate(spark, k: int) -> str:
+    """k× corpus under /tmp: doc_id/vec_id offset per replica; text gets
+    a per-replica suffix token, embeddings a deterministic nudge."""
+    from pyspark.sql import functions as F
+
+    from updating_datasets_data_engineering_spark.tables import load_table
+
+    out = os.path.join(WORK, f"k{k}")
+    if os.path.isdir(os.path.join(out, "documents.parquet")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n_docs = docs.count()
+    n_vecs = emb.count()
+    # replica i rewrites EVERY word (prefix "r{i}-") and circular-shifts
+    # the embedding by 7*i — replicas share no shingles and sit far
+    # apart in cosine, so true pair structure stays linear in k and the
+    # probe measures throughput, not an artificial dup explosion
+    d_parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * n_docs)).alias("doc_id"),
+            (
+                F.col("text") if i == 0 else F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w: F.concat(F.lit(f"r{i}-"), w),
+                    ),
+                    " ",
+                )
+            ).alias("text"),
+            "lang", "source", "n_chars",
+        )
+        for i in range(k)
+    ]
+    e_parts = [
+        emb.select(
+            (F.col("vec_id") + F.lit(i * n_vecs)).alias("vec_id"),
+            (
+                F.col("embedding") if i == 0 else F.concat(
+                    F.slice("embedding", 7 * i + 1, 64 - 7 * i),
+                    F.slice("embedding", 1, 7 * i),
+                )
+            ).alias("embedding"),
+            "label",
+        )
+        for i in range(k)
+    ]
+    d = d_parts[0]
+    for p in d_parts[1:]:
+        d = d.unionByName(p)
+    e = e_parts[0]
+    for p in e_parts[1:]:
+        e = e.unionByName(p)
+    d.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    e.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    return out
+
+
+def main() -> None:
+    max_k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    from updating_datasets_data_engineering_spark.operators import dedup as D
+    from updating_datasets_data_engineering_spark.operators import similarity as S
+    from updating_datasets_data_engineering_spark.session import get_spark
+    from updating_datasets_data_engineering_spark.tables import load_table
+
+    spark = get_spark("scale-probe", shuffle_partitions=32)
+
+    ops = {
+        "dedup_exact": lambda docs, emb: D.dedup_exact(docs, "doc_id", "text"),
+        "dedup_minhash_lsh": lambda docs, emb: D.minhash_lsh_pairs(
+            docs, num_hashes=16, band_size=4, threshold=0.4, ngram=3
+        ),
+        "embedding_near_dup_ann": lambda docs, emb: S.embedding_near_dup_pairs(emb, 0.5),
+        "dedup_simhash": lambda docs, emb: D.simhash_groups(docs),
+    }
+
+    results: dict[str, dict[int, float]] = {n: {} for n in ops}
+    ks = [k for k in (1, 2, 4, 8) if k <= max_k]
+    for k in ks:
+        path = replicate(spark, k)
+        docs = spark.read.parquet(os.path.join(path, "documents.parquet"))
+        emb = spark.read.parquet(os.path.join(path, "embeddings.parquet"))
+        for name, fn in ops.items():
+            best, rows = None, None
+            for _ in range(2):  # min-of-2, same discipline as bench.py
+                t0 = time.time()
+                rows = fn(docs, emb).count()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            results[name][k] = best
+            print(json.dumps({"op": name, "k": k, "sec": round(best, 2), "rows": rows}),
+                  flush=True)
+
+    summary = {
+        name: {
+            f"x{k}": round(ts[k] / (k * ts[1]), 2) for k in ks if k > 1
+        }
+        for name, ts in results.items()
+    }
+    print(json.dumps({"linearity_time_over_k_times_t1": summary}))
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
