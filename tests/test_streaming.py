@@ -488,3 +488,27 @@ def test_streaming_index_delete_lifecycle(spark, tmp_path):
     assert _sorted_rows(spark.read.parquet(labels_path), lcols) == _sorted_rows(
         D.connected_components(final_pairs), lcols
     )
+
+
+def test_streaming_progress_recorder(spark, record_files, tmp_path):
+    """The StreamingQueryListener-based recorder captures per-batch
+    progress: total input rows equal the source, batch durations are
+    recorded, and the watermarked dedup's state store is visible."""
+    from updating_datasets_data_engineering_spark.streaming import metrics as SM
+
+    rec, listener = SM.attach_progress_recorder(spark)
+    try:
+        stream = SP.read_json_record_stream(spark, record_files)
+        enriched = SP.streaming_enriched_shots(stream)
+        SP.run_available_now(
+            enriched, str(tmp_path / "archive"), str(tmp_path / "ckpt")
+        )
+        n_source = spark.read.text(record_files).count()
+        rec.wait_for_rows(n_source)
+        assert rec.total_input_rows == n_source
+        assert len(rec.batches) >= 1
+        assert all(b.duration_ms >= 0 for b in rec.batches)
+        # the dropDuplicates state store reports its key rows
+        assert any(b.state_rows > 0 for b in rec.batches)
+    finally:
+        spark.streams.removeListener(listener)
