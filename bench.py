@@ -150,6 +150,7 @@ HEADLINE = [
     "events_user_count_approx",
     "merge_scd2_asof",
     "embedding_quantize",
+    "docs_split_assign",
 ]
 
 

@@ -88,3 +88,44 @@ def test_parquet_merged_schema_evolution(spark, sf_dir, tmp_path):
     assert "quality" in back.columns
     assert back.count() == 80
     assert back.where(F.col("quality").isNull()).count() == 50
+
+
+def test_jsonl_corrupt_record_handling(spark, tmp_path):
+    """Operational contract for JSONL shards with broken lines:
+    PERMISSIVE surfaces them in _corrupt_record (audit path),
+    DROPMALFORMED silently excludes them (ingest path) — both with the
+    schema given, so neither pays an inference pass."""
+    import pyspark.sql.types as T
+
+    src = tmp_path / "shards"
+    src.mkdir()
+    (src / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        "{broken json line\n"
+        '{"doc_id": 2, "text": "also ok"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .json(str(src))
+        .cache()  # required: referencing _corrupt_record alone is disallowed on the lazy plan
+    )
+    assert permissive.count() == 3
+    bad = permissive.where(permissive["_corrupt_record"].isNotNull())
+    assert bad.count() == 1
+    assert "{broken" in bad.first()["_corrupt_record"]
+    permissive.unpersist()
+
+    dropped = (
+        spark.read.schema("doc_id long, text string")
+        .option("mode", "DROPMALFORMED")
+        .json(str(src))
+    )
+    assert sorted(r.doc_id for r in dropped.collect()) == [1, 2]

@@ -3319,6 +3319,38 @@ FROM customer WHERE c_custkey % 5 = 0
 """
 
 
+def docs_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (90/5/5) via the md5
+    bucket of the doc id — reproducible across engines, runs, and
+    cluster sizes (unlike rand()-based splits, which change under
+    retries and repartitioning).  Map-only at any scale; downstream
+    jobs filter on the split column and the predicate pushes to the
+    scan."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("doc_id", "lang", "source", split.alias("split"))
+
+
+_ORACLE_SPLIT = """
+SELECT doc_id, lang, source,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+FROM (
+    SELECT doc_id, lang, source,
+           ('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT % 100 AS b
+    FROM documents
+)
+"""
+
+
 def embedding_quantize(spark, sf_dir):
     """Int8 embedding quantization — the storage/serving compression
     step (4x smaller vectors, the standard trick before shipping
@@ -3664,6 +3696,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("events_user_count_approx", events_user_count_approx, None),
     QuerySpec("merge_scd2_asof", merge_scd2_asof, _ORACLE_SCD2_ASOF),
     QuerySpec("embedding_quantize", embedding_quantize, _ORACLE_QUANTIZE),
+    QuerySpec("docs_split_assign", docs_split_assign, _ORACLE_SPLIT),
 ]
 
 
