@@ -3168,17 +3168,16 @@ def docs_mixture_rebalance(spark, sf_dir):
         "doc_id", "source", F.size(words(F.col("text"))).cast("long").alias("n_tokens")
     )
     per_src = toks.groupBy("source").agg(F.sum("n_tokens").alias("_src_tokens"))
-    from pyspark.sql import Window
-
-    wall = Window.partitionBy()
     target = (
         F.when(F.col("source") == "src0", F.lit(0.2))
         .when(F.col("source") == "src1", F.lit(0.15))
         .otherwise(F.lit(0.65 / 18.0))
     )
-    rates = per_src.withColumn(
-        "_total", F.sum("_src_tokens").over(wall).cast("double")
-    ).select(
+    # the corpus-wide total as a broadcast 1-row cross join (not an
+    # unpartitioned window, which plans a move-everything-to-one-task
+    # WindowExec — harmless on a 20-row frame but the wrong idiom)
+    total = per_src.agg(F.sum("_src_tokens").cast("double").alias("_total"))
+    rates = per_src.crossJoin(F.broadcast(total)).select(
         "source",
         F.least(
             F.lit(1.0), target * F.col("_total") / F.col("_src_tokens")
