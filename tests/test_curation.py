@@ -1,0 +1,145 @@
+"""Cross-document curation operators (r5 block 4): per-source caps,
+boilerplate stripping, duplication-rate scoring, epoch planning,
+sliding-window activity.
+
+The oracle-parity gate (tests/test_oracle_parity.py) proves each
+registered query against DuckDB on the fixture corpus; the tests here
+pin the *semantics on constructed inputs* (both code paths of the
+selective cap window, a known boilerplate block, hand-counted sliding
+windows) and the structural claims the docstrings make about the plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from updating_datasets_data_engineering_spark import registry
+from updating_datasets_data_engineering_spark.functions import text as TXT
+
+
+def _plain_cap(docs, cap):
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .select("doc_id", "source")
+    )
+
+
+def test_source_cap_selective_window_equals_plain(spark, sf_dir, monkeypatch):
+    """The under-cap bypass + over-cap window union must equal the
+    naive all-rows window, on a frame where BOTH paths are non-empty
+    (the fixture SFs exercise only one path each: sf0.001 all-under,
+    sf0.01 all-over)."""
+    rows = [(i, "big") for i in range(40)] + [(100 + i, "small") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    monkeypatch.setattr(registry, "_td", lambda s, d: docs)
+    got = registry.docs_source_cap(spark, sf_dir, cap=20)
+    want = _plain_cap(docs, 20)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # both paths contributed: all 3 small + exactly 20 of 40 big
+    by_src = {r["source"]: r["n"] for r in got.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src == {"big": 20, "small": 3}
+
+
+def test_source_cap_plan_broadcasts_counts(spark, sf_dir):
+    """The per-source count frame must broadcast back (tiny at any
+    corpus size) — no sort-merge join of the corpus against it."""
+    plan = registry.docs_source_cap(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_boilerplate_strip_known_block(spark, sf_dir, monkeypatch):
+    """A 10-word block planted in two docs is stripped from both; the
+    unique block and the sub-block tail survive in order."""
+    boiler = "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    uniq = "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {uniq} tail words"),
+            (2, f"{boiler} extra"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(registry, "_td", lambda s, d: docs)
+    got = {
+        r["doc_id"]: r
+        for r in registry.docs_boilerplate_strip(spark, sf_dir).collect()
+    }
+    assert got[1]["n_blocks"] == 2 and got[1]["n_removed"] == 1
+    assert got[1]["clean_text"] == f"{uniq} tail words"
+    assert got[2]["n_blocks"] == 1 and got[2]["n_removed"] == 1
+    assert got[2]["clean_text"] == "extra"
+    # a doc below block size passes through untouched
+    assert got[3]["n_blocks"] == 0 and got[3]["n_removed"] == 0
+    assert got[3]["clean_text"] == "short doc"
+
+
+def test_cross_doc_dup_rate_counts_only_cross_doc(spark, sf_dir, monkeypatch):
+    """A block repeated twice WITHIN one doc does not count as shared;
+    a block appearing in two docs counts in both."""
+    shared = " ".join(f"s{i}" for i in range(10))
+    local = " ".join(f"l{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} {local} {local}"),
+            (2, f"{shared} " + " ".join(f"x{i}" for i in range(10))),
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(registry, "_td", lambda s, d: docs)
+    got = {r["doc_id"]: r for r in registry.docs_cross_doc_dup_rate(spark, sf_dir).collect()}
+    assert got[1]["n_blocks"] == 3 and got[1]["n_shared"] == 1
+    assert got[2]["n_blocks"] == 2 and got[2]["n_shared"] == 1
+    assert not got[1]["mostly_dup"] and got[2]["mostly_dup"]
+
+
+def test_sliding_windows_hand_counted(spark, sf_dir, monkeypatch):
+    """Two users at 00:05 and one at 00:20: the 00:05 event lands in
+    windows starting 23:15..00:00 (4 of them), the 00:20 event in
+    23:30..00:15 — hand-counted distinct users per window start."""
+    rows = [
+        (1, "2024-01-01 00:05:00", 10),
+        (2, "2024-01-01 00:05:30", 20),
+        (3, "2024-01-01 00:20:00", 10),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts string, user_id long").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    monkeypatch.setattr(registry, "_t", lambda s, d, n: ev)
+    got = {
+        r["win_start_sec"]: r["active_users"]
+        for r in registry.events_sliding_active_users(spark, sf_dir).collect()
+    }
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    want = {
+        base - 2700: 2,  # 23:15 window [23:15, 00:15): both 00:05 users
+        base - 1800: 2,  # 23:30 window [23:30, 00:30): all -> users {10, 20}
+        base - 900: 2,
+        base: 2,
+        base + 900: 1,  # 00:15 window [00:15, 01:15): only user 10 @ 00:20
+    }
+    assert got == want
+
+
+def test_chunk_tail_matches_fixed_chunks(spark):
+    """chunk_tail is exactly the remainder fixed_chunks drops:
+    chunks + tail reassemble the (lower-cased, whitespace-normalized)
+    document for any token count mod 10."""
+    texts = [
+        (" ".join(f"w{i}" for i in range(n)),) for n in (0, 3, 10, 15, 20, 27)
+    ]
+    df = spark.createDataFrame(texts, "text string").select(
+        "text",
+        F.array_join(TXT.fixed_chunks(F.col("text"), 10), " ").alias("body"),
+        TXT.chunk_tail(F.col("text"), 10).alias("tail"),
+    )
+    for r in df.collect():
+        rebuilt = " ".join(s for s in (r["body"], r["tail"]) if s)
+        assert rebuilt == r["text"].lower().strip()

@@ -196,3 +196,43 @@ def shingles(text: Column, n: int = 3) -> Column:
         return F.when(size >= n, F.array_distinct(grams)).otherwise(F.array())
 
     return F.element_at(F.transform(F.array(words(text)), _grams), 1)
+
+
+def fixed_chunks(text: Column, n: int = 10) -> Column:
+    """Non-overlapping ``n``-word chunks (space-joined), in document
+    order; the trailing remainder (< n words) is NOT included.
+
+    This is the alignment-quantized unit shared by the exact
+    repeated-span detector, the boilerplate stripper, and the per-doc
+    duplication-rate scorer (the span-granular dedup family of Lee et
+    al. 2021): hashing fixed-aligned blocks trades sub-span recall for
+    a single uniform shuffle key, which is what survives 100 TB.
+
+    Same lambda-binding discipline as ``shingles``: the token array is
+    bound once via ``transform(array(words), w -> ...)`` so Catalyst
+    doesn't re-tokenize per chunk.
+    """
+
+    def _chunks(w: Column) -> Column:
+        n_chunks = F.floor(F.size(w) / n).cast("int")
+        grams = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(w, i * n + 1, n), " "),
+        )
+        return F.when(F.size(w) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(words(text)), _chunks), 1)
+
+
+def chunk_tail(text: Column, n: int = 10) -> Column:
+    """The trailing remainder (< n words) left over after
+    ``fixed_chunks(text, n)``, space-joined; empty string when the
+    token count is an exact multiple of n."""
+
+    def _tail(w: Column) -> Column:
+        n_chunks = F.floor(F.size(w) / n).cast("int")
+        return F.array_join(F.slice(w, n_chunks * n + 1, n - 1), " ")
+
+    return F.element_at(F.transform(F.array(words(text)), _tail), 1)

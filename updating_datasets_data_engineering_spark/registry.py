@@ -2647,8 +2647,11 @@ WITH toks AS (
     FROM documents
 ),
 spans AS (
+    -- len(w) // 10, not CAST(len(w)/10 AS INT): DuckDB CAST-to-INT
+    -- rounds to nearest, which would invent a partial tail chunk for
+    -- docs with >= 5 leftover words (found via docs_cross_doc_dup_rate)
     SELECT doc_id, unnest(CASE WHEN len(w) >= 10 THEN
-        list_transform(generate_series(0, CAST(len(w) / 10 AS INT) - 1),
+        list_transform(generate_series(0, CAST(len(w) // 10 AS INT) - 1),
                        i -> array_to_string(w[i * 10 + 1 : i * 10 + 10], ' '))
         ELSE [] END) AS span
     FROM toks
@@ -3514,6 +3517,364 @@ def events_user_count_approx(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# r5 block 4: cross-document curation — per-source caps, boilerplate
+# stripping, duplication-rate scoring, epoch planning, sliding-window
+# activity, dataset cards
+# ---------------------------------------------------------------------------
+
+
+def docs_source_cap(spark, sf_dir, cap: int = 20):
+    """Per-source document cap (the RefinedWeb/CommonCrawl 'at most K
+    pages per domain' rule), deterministic by md5(doc_id) order.
+
+    Plan shape: a tiny per-source count aggregates first and broadcasts
+    back; only documents from OVER-cap sources enter the rank window —
+    under-cap sources pass through map-only.  At 100 TB this matters:
+    the window shuffle carries just the heavy tail of the domain
+    distribution (the sources that actually need trimming), not the
+    whole corpus, and the md5 rank key is uniform within each source so
+    no secondary skew appears inside the window partition."""
+    from pyspark.sql import Window
+
+    docs = _td(spark, sf_dir).select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
+    sized = docs.join(F.broadcast(counts), "source")
+    under = sized.where(F.col("_n") <= cap)
+    over = sized.where(F.col("_n") > cap)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    trimmed = (
+        over.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    return under.unionByName(trimmed).select("doc_id", "source")
+
+
+_ORACLE_SOURCE_CAP = """
+WITH ranked AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn
+    FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rn <= 20
+"""
+
+# DuckDB mirror of functions.text.fixed_chunks(text, 10): non-overlapping
+# 10-word blocks, trailing remainder excluded.
+_CHUNKS_10 = """
+    SELECT doc_id, i, array_to_string(w[i * 10 + 1 : i * 10 + 10], ' ') AS span
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+          FROM documents),
+         UNNEST(CASE WHEN len(w) >= 10
+                     THEN generate_series(0, CAST(len(w) // 10 AS INT) - 1)
+                     ELSE [] END) AS t(i)
+"""
+
+
+def docs_boilerplate_strip(spark, sf_dir, min_docs: int = 2):
+    """Cross-document boilerplate removal (the C4 'discard any line
+    that appears elsewhere in the corpus' rule, at fixed 10-word block
+    alignment): blocks whose text occurs in >= ``min_docs`` distinct
+    documents are stripped; the cleaned text is the surviving blocks in
+    original order plus the sub-block tail.
+
+    Plan shape: one explode + one hash-aggregate builds the boilerplate
+    set (uniform high-cardinality span key), which joins back as a
+    LEFT ANTI on the same exploded frame; reassembly is one hash-
+    aggregate on doc_id with an in-memory array sort (blocks per doc
+    are bounded by doc length, never by corpus size).  The boilerplate
+    set is NOT broadcast: at 100 TB it is corpus-sized, so the anti
+    join shuffles on the same uniform span key the aggregate already
+    used.  No driver participation, no UDFs."""
+    from .functions import text as TXT
+
+    docs = _td(spark, sf_dir)
+    chunks = docs.select(
+        "doc_id", F.posexplode(TXT.fixed_chunks(F.col("text"), 10)).alias("i", "span")
+    )
+    boiler = (
+        chunks.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("span")
+    )
+    kept = chunks.join(boiler, "span", "left_anti")
+    body = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("_body"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(TXT.fixed_chunks(F.col("text"), 10)).cast("long").alias("n_blocks"),
+        TXT.chunk_tail(F.col("text"), 10).alias("_tail"),
+    )
+    joined = base.join(body, "doc_id", "left").select(
+        "doc_id",
+        "n_blocks",
+        (F.col("n_blocks") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+        F.array_join(
+            F.filter(
+                F.array(F.coalesce(F.col("_body"), F.lit("")), F.col("_tail")),
+                lambda s: s != F.lit(""),
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return joined
+
+
+_ORACLE_BOILERPLATE = f"""
+WITH chunks AS ({_CHUNKS_10}),
+boiler AS (
+    SELECT span FROM chunks GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (
+    SELECT c.* FROM chunks c ANTI JOIN boiler b ON c.span = b.span
+),
+body AS (
+    SELECT doc_id, count(*) AS n_kept,
+           string_agg(span, ' ' ORDER BY i) AS body
+    FROM kept GROUP BY doc_id
+),
+base AS (
+    SELECT doc_id,
+           CAST(CASE WHEN len(w) >= 10 THEN len(w) // 10 ELSE 0 END AS BIGINT)
+               AS n_blocks,
+           array_to_string(
+               w[(CASE WHEN len(w) >= 10 THEN len(w) // 10 ELSE 0 END) * 10 + 1 : ],
+               ' ') AS tail
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+          FROM documents)
+)
+SELECT b.doc_id, b.n_blocks,
+       b.n_blocks - COALESCE(y.n_kept, 0) AS n_removed,
+       -- COALESCE: DuckDB array_to_string([]) is NULL, Spark array_join([]) is ''
+       COALESCE(array_to_string(
+           list_filter([COALESCE(y.body, ''), b.tail], s -> s <> ''), ' '), '')
+           AS clean_text
+FROM base b LEFT JOIN body y ON b.doc_id = y.doc_id
+"""
+
+
+def docs_cross_doc_dup_rate(spark, sf_dir):
+    """Per-document cross-corpus duplication rate: the fraction of a
+    document's 10-word blocks whose text also appears in at least one
+    OTHER document (the per-doc scoring view of the repeated-span
+    family — the filter criterion real pipelines apply as 'drop docs
+    that are mostly duplicated content').
+
+    Plan shape: explode + one span aggregate counting distinct docs,
+    join back on the uniform span key, one doc_id aggregate.  The
+    'other document' test is (n_docs >= 2 OR n_occ_in_doc > 1)-free by
+    construction: a block duplicated only WITHIN one doc does not
+    count, matching the cross-doc semantics."""
+    from .functions import text as TXT
+
+    docs = _td(spark, sf_dir)
+    chunks = docs.select(
+        "doc_id", F.explode(TXT.fixed_chunks(F.col("text"), 10)).alias("span")
+    )
+    span_docs = chunks.groupBy("span").agg(F.countDistinct("doc_id").alias("_nd"))
+    return (
+        chunks.join(span_docs, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+        .withColumn(
+            "dup_rate", F.round(F.col("n_shared") / F.col("n_blocks"), 6)
+        )
+        .withColumn("mostly_dup", (F.col("dup_rate") >= 0.5).cast("boolean"))
+    )
+
+
+_ORACLE_DUP_RATE = f"""
+WITH chunks AS ({_CHUNKS_10}),
+span_docs AS (
+    SELECT span, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY span
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       round(sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+           AS dup_rate,
+       (round(sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+           >= 0.5e0) AS mostly_dup
+FROM chunks c JOIN span_docs s ON c.span = s.span
+GROUP BY c.doc_id
+"""
+
+
+def docs_epoch_plan(spark, sf_dir):
+    """Per-source epoch planning (the data-mixture repeat-factor
+    computation behind published LLM data recipes: when a source's
+    token count falls short of its target share of the training
+    budget, it is repeated for multiple epochs, capped to bound
+    memorization).  Budget = 2x total corpus tokens, uniform target
+    share per source; epochs = ceil(target / actual), clamped to
+    [1, 10] — integer arithmetic end-to-end, so the plan is
+    engine-deterministic.
+
+    Plan shape: one token aggregate per source (tiny at any corpus
+    size), the corpus total as a one-row broadcast cross join, all
+    downstream arithmetic on the 20-row frame."""
+    from .functions.text import words
+
+    docs = _td(spark, sf_dir)
+    toks = docs.select(
+        "source", F.size(words(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    per_src = toks.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    total = per_src.agg(
+        F.sum("src_tokens").alias("_total"),
+        F.count(F.lit(1)).alias("_n_src"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "src_tokens",
+            # floor, not cast: a .5 target (odd total x 2 / 20 sources)
+            # would truncate on Spark but round on an ANSI CAST
+            F.floor(F.lit(2) * F.col("_total") / F.col("_n_src"))
+            .cast("long")
+            .alias("target_tokens"),
+        )
+        .withColumn(
+            "epochs",
+            F.least(
+                F.lit(10),
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(F.col("target_tokens") / F.col("src_tokens")).cast("int"),
+                ),
+            ).cast("int"),
+        )
+        .withColumn(
+            "planned_tokens", (F.col("epochs") * F.col("src_tokens")).cast("long")
+        )
+    )
+
+
+_ORACLE_EPOCH_PLAN = f"""
+WITH toks AS (
+    SELECT source, CAST(len({OE.WORDS}) AS BIGINT) AS n_tokens FROM documents
+), per_src AS (
+    SELECT source, sum(n_tokens) AS src_tokens FROM toks GROUP BY source
+), planned AS (
+    SELECT source, src_tokens,
+           (2 * sum(src_tokens) OVER ()) // (count(*) OVER ()) AS target_tokens
+    FROM per_src
+)
+SELECT source, src_tokens, target_tokens,
+       CAST(least(10, greatest(1,
+           CAST(ceil(target_tokens / CAST(src_tokens AS DOUBLE)) AS INT))) AS INT)
+           AS epochs,
+       CAST(least(10, greatest(1,
+           CAST(ceil(target_tokens / CAST(src_tokens AS DOUBLE)) AS INT)))
+           * src_tokens AS BIGINT) AS planned_tokens
+FROM planned
+"""
+
+
+def events_sliding_active_users(spark, sf_dir):
+    """Sliding-window distinct-user counts (1-hour window, 15-minute
+    slide) via the NATIVE ``F.window`` generator — the same operator
+    Structured Streaming uses, so this exact expression lifts to a
+    watermarked stream unchanged.  Each event lands in 4 overlapping
+    windows; the count is exact distinct.
+
+    Output is keyed on integral epoch seconds (not timestamps) so
+    cross-engine comparison is exact.  Plan shape: the window
+    generator is a map-side 4x explode, then ONE distinct-aggregate
+    shuffle on (window, user) — uniform keys, partial aggregation
+    upstream.  At 100 TB the state is bounded by (windows x active
+    users), not events."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("win_start_sec"),
+            F.col("active_users"),
+        )
+        .orderBy("win_start_sec")
+    )
+
+
+_ORACLE_SLIDING_USERS = """
+WITH hits AS (
+    SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 - k * 900 AS win_start_sec,
+           user_id
+    FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
+)
+SELECT win_start_sec, count(DISTINCT user_id) AS active_users
+FROM hits GROUP BY win_start_sec ORDER BY win_start_sec
+"""
+
+
+def docs_dataset_card(spark, sf_dir):
+    """Per-source dataset card (the datasheet summary a corpus release
+    ships with): document/token/char totals, length extremes, distinct
+    languages, and the share of substantial documents — all exact
+    integer or 6dp-rounded aggregates in ONE scan of the corpus.
+
+    Plan shape: a single hash-aggregate on the 20-value source key;
+    everything is map-side partial-aggregable, so the shuffle carries
+    20 rows of partials per task regardless of corpus size."""
+    from .functions.text import words
+
+    docs = _td(spark, sf_dir)
+    nt = F.size(words(F.col("text"))).cast("long")
+    return (
+        docs.select("source", "lang", "n_chars", nt.alias("_nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("_nt").alias("min_tokens"),
+            F.max("_nt").alias("max_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(
+                F.sum(F.when(F.col("_nt") >= 50, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("substantial_share"),
+        )
+    )
+
+
+_ORACLE_DATASET_CARD = f"""
+WITH base AS (
+    SELECT source, lang, n_chars, CAST(len({OE.WORDS}) AS BIGINT) AS nt
+    FROM documents
+)
+SELECT source, count(*) AS n_docs, sum(nt) AS total_tokens,
+       sum(n_chars) AS total_chars, min(nt) AS min_tokens, max(nt) AS max_tokens,
+       count(DISTINCT lang) AS n_langs,
+       round(sum(CASE WHEN nt >= 50 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+           AS substantial_share
+FROM base GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -3696,6 +4057,15 @@ SPECS: list[QuerySpec] = [
     QuerySpec("merge_scd2_asof", merge_scd2_asof, _ORACLE_SCD2_ASOF),
     QuerySpec("embedding_quantize", embedding_quantize, _ORACLE_QUANTIZE),
     QuerySpec("docs_split_assign", docs_split_assign, _ORACLE_SPLIT),
+    # r5 block 4: cross-document curation
+    QuerySpec("docs_source_cap", docs_source_cap, _ORACLE_SOURCE_CAP),
+    QuerySpec("docs_boilerplate_strip", docs_boilerplate_strip, _ORACLE_BOILERPLATE),
+    QuerySpec("docs_cross_doc_dup_rate", docs_cross_doc_dup_rate, _ORACLE_DUP_RATE),
+    QuerySpec("docs_epoch_plan", docs_epoch_plan, _ORACLE_EPOCH_PLAN),
+    QuerySpec(
+        "events_sliding_active_users", events_sliding_active_users, _ORACLE_SLIDING_USERS
+    ),
+    QuerySpec("docs_dataset_card", docs_dataset_card, _ORACLE_DATASET_CARD),
 ]
 
 
