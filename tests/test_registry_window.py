@@ -3,8 +3,11 @@ window was judged the right one (VERDICT r3 item 2: "freeze the SPECS
 ordering — any further churn just moves the blind spot"), so the first
 50 names are pinned here verbatim: r4 consumed exactly one slot for
 ``dedup_incremental`` (VERDICT r4 item 1), rotating ``events_sessionize``
-out to the pytest-pinned tail.  Everything past 50 is graded by
-``tests/test_oracle_parity.py`` instead — ordering there is free.
+out to the pytest-pinned tail; r5 likewise consumed exactly one slot for
+``docs_boilerplate_strip`` (flagship of the cross-document curation
+block), rotating ``events_moving_avg`` (driver-green r1-r4) out.
+Everything past 50 is graded by ``tests/test_oracle_parity.py``
+instead — ordering there is free.
 """
 
 from __future__ import annotations
@@ -43,7 +46,7 @@ FROZEN_WINDOW = [
     "events_asof_forward",
     "events_range_join",
     "events_time_rollup",
-    "events_moving_avg",
+    "docs_boilerplate_strip",
     "events_range_frame",
     "events_gaps",
     "shot_parse",

@@ -3927,7 +3927,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("events_asof_forward", events_asof_forward, _ORACLE_ASOF_FORWARD),
     QuerySpec("events_range_join", events_range_join, _ORACLE_RANGE_JOIN),
     QuerySpec("events_time_rollup", events_time_rollup, _ORACLE_TIME_ROLLUP),
-    QuerySpec("events_moving_avg", events_moving_avg, _ORACLE_MOVING_AVG),
+    # r5 window rotation (one slot per round, the r3/r4 convention):
+    # docs_boilerplate_strip in — the flagship of the cross-document
+    # curation block; events_moving_avg out to the pytest-pinned tail
+    # (driver-green r1-r4).
+    QuerySpec("docs_boilerplate_strip", docs_boilerplate_strip, _ORACLE_BOILERPLATE),
     QuerySpec("events_range_frame", events_range_frame, _ORACLE_RANGE_FRAME),
     QuerySpec("events_gaps", events_gaps, _ORACLE_GAPS),
     # --- reference (§2) parity ------------------------------------------
@@ -4057,9 +4061,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("merge_scd2_asof", merge_scd2_asof, _ORACLE_SCD2_ASOF),
     QuerySpec("embedding_quantize", embedding_quantize, _ORACLE_QUANTIZE),
     QuerySpec("docs_split_assign", docs_split_assign, _ORACLE_SPLIT),
-    # r5 block 4: cross-document curation
+    # r5 block 4: cross-document curation (docs_boilerplate_strip holds
+    # the r5 rotation slot inside the driver window above)
     QuerySpec("docs_source_cap", docs_source_cap, _ORACLE_SOURCE_CAP),
-    QuerySpec("docs_boilerplate_strip", docs_boilerplate_strip, _ORACLE_BOILERPLATE),
+    QuerySpec("events_moving_avg", events_moving_avg, _ORACLE_MOVING_AVG),
     QuerySpec("docs_cross_doc_dup_rate", docs_cross_doc_dup_rate, _ORACLE_DUP_RATE),
     QuerySpec("docs_epoch_plan", docs_epoch_plan, _ORACLE_EPOCH_PLAN),
     QuerySpec(
