@@ -512,3 +512,30 @@ def test_streaming_progress_recorder(spark, record_files, tmp_path):
         assert any(b.state_rows > 0 for b in rec.batches)
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_streaming_sliding_active_users_equals_batch(spark, sf_dir, tmp_path):
+    """The watermarked sliding-window distinct (collect_set state) on a
+    file stream must equal the batch registry query on the same rows —
+    exact equality, not HLL closeness."""
+    from updating_datasets_data_engineering_spark import registry
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "sliding_src")
+    events.select("ts", "user_id").coalesce(2).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema("ts TIMESTAMP, user_id LONG").json(src)
+    agg = SP.streaming_sliding_active_users(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sliding_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM sliding_test")
+    expected = registry.events_sliding_active_users(spark, sf_dir)
+    cols = ["win_start_sec", "active_users"]
+    assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(
+        expected.select(*cols), cols
+    )

@@ -3874,6 +3874,145 @@ FROM base GROUP BY source
 """
 
 
+def docs_unigram_logprob(spark, sf_dir):
+    """Unigram language-model quality scoring (the CCNet/KenLM
+    perplexity-filter primitive, at unigram order): build the corpus
+    unigram distribution, score every document by its mean negative
+    log-probability — low = in-distribution text, high = outliers.
+    Real pipelines bucket on this score (CCNet keeps the head/middle).
+
+    Plan shape: one (doc, term) tf aggregate, one vocab-sized term
+    aggregate, a join back ON THE TERM KEY (at 100 TB the vocab table
+    is GB-scale — joined, deliberately not broadcast; Spark's AQE may
+    still choose broadcast when the measured size is small, which is
+    the right call at THIS scale and exactly what AQE is for), the
+    corpus total as a one-row broadcast, then a per-doc aggregate.
+    Scores are tf-weighted sums over the (doc, term) frame — identical
+    association on both engines — and rounded 6dp (log values are
+    irrational, so boundary coincidence is measure-zero, unlike the
+    dyadic-rational sums events_range_frame documents)."""
+    from .functions.text import words
+
+    docs = _td(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
+    total = vocab.agg(F.sum("n_term").cast("double").alias("_total"))
+    scored = (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(
+                F.col("tf") * -F.log(F.col("n_term") / F.col("_total"))
+            ).alias("_sum_neg"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("_sum_neg") / F.col("n_tokens"), 6).alias("avg_neg_logprob"),
+    )
+
+
+_ORACLE_UNIGRAM = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({OE.WORDS}) AS term FROM documents
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), vocab AS (
+    SELECT term, count(*) AS n_term FROM toks GROUP BY term
+), total AS (
+    SELECT CAST(sum(n_term) AS DOUBLE) AS total FROM vocab
+)
+SELECT f.doc_id, CAST(sum(f.tf) AS BIGINT) AS n_tokens,
+       round(sum(f.tf * -ln(v.n_term / t.total)) / sum(f.tf), 6)
+           AS avg_neg_logprob
+FROM tf f JOIN vocab v ON f.term = v.term CROSS JOIN total t
+GROUP BY f.doc_id
+"""
+
+
+def sources_overlap_matrix(spark, sf_dir):
+    """Pairwise source-overlap matrix: for every pair of sources, how
+    many distinct 10-word blocks they share, and the overlap
+    coefficient (shared / min(|A|, |B|)) — the inter-source
+    contamination measure a mixture designer reads before weighting
+    sources (two 'different' crawls sharing half their blocks are one
+    source wearing two hats).
+
+    Plan shape: distinct (span, source) pairs — one aggregate on the
+    uniform span key — then a self-join per span producing ordered
+    source pairs (fan-out bounded by sources² per span, NOT corpus
+    size), one aggregate on the tiny (srcA, srcB) key, and per-source
+    distinct-block counts broadcast back for the coefficient."""
+    from .caching import tracked_persist
+    from .functions import text as TXT
+
+    docs = _td(spark, sf_dir)
+    # persisted: the distinct (span, source) frame feeds BOTH sides of
+    # the self-join and the per-source sizes — without it Catalyst
+    # re-tokenizes the corpus three times
+    spans = tracked_persist(
+        docs.select(
+            "source", F.explode(TXT.fixed_chunks(F.col("text"), 10)).alias("span")
+        ).distinct()
+    )
+    a = spans.alias("a")
+    b = spans.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.span") == F.col("b.span")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_spans"))
+    )
+    sizes = spans.groupBy("source").agg(F.count(F.lit(1)).alias("n_spans"))
+    return (
+        pairs.join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_a").withColumnRenamed("n_spans", "_na")),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_b").withColumnRenamed("n_spans", "_nb")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_spans",
+            F.round(
+                F.col("shared_spans") / F.least(F.col("_na"), F.col("_nb")), 6
+            ).alias("overlap_coef"),
+        )
+    )
+
+
+_ORACLE_OVERLAP = f"""
+WITH chunks AS ({_CHUNKS_10}),
+spans AS (
+    SELECT DISTINCT d.source, c.span
+    FROM chunks c JOIN documents d ON c.doc_id = d.doc_id
+),
+pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS shared_spans
+    FROM spans a JOIN spans b ON a.span = b.span AND a.source < b.source
+    GROUP BY a.source, b.source
+),
+sizes AS (
+    SELECT source, count(*) AS n_spans FROM spans GROUP BY source
+)
+SELECT p.source_a, p.source_b, p.shared_spans,
+       round(p.shared_spans / CAST(least(sa.n_spans, sb.n_spans) AS DOUBLE), 6)
+           AS overlap_coef
+FROM pairs p
+JOIN sizes sa ON p.source_a = sa.source
+JOIN sizes sb ON p.source_b = sb.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4071,6 +4210,9 @@ SPECS: list[QuerySpec] = [
         "events_sliding_active_users", events_sliding_active_users, _ORACLE_SLIDING_USERS
     ),
     QuerySpec("docs_dataset_card", docs_dataset_card, _ORACLE_DATASET_CARD),
+    # r5 block 5: LM quality scoring & inter-source contamination
+    QuerySpec("docs_unigram_logprob", docs_unigram_logprob, _ORACLE_UNIGRAM),
+    QuerySpec("sources_overlap_matrix", sources_overlap_matrix, _ORACLE_OVERLAP),
 ]
 
 
