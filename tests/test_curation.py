@@ -143,3 +143,64 @@ def test_chunk_tail_matches_fixed_chunks(spark):
     for r in df.collect():
         rebuilt = " ".join(s for s in (r["body"], r["tail"]) if s)
         assert rebuilt == r["text"].lower().strip()
+
+
+# ---------------------------------------------------------------------------
+# Property-based invariants (hypothesis): chunk alignment and strip
+# conservation hold for arbitrary token counts and duplication patterns
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.sampled_from([f"w{i}" for i in range(12)])
+_doc = st.lists(_word, min_size=0, max_size=35).map(" ".join)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=6))
+def test_boilerplate_strip_conserves_tokens(spark, sf_dir, texts):
+    """For ANY corpus: kept-block tokens + removed-block tokens ==
+    original full-block tokens, and clean_text is a subsequence of the
+    normalized original (stripping never reorders or invents words)."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(registry, "_td", lambda s, d: docs):
+        out = {r["doc_id"]: r for r in registry.docs_boilerplate_strip(spark, sf_dir).collect()}
+    for i, t in enumerate(texts):
+        toks = [w for w in t.lower().split() if w]
+        r = out[i]
+        assert r["n_blocks"] == len(toks) // 10
+        assert 0 <= r["n_removed"] <= r["n_blocks"]
+        clean = r["clean_text"].split() if r["clean_text"] else []
+        # token conservation: clean holds original minus removed blocks
+        assert len(clean) == len(toks) - 10 * r["n_removed"]
+        # subsequence check
+        it = iter(toks)
+        assert all(w in it for w in clean)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=6))
+def test_dup_rate_bounds_and_block_counts(spark, sf_dir, texts):
+    """dup_rate is always in [0,1], n_shared <= n_blocks, and docs
+    below block size are absent (no zero-division rows)."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(registry, "_td", lambda s, d: docs):
+        rows = registry.docs_cross_doc_dup_rate(spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        seen.add(r["doc_id"])
+        assert 1 <= r["n_blocks"]
+        assert 0 <= r["n_shared"] <= r["n_blocks"]
+        assert 0.0 <= r["dup_rate"] <= 1.0
+    for i, t in enumerate(texts):
+        if len([w for w in t.split() if w]) < 10:
+            assert i not in seen
