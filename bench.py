@@ -151,6 +151,15 @@ HEADLINE = [
     "merge_scd2_asof",
     "embedding_quantize",
     "docs_split_assign",
+    # r5 blocks 4-5: cross-document curation + LM quality scoring
+    "docs_source_cap",
+    "docs_boilerplate_strip",
+    "docs_cross_doc_dup_rate",
+    "docs_epoch_plan",
+    "events_sliding_active_users",
+    "docs_dataset_card",
+    "docs_unigram_logprob",
+    "sources_overlap_matrix",
 ]
 
 
