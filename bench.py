@@ -160,6 +160,9 @@ HEADLINE = [
     "docs_dataset_card",
     "docs_unigram_logprob",
     "sources_overlap_matrix",
+    # r5 block 6: behavioral segmentation & co-occurrence
+    "events_rfm_segments",
+    "users_cooccurrence",
 ]
 
 

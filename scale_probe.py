@@ -95,6 +95,16 @@ def main() -> None:
 
     spark = get_spark("scale-probe", shuffle_partitions=32)
 
+    from updating_datasets_data_engineering_spark import registry as R
+
+    def _reg(fn, docs):
+        """Run a registry documents-query against the replicated frame
+        (the patch only matters during lazy plan construction)."""
+        import unittest.mock as mock
+
+        with mock.patch.object(R, "_td", lambda s, d: docs):
+            return fn(spark, "")
+
     ops = {
         "dedup_exact": lambda docs, emb: D.dedup_exact(docs, "doc_id", "text"),
         "dedup_minhash_lsh": lambda docs, emb: D.minhash_lsh_pairs(
@@ -102,6 +112,11 @@ def main() -> None:
         ),
         "embedding_near_dup_ann": lambda docs, emb: S.embedding_near_dup_pairs(emb, 0.5),
         "dedup_simhash": lambda docs, emb: D.simhash_groups(docs),
+        # r5 blocks 4-5: the chunk-explode family (span aggregate + anti
+        # join + per-doc reassembly) and the term-explode LM scorer —
+        # per-replica word rewriting keeps span/vocab structure linear
+        "docs_boilerplate_strip": lambda docs, emb: _reg(R.docs_boilerplate_strip, docs),
+        "docs_unigram_logprob": lambda docs, emb: _reg(R.docs_unigram_logprob, docs),
     }
 
     results: dict[str, dict[int, float]] = {n: {} for n in ops}

@@ -4013,6 +4013,121 @@ JOIN sizes sb ON p.source_b = sb.source
 """
 
 
+def events_rfm_segments(spark, sf_dir):
+    """RFM user segmentation (recency / frequency / monetary), the
+    classic behavioral-cohort operator: per-user last-activity age,
+    event count, and value sum, each cut into exact quartiles with
+    NTILE and composed into a segment code ('444' = best).
+
+    Determinism: NTILE is rank-arithmetic (no interpolation), and every
+    ordering carries user_id as the final tie-break, so quartile
+    boundaries are engine-exact.  Recency ranks by (last_sec DESC)
+    so quartile 4 = most recent, aligning all three digits as
+    higher-is-better.
+
+    Plan shape: one per-user aggregate (uniform key), then three NTILE
+    windows over the SAME unpartitioned ordering frame — fine because
+    the frame is per-user (users << events), but at extreme user
+    cardinality the global NTILE sort is the bottleneck; the documented
+    scale path swaps NTILE for rank/count bucketing over
+    `approx_percentile` boundaries, trading exactness for a map-only
+    cut (same trade events_user_count_approx documents for HLL)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.unix_timestamp("ts")).alias("last_sec"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.round(F.sum("value"), 2).alias("monetary"),
+    )
+    wr = Window.orderBy(F.col("last_sec").desc(), "user_id")
+    wf = Window.orderBy(F.col("frequency"), F.col("user_id"))
+    wm = Window.orderBy(F.col("monetary"), F.col("user_id"))
+    return (
+        per_user.withColumn("r_q", F.lit(5) - F.ntile(4).over(wr))
+        .withColumn("f_q", F.ntile(4).over(wf))
+        .withColumn("m_q", F.ntile(4).over(wm))
+        .select(
+            "user_id",
+            "last_sec",
+            "frequency",
+            "monetary",
+            "r_q",
+            "f_q",
+            "m_q",
+            F.concat_ws("", "r_q", "f_q", "m_q").alias("segment"),
+        )
+    )
+
+
+_ORACLE_RFM = """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(max(floor(epoch(ts))) AS BIGINT) AS last_sec,
+           count(*) AS frequency,
+           round(sum(value), 2) AS monetary
+    FROM events GROUP BY user_id
+)
+SELECT user_id, last_sec, frequency, monetary,
+       5 - NTILE(4) OVER (ORDER BY last_sec DESC, user_id) AS r_q,
+       NTILE(4) OVER (ORDER BY frequency, user_id) AS f_q,
+       NTILE(4) OVER (ORDER BY monetary, user_id) AS m_q,
+       CAST(5 - NTILE(4) OVER (ORDER BY last_sec DESC, user_id) AS STRING)
+       || CAST(NTILE(4) OVER (ORDER BY frequency, user_id) AS STRING)
+       || CAST(NTILE(4) OVER (ORDER BY monetary, user_id) AS STRING) AS segment
+FROM per_user
+"""
+
+
+def users_cooccurrence(spark, sf_dir, min_windows: int = 2):
+    """User co-occurrence projection (the bipartite user×time-window
+    graph projected onto users): pairs of users active in the same
+    hourly window, kept when they co-occur in >= ``min_windows``
+    distinct windows — the standard co-activity edge list behind
+    sessionless affinity / community analyses.
+
+    Plan shape: distinct (hour, user) — one aggregate on the window
+    key — then a per-window self-join (a < b) and one aggregate on the
+    pair key.  The fan-out is users-per-window², NEVER corpus²: the
+    self-join runs inside each hour bucket.  At 100 TB a hot window
+    (flash event) needs the same salt-grid guard as
+    dedup.banded_self_candidates — cap per-window membership fan-out
+    and merge counts across salt cells (the guard is shared machinery;
+    here the hourly fixture occupancy is uniform by construction)."""
+    ev = _t(spark, sf_dir, "events")
+    active = ev.select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour"),
+        "user_id",
+    ).distinct()
+    a = active.alias("a")
+    b = active.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.hour") == F.col("b.hour"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_windows"))
+        .where(F.col("shared_windows") >= min_windows)
+    )
+
+
+_ORACLE_COOCCURRENCE = """
+WITH active AS (
+    SELECT DISTINCT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, user_id
+    FROM events
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(count(*) AS BIGINT) AS shared_windows
+FROM active a JOIN active b ON a.hour = b.hour AND a.user_id < b.user_id
+GROUP BY a.user_id, b.user_id
+HAVING count(*) >= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4213,6 +4328,9 @@ SPECS: list[QuerySpec] = [
     # r5 block 5: LM quality scoring & inter-source contamination
     QuerySpec("docs_unigram_logprob", docs_unigram_logprob, _ORACLE_UNIGRAM),
     QuerySpec("sources_overlap_matrix", sources_overlap_matrix, _ORACLE_OVERLAP),
+    # r5 block 6: behavioral segmentation & co-occurrence projection
+    QuerySpec("events_rfm_segments", events_rfm_segments, _ORACLE_RFM),
+    QuerySpec("users_cooccurrence", users_cooccurrence, _ORACLE_COOCCURRENCE),
 ]
 
 
