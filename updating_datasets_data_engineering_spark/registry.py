@@ -3603,6 +3603,19 @@ def docs_boilerplate_strip(spark, sf_dir, min_docs: int = 2):
         .where(F.col("_nd") >= min_docs)
         .select("span")
     )
+    return _strip_docs_against(docs, boiler)
+
+
+def _strip_docs_against(docs, boiler):
+    """Apply boilerplate stripping to ``docs`` against an explicit
+    boilerplate span set (shared by the batch and incremental strip
+    queries): anti-join the doc's 10-word blocks against ``boiler``,
+    reassemble survivors in order plus the sub-block tail."""
+    from .functions import text as TXT
+
+    chunks = docs.select(
+        "doc_id", F.posexplode(TXT.fixed_chunks(F.col("text"), 10)).alias("i", "span")
+    )
     kept = chunks.join(boiler, "span", "left_anti")
     body = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -4013,6 +4026,121 @@ JOIN sizes sb ON p.source_b = sb.source
 """
 
 
+def docs_boilerplate_incremental(spark, sf_dir):
+    """Incremental boilerplate maintenance — the archive ∪ daily-delta
+    loop (the reference's defining update model,
+    scripts/spark_merge_dfs.py:82-83) applied to the curation tier:
+    docs with doc_id % 10 == 0 are "today's delta"; the archive's
+    (doc_id, i, span) chunk index is PERSISTED state (parquet,
+    materialized once per session like the LSH band index), so the
+    archive text is never re-tokenized.  The delta's chunks update the
+    span counts; spans that CROSS the >= 2 threshold because of the
+    delta mark which archive docs need re-stripping.  Output = the
+    full-corpus strip restricted to touched docs (delta ∪ affected
+    archive docs) — everything else is provably unchanged because the
+    boilerplate set only grows under insertion (deletions go through
+    the CDC retraction path, dedup_labels_after_delete's family).
+
+    Plan shape: delta-only chunking (map-side explode of the small
+    side), span counts as index-derived aggregates on the same uniform
+    span key, threshold-crossing detection as one join of the tiny
+    delta-count frame, affected-doc selection as a semi join on the
+    persisted index, and the re-strip bounded by |delta| + |affected|
+    — never |archive|."""
+    from .functions import text as TXT
+
+    docs = _td(spark, sf_dir)
+    archive = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    index = _persisted_index(
+        spark,
+        sf_dir,
+        "span_chunks",
+        lambda: archive.select(
+            "doc_id",
+            F.posexplode(TXT.fixed_chunks(F.col("text"), 10)).alias("i", "span"),
+        ),
+    )
+    arch_counts = index.groupBy("span").agg(
+        F.countDistinct("doc_id").alias("_na")
+    )
+    delta_chunks = delta.select(
+        "doc_id", F.explode(TXT.fixed_chunks(F.col("text"), 10)).alias("span")
+    )
+    delta_counts = delta_chunks.groupBy("span").agg(
+        F.countDistinct("doc_id").alias("_ndl")
+    )
+    combined = (
+        arch_counts.join(delta_counts, "span", "full_outer")
+        .select(
+            "span",
+            F.coalesce(F.col("_na"), F.lit(0)).alias("_na"),
+            F.coalesce(F.col("_ndl"), F.lit(0)).alias("_ndl"),
+        )
+    )
+    boiler = combined.where(F.col("_na") + F.col("_ndl") >= 2).select("span")
+    crossing = combined.where(
+        (F.col("_na") < 2) & (F.col("_ndl") > 0) & (F.col("_na") + F.col("_ndl") >= 2)
+    ).select("span")
+    affected = (
+        index.join(crossing, "span", "left_semi").select("doc_id").distinct()
+    )
+    touched = delta.unionByName(archive.join(affected, "doc_id", "left_semi"))
+    return _strip_docs_against(touched, boiler)
+
+
+_ORACLE_BOILERPLATE_INCR = f"""
+WITH chunks AS ({_CHUNKS_10}),
+arch_counts AS (
+    SELECT span, count(DISTINCT doc_id) AS na FROM chunks
+    WHERE doc_id % 10 <> 0 GROUP BY span
+),
+delta_counts AS (
+    SELECT span, count(DISTINCT doc_id) AS ndl FROM chunks
+    WHERE doc_id % 10 = 0 GROUP BY span
+),
+crossing AS (
+    SELECT d.span FROM delta_counts d LEFT JOIN arch_counts a ON d.span = a.span
+    WHERE COALESCE(a.na, 0) < 2 AND COALESCE(a.na, 0) + d.ndl >= 2
+),
+touched AS (
+    SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 = 0
+    UNION
+    SELECT DISTINCT c.doc_id FROM chunks c
+    JOIN crossing x ON c.span = x.span WHERE c.doc_id % 10 <> 0
+),
+boiler AS (
+    SELECT span FROM chunks GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (
+    SELECT c.* FROM chunks c ANTI JOIN boiler b ON c.span = b.span
+),
+body AS (
+    SELECT doc_id, count(*) AS n_kept,
+           string_agg(span, ' ' ORDER BY i) AS body
+    FROM kept GROUP BY doc_id
+),
+base AS (
+    SELECT doc_id,
+           CAST(CASE WHEN len(w) >= 10 THEN len(w) // 10 ELSE 0 END AS BIGINT)
+               AS n_blocks,
+           array_to_string(
+               w[(CASE WHEN len(w) >= 10 THEN len(w) // 10 ELSE 0 END) * 10 + 1 : ],
+               ' ') AS tail
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+          FROM documents)
+)
+SELECT b.doc_id, b.n_blocks,
+       b.n_blocks - COALESCE(y.n_kept, 0) AS n_removed,
+       COALESCE(array_to_string(
+           list_filter([COALESCE(y.body, ''), b.tail], s -> s <> ''), ' '), '')
+           AS clean_text
+FROM base b LEFT JOIN body y ON b.doc_id = y.doc_id
+WHERE b.doc_id IN (SELECT doc_id FROM touched)
+"""
+
+
 def events_rfm_segments(spark, sf_dir):
     """RFM user segmentation (recency / frequency / monetary), the
     classic behavioral-cohort operator: per-user last-activity age,
@@ -4331,6 +4459,11 @@ SPECS: list[QuerySpec] = [
     # r5 block 6: behavioral segmentation & co-occurrence projection
     QuerySpec("events_rfm_segments", events_rfm_segments, _ORACLE_RFM),
     QuerySpec("users_cooccurrence", users_cooccurrence, _ORACLE_COOCCURRENCE),
+    QuerySpec(
+        "docs_boilerplate_incremental",
+        docs_boilerplate_incremental,
+        _ORACLE_BOILERPLATE_INCR,
+    ),
 ]
 
 
