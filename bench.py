@@ -163,6 +163,10 @@ HEADLINE = [
     # r5 block 6: behavioral segmentation & co-occurrence
     "events_rfm_segments",
     "users_cooccurrence",
+    # r5 block 6b: curation-tier incremental maintenance (persisted
+    # index probes — must bench BELOW their batch counterparts)
+    "docs_boilerplate_incremental",
+    "docs_delta_quality_scored",
 ]
 
 

@@ -539,3 +539,55 @@ def test_streaming_sliding_active_users_equals_batch(spark, sf_dir, tmp_path):
     assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(
         expected.select(*cols), cols
     )
+
+
+def test_streaming_boilerplate_maintenance(spark, tmp_path):
+    """Streaming twin of docs_boilerplate_incremental: three document
+    micro-batches maintain the span-chunk index and the stripped-corpus
+    materialized view; after each prefix the clean store must equal the
+    full batch strip recomputed over everything streamed so far
+    (including archive docs RE-stripped when a later batch pushes one
+    of their spans across the boilerplate threshold)."""
+    from updating_datasets_data_engineering_spark.operators import curation as CUR
+    from updating_datasets_data_engineering_spark.tables import load_table
+
+    src = str(tmp_path / "bp_src")
+    docs_path = str(tmp_path / "bp_archive")
+    index_path = str(tmp_path / "bp_span_index")
+    clean_path = str(tmp_path / "bp_clean")
+    ckpt = str(tmp_path / "bp_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    all_docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batches = [
+        all_docs.where(F.col("doc_id") % 3 == i) for i in range(3)
+    ]
+
+    def run_increment(batch_df):
+        batch_df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                SP.maintain_boilerplate_each_batch(docs_path, index_path, clean_path)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+
+    streamed = None
+    cols = ["doc_id", "n_blocks", "n_removed", "clean_text"]
+    for b in batches:
+        run_increment(b)
+        streamed = b if streamed is None else streamed.unionByName(b)
+        got = spark.read.parquet(clean_path)
+        chunks = CUR.chunk_frame(streamed)
+        want = CUR.strip_against(streamed, CUR.boilerplate_spans(chunks))
+        assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(
+            want.select(*cols), cols
+        )
+    # every streamed doc is in the view exactly once
+    assert spark.read.parquet(clean_path).count() == all_docs.count()

@@ -3607,44 +3607,12 @@ def docs_boilerplate_strip(spark, sf_dir, min_docs: int = 2):
 
 
 def _strip_docs_against(docs, boiler):
-    """Apply boilerplate stripping to ``docs`` against an explicit
-    boilerplate span set (shared by the batch and incremental strip
-    queries): anti-join the doc's 10-word blocks against ``boiler``,
-    reassemble survivors in order plus the sub-block tail."""
-    from .functions import text as TXT
+    """Shared strip application — see operators/curation.strip_against
+    (moved there so the streaming maintainer can reuse it without a
+    registry import)."""
+    from .operators import curation as CUR
 
-    chunks = docs.select(
-        "doc_id", F.posexplode(TXT.fixed_chunks(F.col("text"), 10)).alias("i", "span")
-    )
-    kept = chunks.join(boiler, "span", "left_anti")
-    body = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "span"))),
-                lambda s: s["span"],
-            ),
-            " ",
-        ).alias("_body"),
-    )
-    base = docs.select(
-        "doc_id",
-        F.size(TXT.fixed_chunks(F.col("text"), 10)).cast("long").alias("n_blocks"),
-        TXT.chunk_tail(F.col("text"), 10).alias("_tail"),
-    )
-    joined = base.join(body, "doc_id", "left").select(
-        "doc_id",
-        "n_blocks",
-        (F.col("n_blocks") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
-        F.array_join(
-            F.filter(
-                F.array(F.coalesce(F.col("_body"), F.lit("")), F.col("_tail")),
-                lambda s: s != F.lit(""),
-            ),
-            " ",
-        ).alias("clean_text"),
-    )
-    return joined
+    return CUR.strip_against(docs, boiler)
 
 
 _ORACLE_BOILERPLATE = f"""
@@ -4141,6 +4109,84 @@ WHERE b.doc_id IN (SELECT doc_id FROM touched)
 """
 
 
+def docs_delta_quality_scored(spark, sf_dir):
+    """Score TODAY'S DELTA against the ARCHIVE's frozen unigram LM —
+    the production form of LM quality filtering (CCNet scores incoming
+    data against a fixed reference model, not against a distribution
+    that shifts with every batch): the archive's (term, count) table is
+    persisted index state; delta docs score by mean negative
+    log-probability under it, with add-one smoothing over the archive
+    vocab so unseen terms get a finite (high) surprise instead of -inf.
+
+    Plan shape: the delta explodes (small side), term-joins the
+    persisted vocab LEFT (unseen terms survive as smoothed mass), the
+    archive total + vocab size ride a one-row broadcast.  The archive
+    text is never re-tokenized — same persisted-state discipline as
+    the LSH/span-chunk indexes."""
+    from .functions.text import words
+
+    docs = _td(spark, sf_dir)
+    archive = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    vocab = _persisted_index(
+        spark,
+        sf_dir,
+        "unigram_vocab",
+        lambda: archive.select(F.explode(words(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_term")),
+    )
+    totals = vocab.agg(
+        F.sum("n_term").cast("double").alias("_total"),
+        F.count(F.lit(1)).cast("double").alias("_vsize"),
+    )
+    toks = delta.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf.join(vocab, "term", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(
+                F.col("tf")
+                * -F.log(
+                    (F.coalesce(F.col("n_term"), F.lit(0)) + 1)
+                    / (F.col("_total") + F.col("_vsize"))
+                )
+            ).alias("_sum_neg"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("_sum_neg") / F.col("n_tokens"), 6).alias("avg_neg_logprob"),
+    )
+
+
+_ORACLE_DELTA_QUALITY = f"""
+WITH vocab AS (
+    SELECT term, count(*) AS n_term
+    FROM (SELECT doc_id, unnest({OE.WORDS}) AS term FROM documents
+          WHERE doc_id % 10 <> 0)
+    GROUP BY term
+), totals AS (
+    SELECT CAST(sum(n_term) AS DOUBLE) AS total,
+           CAST(count(*) AS DOUBLE) AS vsize FROM vocab
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM (SELECT doc_id, unnest({OE.WORDS}) AS term FROM documents
+          WHERE doc_id % 10 = 0)
+    GROUP BY doc_id, term
+)
+SELECT f.doc_id, CAST(sum(f.tf) AS BIGINT) AS n_tokens,
+       round(sum(f.tf * -ln((COALESCE(v.n_term, 0) + 1) / (t.total + t.vsize)))
+             / sum(f.tf), 6) AS avg_neg_logprob
+FROM tf f LEFT JOIN vocab v ON f.term = v.term CROSS JOIN totals t
+GROUP BY f.doc_id
+"""
+
+
 def events_rfm_segments(spark, sf_dir):
     """RFM user segmentation (recency / frequency / monetary), the
     classic behavioral-cohort operator: per-user last-activity age,
@@ -4463,6 +4509,9 @@ SPECS: list[QuerySpec] = [
         "docs_boilerplate_incremental",
         docs_boilerplate_incremental,
         _ORACLE_BOILERPLATE_INCR,
+    ),
+    QuerySpec(
+        "docs_delta_quality_scored", docs_delta_quality_scored, _ORACLE_DELTA_QUALITY
     ),
 ]
 

@@ -519,6 +519,123 @@ def maintain_minhash_index_each_batch(
     return _apply
 
 
+def maintain_boilerplate_each_batch(
+    docs_path: str,
+    span_index_path: str,
+    clean_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+):
+    """foreachBatch function: STREAMING incremental view maintenance of
+    the boilerplate-stripped corpus — the streaming twin of
+    ``registry.docs_boilerplate_incremental``.
+
+    Persisted state: the archive docs (``docs_path``), the (doc_id, i,
+    span) chunk index (``span_index_path``) — both ``_batch_id``-
+    partitioned idempotent appends — and the stripped-corpus store
+    (``clean_path``), a materialized view upserted through the
+    crash-safe stage-and-swap.
+
+    Each micro-batch:
+
+      1. chunks ONLY the batch (map-side explode of the small side);
+      2. derives archive span counts from the index (< this batch) —
+         the archive text is never re-tokenized;
+      3. finds spans the batch pushes ACROSS the >= ``min_docs``
+         threshold and the archive docs containing them (the only
+         archive rows whose strip result can change — the boilerplate
+         set is insertion-monotone);
+      4. re-strips batch ∪ affected docs against the combined set and
+         upserts those rows into the clean store;
+      5. appends the batch's chunks and docs to the state.
+
+    After ANY prefix of batches the clean store equals the full batch
+    recompute on the streamed prefix — asserted in tests/test_streaming.py.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators import curation as CUR
+
+    def _apply(batch_docs: DataFrame, batch_id: int) -> None:
+        spark = batch_docs.sparkSession
+        for p in (docs_path, span_index_path, clean_path):
+            fs.recover_swap(spark, p)
+        delta = batch_docs.select(id_col, text_col)
+        if delta.isEmpty():
+            return
+        with caching.scope():
+            delta = caching.tracked_persist(delta)
+            delta_chunks = caching.tracked_persist(
+                CUR.chunk_frame(delta, id_col, text_col)
+            )
+            if fs.has_parquet(spark, span_index_path):
+                index = (
+                    spark.read.parquet(span_index_path)
+                    .where(F.col("_batch_id") < batch_id)
+                    .select("doc_id", "i", "span")
+                )
+                archive = (
+                    spark.read.parquet(docs_path)
+                    .where(F.col("_batch_id") < batch_id)
+                    .select(id_col, text_col)
+                )
+            else:
+                index = spark.createDataFrame([], "doc_id long, i int, span string")
+                archive = spark.createDataFrame([], delta.schema)
+            arch_counts = index.groupBy("span").agg(
+                F.countDistinct("doc_id").alias("_na")
+            )
+            delta_counts = delta_chunks.groupBy("span").agg(
+                F.countDistinct("doc_id").alias("_ndl")
+            )
+            combined = arch_counts.join(delta_counts, "span", "full_outer").select(
+                "span",
+                F.coalesce(F.col("_na"), F.lit(0)).alias("_na"),
+                F.coalesce(F.col("_ndl"), F.lit(0)).alias("_ndl"),
+            )
+            boiler = combined.where(
+                F.col("_na") + F.col("_ndl") >= min_docs
+            ).select("span")
+            crossing = combined.where(
+                (F.col("_na") < min_docs)
+                & (F.col("_ndl") > 0)
+                & (F.col("_na") + F.col("_ndl") >= min_docs)
+            ).select("span")
+            affected = (
+                index.join(crossing, "span", "left_semi").select("doc_id").distinct()
+            )
+            touched = delta.unionByName(
+                archive.join(
+                    affected.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+                )
+            )
+            restripped = CUR.strip_against(touched, boiler, id_col, text_col)
+            if fs.has_parquet(spark, clean_path):
+                prev = spark.read.parquet(clean_path)
+                store = prev.join(
+                    restripped.select("doc_id"), "doc_id", "left_anti"
+                ).unionByName(restripped)
+            else:
+                store = restripped
+            staging = fs.staging_path(clean_path)
+            fs.delete(spark, staging)
+            store.write.mode("overwrite").parquet(staging)
+            spark.read.parquet(staging).count()  # materialize before swap
+            fs.swap_directory(spark, staging, clean_path)
+            batch_lit = F.lit(batch_id).cast("long").alias("_batch_id")
+            for df, path in ((delta_chunks, span_index_path), (delta, docs_path)):
+                (
+                    df.withColumn("_batch_id", batch_lit)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_batch_id")
+                    .parquet(path)
+                )
+
+    return _apply
+
+
 def run_index_maintenance_available_now(
     stream_docs: DataFrame,
     docs_path: str,
