@@ -167,6 +167,10 @@ HEADLINE = [
     # index probes — must bench BELOW their batch counterparts)
     "docs_boilerplate_incremental",
     "docs_delta_quality_scored",
+    # r5 block 8: graph tier + probe/skyline shapes
+    "users_pagerank",
+    "dedup_delta_bloom_probe",
+    "orders_skyline",
 ]
 
 
@@ -212,17 +216,40 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full per-query detail: one JSON line (the documented contract) plus
+    # a repo-root file so per-query numbers survive any log truncation.
+    print(json.dumps(payload, separators=(",", ":")))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    # The driver records only the last ~2000 chars of stdout and parses a
+    # JSON line out of it; with 130 queries the full line is ~3.9k chars,
+    # so BENCH_r03/r04 recorded parsed=null.  Emit a LAST line that fits
+    # the capture window: same metric/value/unit/sf, `queries` trimmed to
+    # the slowest entries that keep the line under 1900 chars, plus the
+    # query count and the full-detail pointer.
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    compact: dict = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "n_queries": len(timings),
+        "detail": "BENCH_FULL.json",
+        "sf": payload["sf"],
+    }
+    for name, sec in slowest:
+        compact["queries"][name] = sec
+        if len(json.dumps(compact, separators=(",", ":"))) > 1800:
+            del compact["queries"][name]
+            break
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,177 @@
+"""Graph-analytics tier: PageRank-style node ranking and a native
+Bloom-filter membership probe.
+
+Why this tier exists: web-scale corpus curation ranks *hosts* on the
+link graph before deciding crawl/keep priority (Common Crawl publishes
+host- and domain-level rank files computed this way; CCNet/RefinedWeb
+consume them as quality priors).  The fixture has no hyperlink table,
+so the rank runs on the user co-occurrence graph (same bipartite
+projection `registry.users_cooccurrence` gates) — the operator is the
+graph-agnostic part; swap the edge list for a host graph at 100 TB.
+
+Scale notes
+-----------
+* PageRank here is the classic synchronous iteration expressed as
+  DataFrame joins: each round is ONE shuffle of the edge list against
+  the current rank vector (edges >> nodes, so the edge side drives the
+  cost) plus a hash-aggregate on the destination key.  Iterations are
+  bounded (``iters``), each round's lineage is cut with
+  ``localCheckpoint`` exactly like `dedup.label_propagation` — without
+  it the plan doubles per round and the 10th iteration compiles a
+  2^10-node tree.
+* No driver-side state: ranks live in a DataFrame keyed by node;
+  the only driver value is the loop counter.
+* Determinism across engines: every per-node sum is rounded to 12
+  decimals before the damping update, and the update itself is a
+  fixed-shape arithmetic expression — the float error of a
+  sum-order difference (~1e-17 on rank-scale values) vanishes at the
+  12th decimal, so Spark and an ANSI engine iterate through
+  bit-identical states (same discipline as q2/q11/q15's rounded
+  HAVING comparisons).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..caching import tracked_persist
+
+__all__ = ["symmetrize", "pagerank", "bloom_bits", "bloom_probe"]
+
+
+def symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge list -> both-direction directed edges (u, v)."""
+    return edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "user_a",
+    dst: str = "user_b",
+    damping: float = 0.85,
+    iters: int = 3,
+) -> DataFrame:
+    """PageRank over an undirected edge list, ``iters`` synchronous
+    rounds of r(v) <- (1-d)/N + d * sum_{u~v} r(u)/deg(u).
+
+    The node set is the edge endpoints (symmetric edges mean every
+    node has degree >= 1, so there are no dangling nodes and the
+    rank mass that teleports is exactly (1-d)).  Returns
+    (node, degree, rank) with rank rounded to 6 decimals for output
+    stability; internal states are rounded to 12 (see module note).
+
+    Plan shape per round: broadcast-free join of the edge list with
+    the (node, rank/deg) vector on the source key, one hash-aggregate
+    on the destination key, then a join back onto the degree table.
+    At 100 TB the edge list is the big side and is already hash-
+    partitioned by ``u`` after the first round — AQE reuses that
+    exchange; the rank vector (nodes << edges) is broadcast by AQE at
+    small scale and shuffle-joined at extreme node cardinality, both
+    correct.
+    """
+    sym = symmetrize(edges, src, dst)
+    sym = tracked_persist(sym)  # reused every round: pay the scan once
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    deg = tracked_persist(deg)
+    n1 = deg.agg(F.count(F.lit(1)).alias("n"))  # one row
+    ranks = deg.crossJoin(F.broadcast(n1)).select(
+        "u", "deg", "n", F.round(F.lit(1.0) / F.col("n"), 12).alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            sym.join(
+                ranks.select("u", (F.col("rank") / F.col("deg")).alias("c")), "u"
+            )
+            .groupBy("v")
+            .agg(F.round(F.sum("c"), 12).alias("s"))
+        )
+        ranks = (
+            deg.crossJoin(F.broadcast(n1))
+            .join(contrib, F.col("u") == F.col("v"))
+            .select(
+                "u",
+                "deg",
+                "n",
+                F.round(
+                    (1.0 - damping) / F.col("n") + damping * F.col("s"), 12
+                ).alias("rank"),
+            )
+        )
+        # bounded iterations, lineage cut per round (cf. dedup.label_propagation)
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select(
+        F.col("u").alias("node"),
+        F.col("deg").alias("degree"),
+        F.round("rank", 6).alias("rank"),
+    )
+
+
+def bloom_bits(
+    keys: DataFrame, key: str, m_bits: int, k_hashes: int
+) -> DataFrame:
+    """Build a Bloom filter NATIVELY as a DataFrame of set bit
+    positions: each key sets ``k_hashes`` positions derived from
+    seeded ``xxhash64`` mod ``m_bits``.  The result has at most
+    ``m_bits`` rows — by construction a bounded, broadcastable
+    frame REGARDLESS of key cardinality (that bound is the entire
+    point of a Bloom filter; here the "bit array" is a distinct
+    position set, which is the same information).
+
+    Spark's ``DataFrame.stat.bloomFilter`` returns a driver-held
+    object that can only be probed through a row-at-a-time Python
+    UDF — banned by this repo's UDF policy — so the filter stays
+    in the engine as data instead.
+    """
+    seeds = F.array(*[F.lit(i) for i in range(k_hashes)])
+    return (
+        keys.select(
+            F.explode(
+                F.transform(
+                    seeds,
+                    lambda s: F.pmod(F.xxhash64(F.col(key), s), F.lit(m_bits)),
+                )
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    candidates: DataFrame,
+    key: str,
+    bits: DataFrame,
+    m_bits: int,
+    k_hashes: int,
+) -> DataFrame:
+    """Keep candidate rows the Bloom filter says MIGHT be members
+    (all ``k_hashes`` positions set).  False positives possible —
+    callers must exact-verify survivors; false negatives impossible,
+    so the prune is safe.
+
+    Plan shape: candidates explode to k rows each, inner-join the
+    broadcast ≤ m_bits position table on an int key, count hits per
+    row, keep hits == k.  The candidate side never shuffles on data
+    keys and the archive side is the bounded bit table — the whole
+    probe is map-side at any archive size.
+    """
+    seeds = F.array(*[F.lit(i) for i in range(k_hashes)])
+    probed = candidates.withColumn(
+        "_bloom_bit",
+        F.explode(
+            F.transform(
+                seeds,
+                lambda s: F.pmod(F.xxhash64(F.col(key), s), F.lit(m_bits)),
+            )
+        ),
+    )
+    hits = (
+        probed.join(
+            F.broadcast(bits.withColumnRenamed("bit", "_bloom_bit")),
+            "_bloom_bit",
+        )
+        .groupBy(*candidates.columns)
+        .agg(F.count(F.lit(1)).alias("_bloom_hits"))
+    )
+    return hits.where(F.col("_bloom_hits") == k_hashes).drop("_bloom_hits")

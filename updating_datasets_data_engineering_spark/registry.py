@@ -4302,6 +4302,187 @@ HAVING count(*) >= 2
 """
 
 
+def users_pagerank(spark, sf_dir):
+    """PageRank over the user co-occurrence graph (3 synchronous
+    rounds, damping 0.85) — the host-graph ranking pattern web-scale
+    curation pipelines consume as a quality prior (Common Crawl
+    publishes host/domain ranks computed exactly this way; CCNet /
+    RefinedWeb use them to prioritize what to keep).  The fixture has
+    no hyperlink table, so the rank runs on the co-activity graph
+    `users_cooccurrence` already gates; the operator
+    (`operators/graph.pagerank`) is graph-agnostic.
+
+    Plan shape per round: one join of the edge list against the rank
+    vector on the source key + one hash-aggregate on the destination
+    key; edges persisted once, lineage cut per round with
+    localCheckpoint (bounded iterations — same discipline as
+    `dedup.label_propagation`).  Engine-deterministic because every
+    per-node sum is rounded to 12 decimals before the damping update
+    (float sum-order error ~1e-17 vanishes at the 12th decimal)."""
+    from .operators import graph as G
+
+    edges = users_cooccurrence(spark, sf_dir)
+    return G.pagerank(edges, "user_a", "user_b", damping=0.85, iters=3)
+
+
+_PR_DAMP = "CAST(0.85 AS DOUBLE)"
+_PR_TELE = f"(CAST(1.0 AS DOUBLE) - {_PR_DAMP})"
+_PR_STEP = """
+r{K} AS (
+    SELECT d.u, d.deg, round({TELE} / nn.n + {DAMP} * round(sum(r.rank / r.deg), 12), 12) AS rank
+    FROM sym s JOIN r{P} r ON s.u = r.u JOIN deg d ON s.v = d.u CROSS JOIN nn
+    GROUP BY d.u, d.deg, nn.n
+)"""
+
+_ORACLE_PAGERANK = (
+    """
+WITH active AS (
+    SELECT DISTINCT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, user_id
+    FROM events
+),
+pairs AS (
+    SELECT a.user_id AS ua, b.user_id AS ub
+    FROM active a JOIN active b ON a.hour = b.hour AND a.user_id < b.user_id
+    GROUP BY a.user_id, b.user_id
+    HAVING count(*) >= 2
+),
+sym AS (SELECT ua AS u, ub AS v FROM pairs UNION ALL SELECT ub AS u, ua AS v FROM pairs),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT u, deg, round(CAST(1.0 AS DOUBLE) / nn.n, 12) AS rank FROM deg CROSS JOIN nn),"""
+    + ",".join(
+        _PR_STEP.format(K=k, P=k - 1, TELE=_PR_TELE, DAMP=_PR_DAMP)
+        for k in (1, 2, 3)
+    )
+    + """
+SELECT u AS node, deg AS degree, round(rank, 6) AS rank FROM r3
+"""
+)
+
+
+def dedup_delta_bloom_probe(spark, sf_dir):
+    """Bloom-filter membership pre-probe for the archive ∪ daily-delta
+    loop: which incoming (delta) documents contain 10-word blocks
+    already present in the archive corpus — the contamination /
+    prior-epoch-overlap check run on every ingest batch before the
+    expensive span join.  The Bloom filter is built NATIVELY as a
+    bounded DataFrame of set bit positions (`operators/graph.bloom_bits`
+    — Spark's `stat.bloomFilter` object can only be probed through a
+    row-at-a-time Python UDF, banned here), persisted as session state
+    alongside the archive's span-chunk index (`span_chunks`, shared
+    with `docs_boilerplate_incremental` — the archive text is never
+    re-tokenized by this query).
+
+    Plan shape: delta-only chunking, map-side bloom probe against the
+    broadcast ≤ m-bit position table (false positives possible, false
+    negatives impossible), then exact verify of the SURVIVORS only
+    against the persisted span index, semi-joined with the small probe
+    side broadcast so the archive index never shuffles.  At 100 TB the
+    bloom prune means the exact-verify join carries only delta spans
+    that plausibly overlap — size m to the archive span cardinality
+    (m=2^20 here; FP rate (1-e^{-kn/m})^k)."""
+    from .functions import text as TXT
+    from .operators import graph as G
+
+    m_bits, k_hashes = 1 << 20, 3
+    docs = _td(spark, sf_dir)
+    archive = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    index = _persisted_index(
+        spark,
+        sf_dir,
+        "span_chunks",
+        lambda: archive.select(
+            "doc_id",
+            F.posexplode(TXT.fixed_chunks(F.col("text"), 10)).alias("i", "span"),
+        ),
+    )
+    bits = _persisted_index(
+        spark,
+        sf_dir,
+        "bloom_span_bits",
+        lambda: G.bloom_bits(index.select("span").distinct(), "span", m_bits, k_hashes),
+    )
+    delta_spans = delta.select(
+        "doc_id", F.explode(TXT.fixed_chunks(F.col("text"), 10)).alias("span")
+    ).distinct()
+    maybe = G.bloom_probe(delta_spans, "span", bits, m_bits, k_hashes)
+    matched = index.select("span").distinct().join(
+        F.broadcast(maybe.select("span").distinct()), "span", "left_semi"
+    )
+    return (
+        delta_spans.join(F.broadcast(matched), "span", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_archive_spans"))
+    )
+
+
+_ORACLE_BLOOM_PROBE = f"""
+WITH chunks AS ({_CHUNKS_10}),
+arch AS (SELECT DISTINCT span FROM chunks WHERE doc_id % 10 <> 0),
+delt AS (SELECT DISTINCT doc_id, span FROM chunks WHERE doc_id % 10 = 0)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_archive_spans
+FROM delt d JOIN arch a ON d.span = a.span
+GROUP BY d.doc_id
+"""
+
+
+def orders_skyline(spark, sf_dir):
+    """Skyline (Pareto frontier) of orders on (cheapest price,
+    earliest date): the (price, date) points not dominated by any
+    other point that is <= in both dimensions and < in at least one —
+    the classic multi-criteria OLAP operator (Börzsönyi et al., ICDE
+    2001, public).
+
+    The O(n²) dominance test collapses to sort + running-min: on
+    points sorted by (price asc, date asc), a point is dominated iff
+    some EARLIER row has date <= its date (earlier rows have price <=
+    by the sort; exact duplicates are pre-aggregated away so ties
+    cannot self-dominate).  Skyline is distributive —
+    frontier(A ∪ B) = frontier(frontier(A) ∪ frontier(B)) — so the
+    plan prunes per partition FIRST (window partitioned by
+    spark_partition_id, embarrassingly parallel, result invariant to
+    the nondeterministic partition assignment because pruning is
+    sound), then runs the global sort only over the local survivors:
+    the global window never sees the full table at any scale."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    pts = orders.groupBy(
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").alias("order_date"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+
+    def _frontier(df, *partition_cols):
+        w = (
+            Window.partitionBy(*partition_cols)
+            .orderBy("price", "order_date")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        pm = F.min("order_date").over(w)
+        return df.withColumn("_pm", pm).where(
+            F.col("_pm").isNull() | (F.col("_pm") > F.col("order_date"))
+        ).drop("_pm")
+
+    local = _frontier(pts.withColumn("_pid", F.spark_partition_id()), "_pid").drop("_pid")
+    return _frontier(local)
+
+
+_ORACLE_SKYLINE = """
+WITH pts AS (
+    SELECT o_totalprice AS price, o_orderdate AS order_date,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1, 2
+)
+SELECT price, order_date, n_orders FROM pts p
+WHERE NOT EXISTS (
+    SELECT 1 FROM pts q
+    WHERE q.price <= p.price AND q.order_date <= p.order_date
+      AND (q.price < p.price OR q.order_date < p.order_date)
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4513,6 +4694,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "docs_delta_quality_scored", docs_delta_quality_scored, _ORACLE_DELTA_QUALITY
     ),
+    # --- block 8: graph tier + probe/skyline shapes ----------------------
+    QuerySpec("users_pagerank", users_pagerank, _ORACLE_PAGERANK),
+    QuerySpec("dedup_delta_bloom_probe", dedup_delta_bloom_probe, _ORACLE_BLOOM_PROBE),
+    QuerySpec("orders_skyline", orders_skyline, _ORACLE_SKYLINE),
 ]
 
 
