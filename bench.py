@@ -171,6 +171,8 @@ HEADLINE = [
     "users_pagerank",
     "dedup_delta_bloom_probe",
     "orders_skyline",
+    "users_triangles",
+    "incremental_value_quantiles",
 ]
 
 

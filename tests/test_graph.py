@@ -51,6 +51,68 @@ def test_pagerank_uniform_on_cycle(spark):
         assert r.degree == 2
 
 
+def test_triangle_stats_known_graph(spark):
+    """Hand-checkable graph: K4 on {1,2,3,4} (4 triangles, every node
+    in 3, clustering 1.0) plus a pendant node 5 attached to 1 (no
+    triangles, clustering drops for node 1)."""
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = _edges(spark, k4 + [(1, 5)])
+    out = {r.node: r for r in G.triangle_stats(edges, "user_a", "user_b").collect()}
+    assert out[2].triangles == 3 and out[2].clustering == 1.0
+    assert out[5].triangles == 0 and out[5].clustering == 0.0
+    assert out[1].degree == 4 and out[1].triangles == 3
+    assert out[1].clustering == pytest.approx(3 * 2 / (4 * 3), abs=1e-6)
+    total = sum(r.triangles for r in out.values())
+    assert total == 3 * 4  # 4 triangles, each counted at 3 corners
+
+
+def test_triangle_count_orientation_invariant(spark, sf_dir):
+    """Degree-ordered orientation must count exactly the triangles the
+    brute-force id-ordered 3-way join finds on the real fixture."""
+    edges = Q["users_cooccurrence"](spark, sf_dir)
+    got = G.triangle_stats(edges, "user_a", "user_b")
+    total = got.agg(F.sum("triangles")).collect()[0][0]
+    e = edges.select("user_a", "user_b")
+    brute = (
+        e.alias("e1")
+        .join(
+            e.alias("e2"),
+            (F.col("e1.user_a") == F.col("e2.user_a"))
+            & (F.col("e1.user_b") < F.col("e2.user_b")),
+        )
+        .join(
+            e.alias("e3"),
+            (F.col("e3.user_a") == F.col("e1.user_b"))
+            & (F.col("e3.user_b") == F.col("e2.user_b")),
+        )
+        .count()
+    )
+    assert total == 3 * brute
+    assert brute > 0
+
+
+def test_histogram_sketch_merge_equals_full(spark):
+    """state ⊕ delta must equal the histogram of the union — the
+    mergeability contract the incremental quantile query relies on —
+    and the interpolated quantiles must be exact on a known uniform
+    distribution."""
+    from updating_datasets_data_engineering_spark.operators import incremental as INC
+
+    a = spark.range(0, 600).select((F.col("id") / 2.0).alias("v"))
+    b = spark.range(600, 1000).select((F.col("id") / 2.0).alias("v"))
+    full = a.unionByName(b)
+    merged = INC.combine_histograms(
+        INC.histogram_state(a, "v", 10.0), INC.histogram_state(b, "v", 10.0)
+    )
+    direct = INC.histogram_state(full, "v", 10.0)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    est = {r.q: r.estimate for r in INC.quantiles_from_histogram(merged, 10.0).collect()}
+    # 1000 uniform values in [0, 500): every bin of width 10 holds 20,
+    # so interpolation is exact: q-quantile estimate = 500·q
+    assert est[0.5] == pytest.approx(250.0, abs=1e-6)
+    assert est[0.9] == pytest.approx(450.0, abs=1e-6)
+
+
 def test_bloom_no_false_negatives_and_verify_removes_fps(spark):
     """Every member key must survive the probe (no false negatives);
     with a deliberately tiny filter, false positives appear and the

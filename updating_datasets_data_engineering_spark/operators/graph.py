@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..caching import tracked_persist
 
-__all__ = ["symmetrize", "pagerank", "bloom_bits", "bloom_probe"]
+__all__ = ["symmetrize", "pagerank", "triangle_stats", "bloom_bits", "bloom_probe"]
 
 
 def symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -105,6 +105,83 @@ def pagerank(
         F.col("u").alias("node"),
         F.col("deg").alias("degree"),
         F.round("rank", 6).alias("rank"),
+    )
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "user_a", dst: str = "user_b"
+) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over an
+    undirected edge list (each edge once, ``src`` < ``dst``).
+
+    Degree-ordered orientation (Suri & Vassilvitskii, "Counting
+    triangles and the curse of the last reducer", WWW 2011, public):
+    every edge is directed from its (degree, id)-smaller endpoint to
+    the larger, so a hub of degree d contributes wedges bounded by its
+    OUT-degree — O(sqrt(|E|)) — not d², which is what makes the wedge
+    join survive power-law graphs at 100 TB.  Triangles are wedges
+    (u→v, u→w) closed by an oriented edge (v→w); each triangle is
+    counted exactly once and the count is orientation-invariant, so
+    the oracle can use the simple id-ordered formulation.
+
+    Plan shape: two self-joins on uniform endpoint keys (wedge build,
+    wedge close) + one explode-aggregate for per-node counts; the
+    degree table is node-sized and broadcast by AQE at small scale.
+
+    clustering(v) = 2·T(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2, else 0
+    — exact integer inputs, rounded to 6 for output stability."""
+    sym = symmetrize(edges, src, dst)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    pairs = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    with_deg = (
+        pairs.join(deg.withColumnRenamed("u", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("u", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    ka = F.struct(F.col("da").alias("d"), F.col("a").alias("n"))
+    kb = F.struct(F.col("db").alias("d"), F.col("b").alias("n"))
+    oriented = with_deg.select(
+        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(ka < kb, F.col("db")).otherwise(F.col("da")).alias("d_hi"),
+    )
+    o1 = oriented.select(
+        F.col("lo").alias("u"), F.col("hi").alias("v"), F.col("d_hi").alias("dv")
+    )
+    o2 = oriented.select(
+        F.col("lo").alias("u"), F.col("hi").alias("w"), F.col("d_hi").alias("dw")
+    )
+    kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    kw = F.struct(F.col("dw").alias("d"), F.col("w").alias("n"))
+    wedges = o1.join(o2, "u").where(kv < kw).select(
+        "u", F.col("v").alias("lo2"), F.col("w").alias("hi2")
+    )
+    closing = oriented.select(F.col("lo").alias("lo2"), F.col("hi").alias("hi2"))
+    tris = wedges.join(closing, ["lo2", "hi2"])
+    per_node = (
+        tris.select(
+            F.explode(F.array(F.col("u"), F.col("lo2"), F.col("hi2"))).alias("u")
+        )
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "u", "left")
+        .select(
+            F.col("u").alias("node"),
+            F.col("deg").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("triangles", F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
     )
 
 

@@ -207,3 +207,82 @@ def update_distinct_pairs(
 def distinct_counts(pairs: DataFrame, key: Sequence[str], out: str) -> DataFrame:
     """Distinct count per key from the exact pair state."""
     return pairs.groupBy(*key).agg(F.count(F.lit(1)).alias(out))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram sketch → quantile estimates
+#
+# The quantile analogue of the HLL path above: an equi-width histogram
+# is a fully mergeable sketch (state ⊕ delta = elementwise bin-count
+# sum), so archive quantile dashboards never rescan the archive — the
+# same economics as combine_states, for an aggregate (percentile) that
+# is NOT algebraic on raw values.  State size is range/width bins
+# regardless of row count; estimates are deterministic linear
+# interpolation inside the selected bin, so an engine-independent
+# oracle can reproduce them exactly (unlike approx_percentile's
+# implementation-defined sketch).
+# ---------------------------------------------------------------------------
+
+
+def histogram_state(df: DataFrame, value_col: str, width: float) -> DataFrame:
+    """(bin, cnt) equi-width histogram — ONE hash-aggregate on the
+    integer bin key (uniform, bounded by range/width)."""
+    return (
+        df.select(
+            F.floor(F.col(value_col) / F.lit(width)).cast("long").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def combine_histograms(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """state ⊕ delta: outer join on the bin key, counts summed.  The
+    delta side touches few bins, so the join broadcasts it and the
+    big state never shuffles."""
+    s = state.withColumnRenamed("cnt", "_cs")
+    d = delta.withColumnRenamed("cnt", "_cd")
+    return s.join(d, "bin", "full_outer").select(
+        "bin",
+        (F.coalesce("_cs", F.lit(0)) + F.coalesce("_cd", F.lit(0)))
+        .cast("long")
+        .alias("cnt"),
+    )
+
+
+def quantiles_from_histogram(
+    hist: DataFrame, width: float, qs: Sequence[float] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """(q, n_events, estimate) per requested quantile: cumulative
+    counts over the bin order, first bin whose cumulative reaches
+    q·n, linear interpolation inside it.
+
+    The histogram frame is sketch-sized (range/width rows), so the
+    unpartitioned cumulative window and the tiny quantile cross join
+    are driver-free but trivially small at ANY corpus size — the
+    corpus itself was reduced by histogram_state's single aggregate."""
+    from pyspark.sql import Window
+
+    spark = hist.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bin")).cast("long")
+    )
+    tot = hist.agg(F.sum("cnt").cast("long").alias("n_events"))
+    hit = (
+        qdf.crossJoin(F.broadcast(tot))
+        .join(cum, F.col("cum") >= F.col("q") * F.col("n_events"))
+        .groupBy("q", "n_events")
+        .agg(F.min(F.struct("bin", "cnt", "cum")).alias("_s"))
+    )
+    return hit.select(
+        "q",
+        "n_events",
+        F.round(
+            F.col("_s.bin") * F.lit(width)
+            + F.lit(width)
+            * (F.col("q") * F.col("n_events") - (F.col("_s.cum") - F.col("_s.cnt")))
+            / F.col("_s.cnt"),
+            6,
+        ).alias("estimate"),
+    )

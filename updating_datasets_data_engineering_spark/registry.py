@@ -4427,6 +4427,109 @@ GROUP BY d.doc_id
 """
 
 
+def users_triangles(spark, sf_dir):
+    """Per-node triangle count + local clustering coefficient on the
+    user co-occurrence graph — the second standard graph statistic
+    (after rank) host-level curation uses to separate organic link
+    neighborhoods from spam farms (abnormally high clustering).
+
+    The operator (`operators/graph.triangle_stats`) uses degree-ordered
+    edge orientation (Suri & Vassilvitskii, WWW 2011) so hub wedge
+    fan-out is bounded by out-degree, not degree² — the triangle set
+    is orientation-invariant, so the oracle uses the simple id-ordered
+    3-way join."""
+    from .operators import graph as G
+
+    edges = users_cooccurrence(spark, sf_dir)
+    return G.triangle_stats(edges, "user_a", "user_b")
+
+
+_ORACLE_TRIANGLES = """
+WITH active AS (
+    SELECT DISTINCT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, user_id
+    FROM events
+),
+pairs AS (
+    SELECT a.user_id AS ua, b.user_id AS ub
+    FROM active a JOIN active b ON a.hour = b.hour AND a.user_id < b.user_id
+    GROUP BY a.user_id, b.user_id
+    HAVING count(*) >= 2
+),
+sym AS (SELECT ua AS u, ub AS v FROM pairs UNION ALL SELECT ub AS u, ua AS v FROM pairs),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+tris AS (
+    SELECT e1.ua AS x, e1.ub AS y, e2.ub AS z
+    FROM pairs e1
+    JOIN pairs e2 ON e1.ua = e2.ua AND e1.ub < e2.ub
+    JOIN pairs e3 ON e3.ua = e1.ub AND e3.ub = e2.ub
+),
+per_node AS (
+    SELECT u, CAST(count(*) AS BIGINT) AS triangles
+    FROM (SELECT x AS u FROM tris UNION ALL SELECT y FROM tris UNION ALL SELECT z FROM tris)
+    GROUP BY u
+)
+SELECT d.u AS node, d.deg AS degree,
+       CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.deg >= 2
+            THEN round(CAST(2.0 AS DOUBLE) * coalesce(t.triangles, 0) / (d.deg * (d.deg - 1)), 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS clustering
+FROM deg d LEFT JOIN per_node t ON d.u = t.u
+"""
+
+
+def incremental_value_quantiles(spark, sf_dir):
+    """Incremental quantile dashboard via a mergeable equi-width
+    histogram sketch — the quantile analogue of
+    `incremental_avg_distinct`'s HLL path: percentiles are NOT
+    algebraic on raw values, but the histogram state is (state ⊕ delta
+    = elementwise bin sum), so the archive is never rescanned.  Events
+    with event_id % 10 == 0 are "today's delta"; the archive histogram
+    is PERSISTED session state (parquet, like the LSH band index).
+
+    Output = p50/p90/p99 estimates by deterministic linear
+    interpolation inside the selected bin — reproducible by an
+    engine-independent oracle, unlike approx_percentile's
+    implementation-defined sketch.  State is range/width bins
+    regardless of row count (the 100 TB answer for latency/value
+    dashboards); oracle = the same histogram on archive ∪ delta, which
+    the merge equals EXACTLY by construction."""
+    from .operators import incremental as INC
+
+    ev = _t(spark, sf_dir, "events")
+    archive = ev.where(F.col("event_id") % 10 != 0)
+    delta = ev.where(F.col("event_id") % 10 == 0)
+    state = _persisted_index(
+        spark,
+        sf_dir,
+        "value_hist",
+        lambda: INC.histogram_state(archive, "value", 1.0),
+    )
+    merged = INC.combine_histograms(state, INC.histogram_state(delta, "value", 1.0))
+    return INC.quantiles_from_histogram(merged, 1.0, qs=(0.5, 0.9, 0.99))
+
+
+_ORACLE_VALUE_QUANTILES = """
+WITH hist AS (
+    SELECT CAST(floor(value / CAST(1.0 AS DOUBLE)) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_events FROM hist),
+cum AS (SELECT bin, cnt, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM hist),
+qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.9), (0.99)) t(q)),
+sel AS (
+    SELECT qs.q, tot.n_events, min(cum.bin) AS bin
+    FROM qs CROSS JOIN tot JOIN cum ON cum.cum >= qs.q * tot.n_events
+    GROUP BY qs.q, tot.n_events
+)
+SELECT s.q, s.n_events,
+       round(s.bin * CAST(1.0 AS DOUBLE)
+             + CAST(1.0 AS DOUBLE) * (s.q * s.n_events - (c.cum - c.cnt)) / c.cnt,
+             6) AS estimate
+FROM sel s JOIN cum c ON s.bin = c.bin
+"""
+
+
 def orders_skyline(spark, sf_dir):
     """Skyline (Pareto frontier) of orders on (cheapest price,
     earliest date): the (price, date) points not dominated by any
@@ -4698,6 +4801,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec("users_pagerank", users_pagerank, _ORACLE_PAGERANK),
     QuerySpec("dedup_delta_bloom_probe", dedup_delta_bloom_probe, _ORACLE_BLOOM_PROBE),
     QuerySpec("orders_skyline", orders_skyline, _ORACLE_SKYLINE),
+    QuerySpec("users_triangles", users_triangles, _ORACLE_TRIANGLES),
+    QuerySpec(
+        "incremental_value_quantiles",
+        incremental_value_quantiles,
+        _ORACLE_VALUE_QUANTILES,
+    ),
 ]
 
 
