@@ -173,6 +173,9 @@ HEADLINE = [
     "orders_skyline",
     "users_triangles",
     "incremental_value_quantiles",
+    # r5 block 9: model-based curation
+    "docs_classifier_score",
+    "docs_importance_resample",
 ]
 
 

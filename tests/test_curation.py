@@ -234,3 +234,47 @@ def test_boilerplate_incremental_scans_index_not_rechunks(spark, sf_dir):
     df = registry.docs_boilerplate_incremental(spark, sf_dir)
     plan = formatted_plan(df)
     assert "graft_idx_span_chunks" in plan, "persisted index parquet must be scanned"
+
+
+def test_classifier_score_deterministic_and_mean_of_token_weights(spark, sf_dir):
+    """Block 9: the hashed-linear classifier score must be the mean of
+    the per-token frozen weights (re-derived independently here) and
+    identical across two runs (frozen weights = no rand())."""
+    out = registry.docs_classifier_score(spark, sf_dir)
+    one = out.orderBy("doc_id").limit(5).collect()
+    again = registry.docs_classifier_score(spark, sf_dir).orderBy("doc_id").limit(5).collect()
+    assert [tuple(r) for r in one] == [tuple(r) for r in again]
+    docs = registry._td(spark, sf_dir).orderBy("doc_id").limit(5).collect()
+    import hashlib
+
+    for row, doc in zip(one, docs):
+        assert row.doc_id == doc.doc_id
+        toks = [t for t in doc.text.lower().split() if t]
+        ws = [
+            (int(hashlib.md5((t + "|clf").encode()).hexdigest()[:8], 16) % 2001 - 1000)
+            / 1000.0
+            for t in toks
+        ]
+        assert row.n_tokens == len(toks)
+        assert abs(row.score - round(sum(ws) / len(ws), 6)) < 1e-9
+
+
+def test_dsir_targets_score_higher(spark, sf_dir):
+    """DSIR sanity: documents FROM the target slice (src0) must have a
+    higher mean importance weight than the rest of the corpus — the
+    defining property of importance resampling toward a target
+    distribution."""
+    out = registry.docs_importance_resample(spark, sf_dir)
+    docs = registry._td(spark, sf_dir).select("doc_id", "source")
+    j = out.join(docs, "doc_id")
+    means = {
+        r.is_target: r.m
+        for r in j.groupBy((F.col("source") == "src0").alias("is_target"))
+        .agg(F.avg("weight").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
+    # selection is exactly the top-2 deciles, 20% of the corpus +-1
+    n = out.count()
+    sel = out.where("selected").count()
+    assert abs(sel - 0.2 * n) <= max(2, 0.02 * n)

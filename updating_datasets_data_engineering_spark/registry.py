@@ -4427,6 +4427,134 @@ GROUP BY d.doc_id
 """
 
 
+def docs_classifier_score(spark, sf_dir):
+    """fastText-style hashed linear quality classifier (the CCNet /
+    LLaMA-pipeline quality filter primitive): each token hashes to a
+    weight; a document's score is the mean token weight; keep = score
+    above threshold.  The weights here are a FROZEN deterministic
+    function of the token hash (md5-derived, the engine-portable trick
+    docs_split_assign uses) standing in for trained parameters — a
+    real deployment swaps in its trained weight table, which turns the
+    map-only expression into one broadcast join on the bucket key and
+    changes nothing else about the plan.
+
+    Plan shape: map-side token explode + ONE per-doc hash-aggregate.
+    No joins, no shuffle beyond the doc_id aggregate, whole-stage
+    codegen end-to-end.  Score rounded to 6dp BEFORE the keep
+    comparison (q11's discipline) so the boolean is stable under
+    engine sum-order differences."""
+    from .functions.text import words
+
+    docs = _td(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    wt = (
+        F.conv(F.substring(F.md5(F.concat(F.col("term"), F.lit("|clf"))), 1, 8), 16, 10)
+        .cast("long")
+        % 2001
+        - 1000
+    ) / F.lit(1000.0)
+    scored = toks.select("doc_id", wt.alias("wt")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.sum("wt") / F.count(F.lit(1)), 6).alias("score"),
+    )
+    return scored.withColumn("keep", (F.col("score") > 0).cast("boolean"))
+
+
+_ORACLE_CLASSIFIER = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({OE.WORDS}) AS term FROM documents
+), w AS (
+    SELECT doc_id,
+           (('0x' || substr(md5(term || '|clf'), 1, 8))::BIGINT % 2001 - 1000)
+               / CAST(1000.0 AS DOUBLE) AS wt
+    FROM toks
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(wt) / count(*), 6) AS score,
+       (round(sum(wt) / count(*), 6) > 0) AS keep
+FROM w GROUP BY doc_id
+"""
+
+
+def docs_importance_resample(spark, sf_dir):
+    """DSIR-style importance resampling (Xie et al. 2023, public):
+    score every document by the length-normalized log-ratio of a
+    TARGET unigram LM (here: the 'src0' in-domain slice) to the RAW
+    corpus LM, both add-one smoothed over the corpus vocabulary, then
+    keep the top deciles — the hashed-ngram importance-weighting
+    recipe behind targeted pre-training data selection.
+
+    Plan shape: one (doc, term) tf aggregate; ONE vocab aggregate
+    computing raw and target counts together (conditional sum, no
+    second corpus pass); totals as a one-row broadcast; join back on
+    the term key (vocab GB-scale at 100 TB — deliberately not forced
+    broadcast, AQE decides); per-doc aggregate; NTILE decile over the
+    doc frame (docs << tokens).  Selection is rank-based (weight desc,
+    doc_id tiebreak) — engine-exact, no borderline float compare."""
+    from pyspark.sql import Window
+
+    from .functions.text import words
+
+    docs = _td(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", "source", F.explode(words(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_r"),
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("n_t"),
+    )
+    totals = vocab.agg(
+        F.sum("n_r").cast("double").alias("_tr"),
+        F.sum("n_t").cast("double").alias("_tt"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+    logratio = F.log(
+        (F.col("n_t") + 1).cast("double") / (F.col("_tt") + F.col("_v"))
+    ) - F.log((F.col("n_r") + 1).cast("double") / (F.col("_tr") + F.col("_v")))
+    scored = (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * logratio) / F.sum("tf"), 6).alias("weight"),
+        )
+    )
+    w = Window.orderBy(F.col("weight").desc(), "doc_id")
+    return scored.withColumn("decile", F.ntile(10).over(w)).withColumn(
+        "selected", (F.col("decile") <= 2).cast("boolean")
+    )
+
+
+_ORACLE_DSIR = f"""
+WITH toks AS (
+    SELECT doc_id, source, unnest({OE.WORDS}) AS term FROM documents
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), vocab AS (
+    SELECT term, count(*) AS n_r,
+           sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS n_t
+    FROM toks GROUP BY term
+), totals AS (
+    SELECT CAST(sum(n_r) AS DOUBLE) AS tr, CAST(sum(n_t) AS DOUBLE) AS tt,
+           CAST(count(*) AS DOUBLE) AS v
+    FROM vocab
+), scored AS (
+    SELECT f.doc_id, CAST(sum(f.tf) AS BIGINT) AS n_tokens,
+           round(sum(f.tf * (ln(CAST(vb.n_t + 1 AS DOUBLE) / (t.tt + t.v))
+                             - ln(CAST(vb.n_r + 1 AS DOUBLE) / (t.tr + t.v))))
+                 / sum(f.tf), 6) AS weight
+    FROM tf f JOIN vocab vb ON f.term = vb.term CROSS JOIN totals t
+    GROUP BY f.doc_id
+)
+SELECT doc_id, n_tokens, weight,
+       NTILE(10) OVER (ORDER BY weight DESC, doc_id) AS decile,
+       (NTILE(10) OVER (ORDER BY weight DESC, doc_id) <= 2) AS selected
+FROM scored
+"""
+
+
 def users_triangles(spark, sf_dir):
     """Per-node triangle count + local clustering coefficient on the
     user co-occurrence graph — the second standard graph statistic
@@ -4807,6 +4935,9 @@ SPECS: list[QuerySpec] = [
         incremental_value_quantiles,
         _ORACLE_VALUE_QUANTILES,
     ),
+    # --- block 9: model-based curation (classifier filter + DSIR) --------
+    QuerySpec("docs_classifier_score", docs_classifier_score, _ORACLE_CLASSIFIER),
+    QuerySpec("docs_importance_resample", docs_importance_resample, _ORACLE_DSIR),
 ]
 
 
