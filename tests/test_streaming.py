@@ -591,3 +591,51 @@ def test_streaming_boilerplate_maintenance(spark, tmp_path):
         )
     # every streamed doc is in the view exactly once
     assert spark.read.parquet(clean_path).count() == all_docs.count()
+
+
+def test_streaming_value_histogram_maintenance(spark, tmp_path):
+    """Streaming twin of incremental_value_quantiles: three event
+    micro-batches maintain the per-batch histogram state and the
+    quantile dashboard view; after every prefix the view must equal
+    quantiles computed from scratch on everything streamed so far
+    (sketch merge ≡ full histogram, exactly)."""
+    from updating_datasets_data_engineering_spark.operators import incremental as INC
+
+    src = str(tmp_path / "vh_src")
+    hist_path = str(tmp_path / "vh_hist")
+    q_path = str(tmp_path / "vh_quantiles")
+    ckpt = str(tmp_path / "vh_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    events = load_table(spark, sf_dir, "events").select("event_id", "value")
+    batches = [events.where(F.col("event_id") % 3 == i) for i in range(3)]
+
+    def run_increment(batch_df):
+        batch_df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                SP.maintain_value_histogram_each_batch(hist_path, q_path, "value", 1.0)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+
+    streamed = None
+    cols = ["q", "n_events", "estimate"]
+    for b in batches:
+        run_increment(b)
+        streamed = b if streamed is None else streamed.unionByName(b)
+        got = spark.read.parquet(q_path)
+        want = INC.quantiles_from_histogram(
+            INC.histogram_state(streamed, "value", 1.0), 1.0
+        )
+        assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(
+            want.select(*cols), cols
+        )
+    n = spark.read.parquet(q_path).select("n_events").distinct().collect()
+    assert n[0][0] == events.count()

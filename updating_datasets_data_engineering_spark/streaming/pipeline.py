@@ -658,3 +658,73 @@ def run_index_maintenance_available_now(
         .start()
     )
     query.awaitTermination()
+
+
+def maintain_value_histogram_each_batch(
+    hist_path: str,
+    quantiles_path: str,
+    value_col: str = "value",
+    width: float = 1.0,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+):
+    """foreachBatch function: STREAMING maintenance of the mergeable
+    equi-width histogram sketch and its quantile dashboard — the
+    streaming twin of ``registry.incremental_value_quantiles`` (the
+    same symmetry maintain_boilerplate_each_batch has with
+    ``docs_boilerplate_incremental``).
+
+    Persisted state: per-batch histogram partitions at ``hist_path``
+    (``_batch_id``-partitioned idempotent appends — crash-replay of a
+    half-written batch is invisible because reads filter
+    ``_batch_id < batch_id``), and the quantile view at
+    ``quantiles_path``, a materialized one-row-per-q dashboard swapped
+    crash-safely via ``fs``.
+
+    Each micro-batch aggregates ONLY the batch into (bin, cnt) — one
+    hash-aggregate on a bounded key — merges it with the state read
+    from ``hist_path``, rewrites the tiny quantile view, then appends
+    the batch's bins.  Batch work is O(batch + bins); the raw archive
+    rows are never rescanned.  Per-batch partitions accumulate exactly
+    like the LSH band index's — ``operators.maintenance.compact_batch_index``
+    collapses them on the same schedule."""
+    from pyspark.sql import functions as F
+
+    from ..operators import incremental as INC
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        for p in (hist_path, quantiles_path):
+            fs.recover_swap(spark, p)
+        if batch_df.isEmpty():
+            return
+        with caching.scope():
+            batch_hist = caching.tracked_persist(
+                INC.histogram_state(batch_df, value_col, width)
+            )
+            if fs.has_parquet(spark, hist_path):
+                state = (
+                    spark.read.parquet(hist_path)
+                    .where(F.col("_batch_id") < batch_id)
+                    .groupBy("bin")
+                    .agg(F.sum("cnt").cast("long").alias("cnt"))
+                )
+                merged = INC.combine_histograms(state, batch_hist)
+            else:
+                merged = batch_hist
+            view = INC.quantiles_from_histogram(merged, width, qs)
+            staging = fs.staging_path(quantiles_path)
+            fs.delete(spark, staging)
+            view.write.mode("overwrite").parquet(staging)
+            spark.read.parquet(staging).count()  # materialize before swap
+            fs.swap_directory(spark, staging, quantiles_path)
+            (
+                batch_hist.withColumn(
+                    "_batch_id", F.lit(batch_id).cast("long")
+                )
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(hist_path)
+            )
+
+    return _apply
