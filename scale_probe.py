@@ -117,6 +117,13 @@ def main() -> None:
         # per-replica word rewriting keeps span/vocab structure linear
         "docs_boilerplate_strip": lambda docs, emb: _reg(R.docs_boilerplate_strip, docs),
         "docs_unigram_logprob": lambda docs, emb: _reg(R.docs_unigram_logprob, docs),
+        # r5 block 9: the model-based curation pair — classifier is the
+        # map-only floor (explode + one aggregate, zero joins); DSIR
+        # adds the vocab term-key join, the heaviest LM-scoring shape
+        "docs_classifier_score": lambda docs, emb: _reg(R.docs_classifier_score, docs),
+        "docs_importance_resample": lambda docs, emb: _reg(
+            R.docs_importance_resample, docs
+        ),
     }
 
     results: dict[str, dict[int, float]] = {n: {} for n in ops}
