@@ -188,3 +188,25 @@ def test_skyline_survivors_undominated_mutually(spark, sf_dir):
                 and a.order_date <= b.order_date
                 and (a.price < b.price or a.order_date < b.order_date)
             )
+
+
+def test_graph_queries_scan_persisted_edge_index(spark, sf_dir):
+    """Both graph queries must PROBE the materialized sig_edges state
+    (persisted-index family discipline) — the per-window self-join that
+    builds edges must not appear in their plans.  The pagerank plan is
+    checked with checkpoint=False because a localCheckpoint renders as
+    an opaque 'Scan ExistingRDD' in explain() (same workaround as the
+    incremental-dedup plan test's materialize=False)."""
+    from updating_datasets_data_engineering_spark import registry
+    from updating_datasets_data_engineering_spark.plans.audit import formatted_plan
+
+    edges = registry._persisted_index(
+        spark, sf_dir, "sig_edges", lambda: registry._significant_edges(spark, sf_dir)
+    )
+    plans = [
+        formatted_plan(registry.users_triangles(spark, sf_dir)),
+        formatted_plan(G.pagerank(edges, checkpoint=False)),
+    ]
+    for plan in plans:
+        assert "graft_idx_sig_edges" in plan, "edge index parquet must be scanned"
+        assert "date_trunc" not in plan, "raw event scan must not be re-paid"

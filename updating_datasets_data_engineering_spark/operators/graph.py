@@ -52,6 +52,7 @@ def pagerank(
     dst: str = "user_b",
     damping: float = 0.85,
     iters: int = 3,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """PageRank over an undirected edge list, ``iters`` synchronous
     rounds of r(v) <- (1-d)/N + d * sum_{u~v} r(u)/deg(u).
@@ -99,8 +100,12 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        # bounded iterations, lineage cut per round (cf. dedup.label_propagation)
-        ranks = ranks.localCheckpoint(eager=False)
+        # bounded iterations, lineage cut per round (cf.
+        # dedup.label_propagation); checkpoint=False keeps the full
+        # lineage visible for plan tests (explain() shows a checkpoint
+        # as an opaque "Scan ExistingRDD")
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(
         F.col("u").alias("node"),
         F.col("deg").alias("degree"),
