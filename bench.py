@@ -176,6 +176,7 @@ HEADLINE = [
     # r5 block 9: model-based curation
     "docs_classifier_score",
     "docs_importance_resample",
+    "docs_bigram_logprob",
 ]
 
 

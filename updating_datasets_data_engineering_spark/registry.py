@@ -4383,6 +4383,94 @@ pairs AS (
 )"""
 
 
+def docs_bigram_logprob(spark, sf_dir):
+    """Bigram conditional-LM quality scoring — the order-2 step of the
+    CCNet/KenLM perplexity-filter family (`docs_unigram_logprob` is
+    order 1, `docs_delta_quality_scored` the frozen-reference variant):
+    score = mean −ln P(w₂|w₁) over a document's bigrams, with
+    P(w₂|w₁) = (c(w₁w₂)+1) / (c_prefix(w₁)+V) add-one smoothed over
+    the corpus unigram vocabulary.  Documents under 2 words have no
+    bigrams and drop out (both engines).
+
+    Plan shape: one non-distinct bigram explode feeding BOTH the
+    per-doc tf aggregate and the corpus bigram counts; prefix counts
+    are one further aggregate of the bigram counts (w₁ key — never a
+    second corpus pass); V and nothing else is a one-row broadcast.
+    The bigram and prefix tables join on uniform text keys (GB-scale
+    at 100 TB — deliberately not forced broadcast, AQE decides).
+    Scores are tf-weighted ln sums rounded 6dp, the exact discipline
+    docs_unigram_logprob established."""
+    from .functions import text as TXT
+    from .functions.text import words
+
+    docs = _td(spark, sf_dir)
+    bg = docs.select(
+        "doc_id", F.explode(TXT.bigrams(F.col("text"))).alias("g")
+    )
+    tf = bg.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("tf"))
+    bgc = bg.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("c_bg"))
+    pre = bgc.select(
+        F.substring_index(F.col("g"), " ", 1).alias("w1"), "c_bg"
+    ).groupBy("w1").agg(F.sum("c_bg").cast("long").alias("c_pre"))
+    vocab = (
+        docs.select(F.explode(words(F.col("text"))).alias("term"))
+        .agg(F.countDistinct("term").cast("double").alias("_v"))
+    )
+    scored = (
+        tf.join(bgc, "g")
+        .withColumn("w1", F.substring_index(F.col("g"), " ", 1))
+        .join(pre, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(
+                F.col("tf")
+                * -F.log(
+                    (F.col("c_bg") + 1).cast("double")
+                    / (F.col("c_pre") + F.col("_v"))
+                )
+            ).alias("_sum_neg"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("_sum_neg") / F.col("n_bigrams"), 6).alias("avg_neg_logprob"),
+    )
+
+
+_ORACLE_BIGRAM_LM = f"""
+WITH toks AS (
+    SELECT doc_id, {OE.WORDS} AS w FROM documents
+),
+bg AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(w) >= 2
+             THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+             ELSE [] END) AS g
+    FROM toks
+),
+tf AS (SELECT doc_id, g, count(*) AS tf FROM bg GROUP BY doc_id, g),
+bgc AS (SELECT g, CAST(count(*) AS BIGINT) AS c_bg FROM bg GROUP BY g),
+pre AS (
+    SELECT split_part(g, ' ', 1) AS w1, CAST(sum(c_bg) AS BIGINT) AS c_pre
+    FROM bgc GROUP BY 1
+),
+vocab AS (
+    SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v
+    FROM (SELECT unnest({OE.WORDS}) AS term FROM documents)
+)
+SELECT f.doc_id, CAST(sum(f.tf) AS BIGINT) AS n_bigrams,
+       round(sum(f.tf * -ln(CAST(b.c_bg + 1 AS DOUBLE) / (p.c_pre + vb.v)))
+             / sum(f.tf), 6) AS avg_neg_logprob
+FROM tf f JOIN bgc b ON f.g = b.g
+JOIN pre p ON split_part(f.g, ' ', 1) = p.w1
+CROSS JOIN vocab vb
+GROUP BY f.doc_id
+"""
+
+
 def users_pagerank(spark, sf_dir):
     """PageRank over the SIGNIFICANT user co-occurrence graph (3
     synchronous rounds, damping 0.85) — the host-graph ranking pattern
@@ -5016,6 +5104,7 @@ SPECS: list[QuerySpec] = [
     # --- block 9: model-based curation (classifier filter + DSIR) --------
     QuerySpec("docs_classifier_score", docs_classifier_score, _ORACLE_CLASSIFIER),
     QuerySpec("docs_importance_resample", docs_importance_resample, _ORACLE_DSIR),
+    QuerySpec("docs_bigram_logprob", docs_bigram_logprob, _ORACLE_BIGRAM_LM),
 ]
 
 
