@@ -177,6 +177,7 @@ HEADLINE = [
     "docs_classifier_score",
     "docs_importance_resample",
     "docs_bigram_logprob",
+    "users_sig_edges_incremental",
 ]
 
 

@@ -210,3 +210,16 @@ def test_graph_queries_scan_persisted_edge_index(spark, sf_dir):
     for plan in plans:
         assert "graft_idx_sig_edges" in plan, "edge index parquet must be scanned"
         assert "date_trunc" not in plan, "raw event scan must not be re-paid"
+
+
+def test_sig_edges_incremental_scans_state_not_archive_pairs(spark, sf_dir):
+    """The incremental edge-maintenance query must scan the persisted
+    pair-count / user-count / hour states; the per-hour self-join may
+    appear only for the delta day (the archive's quadratic term is
+    never re-executed)."""
+    from updating_datasets_data_engineering_spark import registry
+    from updating_datasets_data_engineering_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(registry.users_sig_edges_incremental(spark, sf_dir))
+    for kind in ("graph_pair_counts", "graph_user_counts", "graph_hours"):
+        assert f"graft_idx_{kind}" in plan, f"{kind} state must be scanned"

@@ -4724,6 +4724,145 @@ FROM scored
 """
 
 
+def users_sig_edges_incremental(spark, sf_dir, min_shared: int = 2, min_lift: float = 1.5):
+    """Incremental maintenance of the significant-edge graph state —
+    the archive ∪ daily-delta loop (scripts/spark_merge_dfs.py:82-83's
+    economics) applied to the graph tier: the LAST calendar day of
+    events is "today's delta"; the archive's pair-shared counts,
+    per-user window counts, and window inventory are PERSISTED state,
+    and the delta only contributes its OWN per-hour self-join.
+
+    Why the merge is exact: hourly windows are disjoint across days,
+    so the delta's distinct (hour, user) rows cannot overlap the
+    archive's — shared-window counts, per-user counts, and the window
+    total are all additive (state ⊕ delta = full recompute, the same
+    mergeability the histogram sketch has).  The lift threshold is
+    then applied to the MERGED counts, so the output equals
+    `_significant_edges` on the full corpus — which is the oracle.
+
+    Plan shape: the delta (1/30th of a day span) pays its tiny
+    self-join; the archive pair-count state is scanned, never re-
+    joined; per-user and window states merge by one outer join each
+    (delta side broadcastable).  At 100 TB the archive self-join —
+    the only quadratic term — is never re-executed."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    maxd = ev.agg(F.max("_day").alias("_maxd"))
+    ev = ev.crossJoin(F.broadcast(maxd))
+    archive = ev.where(F.col("_day") != F.col("_maxd"))
+    delta = ev.where(F.col("_day") == F.col("_maxd"))
+
+    def _active(df):
+        return df.select(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour"),
+            "user_id",
+        ).distinct()
+
+    def _pairs(active):
+        a, b = active.alias("a"), active.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.hour") == F.col("b.hour"))
+                & (F.col("a.user_id") < F.col("b.user_id")),
+            )
+            .groupBy(
+                F.col("a.user_id").alias("user_a"),
+                F.col("b.user_id").alias("user_b"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("sh"))
+        )
+
+    state_pairs = _persisted_index(
+        spark, sf_dir, "graph_pair_counts", lambda: _pairs(_active(archive))
+    )
+    state_users = _persisted_index(
+        spark,
+        sf_dir,
+        "graph_user_counts",
+        lambda: _active(archive)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("nu")),
+    )
+    state_hours = _persisted_index(
+        spark,
+        sf_dir,
+        "graph_hours",
+        lambda: _active(archive).select("hour").distinct(),
+    )
+    d_active = _active(delta)
+    d_pairs = _pairs(d_active)
+    d_users = d_active.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nu_d")
+    )
+    merged_pairs = (
+        state_pairs.join(d_pairs.withColumnRenamed("sh", "sh_d"), ["user_a", "user_b"], "full_outer")
+        .select(
+            "user_a",
+            "user_b",
+            (F.coalesce("sh", F.lit(0)) + F.coalesce("sh_d", F.lit(0)))
+            .cast("long")
+            .alias("shared_windows"),
+        )
+        .where(F.col("shared_windows") >= min_shared)
+    )
+    merged_users = state_users.join(d_users, "user_id", "full_outer").select(
+        "user_id",
+        (F.coalesce("nu", F.lit(0)) + F.coalesce("nu_d", F.lit(0)))
+        .cast("long")
+        .alias("nu"),
+    )
+    nw = (
+        state_hours.agg(F.count(F.lit(1)).alias("nw_a"))
+        .crossJoin(d_active.select("hour").distinct().agg(F.count(F.lit(1)).alias("nw_d")))
+        .select((F.col("nw_a") + F.col("nw_d")).alias("nw"))
+    )
+    return (
+        merged_pairs.join(
+            merged_users.withColumnRenamed("user_id", "user_a").withColumnRenamed("nu", "na"),
+            "user_a",
+        )
+        .join(
+            merged_users.withColumnRenamed("user_id", "user_b").withColumnRenamed("nu", "nb"),
+            "user_b",
+        )
+        .crossJoin(F.broadcast(nw))
+        .withColumn(
+            "lift",
+            F.round(
+                (F.col("shared_windows") * F.col("nw"))
+                / (F.col("na") * F.col("nb")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("lift") >= min_lift)
+        .select("user_a", "user_b", "shared_windows", "lift")
+    )
+
+
+_ORACLE_SIG_EDGES_INCR = """
+WITH active AS (
+    SELECT DISTINCT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, user_id
+    FROM events
+),
+w AS (SELECT count(DISTINCT hour) AS nw FROM active),
+peru AS (SELECT user_id, CAST(count(*) AS BIGINT) AS nu FROM active GROUP BY user_id),
+shared AS (
+    SELECT a.user_id AS ua, b.user_id AS ub, CAST(count(*) AS BIGINT) AS sh
+    FROM active a JOIN active b ON a.hour = b.hour AND a.user_id < b.user_id
+    GROUP BY a.user_id, b.user_id
+    HAVING count(*) >= 2
+)
+SELECT ua AS user_a, ub AS user_b, sh AS shared_windows,
+       round(sh * w.nw / CAST(pa.nu * pb.nu AS DOUBLE), 6) AS lift
+FROM shared JOIN peru pa ON shared.ua = pa.user_id
+            JOIN peru pb ON shared.ub = pb.user_id
+     CROSS JOIN w
+WHERE round(sh * w.nw / CAST(pa.nu * pb.nu AS DOUBLE), 6) >= 1.5
+"""
+
+
 def users_triangles(spark, sf_dir):
     """Per-node triangle count + local clustering coefficient on the
     user co-occurrence graph — the second standard graph statistic
@@ -5105,6 +5244,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("docs_classifier_score", docs_classifier_score, _ORACLE_CLASSIFIER),
     QuerySpec("docs_importance_resample", docs_importance_resample, _ORACLE_DSIR),
     QuerySpec("docs_bigram_logprob", docs_bigram_logprob, _ORACLE_BIGRAM_LM),
+    QuerySpec(
+        "users_sig_edges_incremental",
+        users_sig_edges_incremental,
+        _ORACLE_SIG_EDGES_INCR,
+    ),
 ]
 
 
