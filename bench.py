@@ -178,6 +178,7 @@ HEADLINE = [
     "docs_importance_resample",
     "docs_bigram_logprob",
     "users_sig_edges_incremental",
+    "sources_jsd_divergence",
 ]
 
 

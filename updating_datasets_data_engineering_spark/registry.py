@@ -4471,6 +4471,92 @@ GROUP BY f.doc_id
 """
 
 
+def sources_jsd_divergence(spark, sf_dir):
+    """Per-source Jensen–Shannon divergence from the REST of the
+    corpus — the mixture-design distance (`sources_overlap_matrix`
+    measures shared blocks; this measures distributional drift):
+    JSD(Pₛ ‖ Q₋ₛ) over unigram distributions, with Q₋ₛ the corpus
+    minus the source.  High = the source adds something the mixture
+    does not have; ~0 = redundant with the rest.
+
+    Plan shape: one (source, term) count aggregate; corpus term and
+    per-source totals derive from it (no second pass); the evaluation
+    grid is sources × vocab (20·V rows — linear in vocab, the
+    documented cost of an exact JSD; at extreme vocab the standard
+    move is a hashed-vocab projection first), joined back on the
+    (source, term) key; one aggregate per source.  All probability
+    arithmetic is identically associated on both engines and the two
+    KL sums are rounded at 6dp after the 0.5 weights (dyadic, exact)."""
+    from .caching import tracked_persist
+    from .functions.text import words
+
+    docs = _td(spark, sf_dir)
+    toks = docs.select("source", F.explode(words(F.col("text"))).alias("term"))
+    c_st = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    c_st = tracked_persist(c_st)
+    vocabt = c_st.groupBy("term").agg(F.sum("c").cast("long").alias("ct"))
+    srct = c_st.groupBy("source").agg(F.sum("c").cast("long").alias("ts"))
+    tot = srct.agg(F.sum("ts").cast("long").alias("tt"))
+    grid = srct.crossJoin(vocabt)
+    j = (
+        grid.join(c_st, ["source", "term"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("c").cast("double") / F.col("ts").cast("double")
+    q = (F.col("ct") - F.col("c")).cast("double") / (
+        F.col("tt") - F.col("ts")
+    ).cast("double")
+    m = (p + q) / F.lit(2.0)
+    out = (
+        j.groupBy("source", "ts")
+        .agg(
+            F.sum(F.when(F.col("c") > 0, p * F.log(p / m)).otherwise(0.0)).alias("_kp"),
+            F.sum(
+                F.when(F.col("ct") - F.col("c") > 0, q * F.log(q / m)).otherwise(0.0)
+            ).alias("_kq"),
+        )
+        .select(
+            "source",
+            F.col("ts").alias("n_tokens"),
+            F.round(0.5 * F.col("_kp") + 0.5 * F.col("_kq"), 6).alias("jsd"),
+        )
+    )
+    return out
+
+
+_ORACLE_JSD = f"""
+WITH toks AS (
+    SELECT source, unnest({OE.WORDS}) AS term FROM documents
+),
+c_st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY source, term),
+vocabt AS (SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM c_st GROUP BY term),
+srct AS (SELECT source, CAST(sum(c) AS BIGINT) AS ts FROM c_st GROUP BY source),
+tot AS (SELECT CAST(sum(ts) AS BIGINT) AS tt FROM srct),
+grid AS (
+    SELECT s.source, s.ts, v.term, v.ct, coalesce(x.c, 0) AS c, tot.tt
+    FROM srct s CROSS JOIN vocabt v
+    LEFT JOIN c_st x ON x.source = s.source AND x.term = v.term
+    CROSS JOIN tot
+),
+terms AS (
+    SELECT source, ts,
+           CAST(c AS DOUBLE) / CAST(ts AS DOUBLE) AS p,
+           CAST(ct - c AS DOUBLE) / CAST(tt - ts AS DOUBLE) AS q,
+           c, ct
+    FROM grid
+)
+SELECT source, ts AS n_tokens,
+       round(0.5 * sum(CASE WHEN c > 0 THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END)
+             + 0.5 * sum(CASE WHEN ct - c > 0 THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END),
+             6) AS jsd
+FROM terms
+GROUP BY source, ts
+"""
+
+
 def users_pagerank(spark, sf_dir):
     """PageRank over the SIGNIFICANT user co-occurrence graph (3
     synchronous rounds, damping 0.85) — the host-graph ranking pattern
@@ -5249,6 +5335,7 @@ SPECS: list[QuerySpec] = [
         users_sig_edges_incremental,
         _ORACLE_SIG_EDGES_INCR,
     ),
+    QuerySpec("sources_jsd_divergence", sources_jsd_divergence, _ORACLE_JSD),
 ]
 
 
