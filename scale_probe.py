@@ -124,6 +124,12 @@ def main() -> None:
         "docs_importance_resample": lambda docs, emb: _reg(
             R.docs_importance_resample, docs
         ),
+        # r5 block 10: order-2 LM (bigram + prefix joins) and the
+        # sources×vocab JSD grid — both should track vocab growth
+        "docs_bigram_logprob": lambda docs, emb: _reg(R.docs_bigram_logprob, docs),
+        "sources_jsd_divergence": lambda docs, emb: _reg(
+            R.sources_jsd_divergence, docs
+        ),
     }
 
     results: dict[str, dict[int, float]] = {n: {} for n in ops}
