@@ -639,3 +639,54 @@ def test_streaming_value_histogram_maintenance(spark, tmp_path):
         )
     n = spark.read.parquet(q_path).select("n_events").distinct().collect()
     assert n[0][0] == events.count()
+
+
+def test_streaming_sig_edges_maintenance(spark, tmp_path):
+    """Streaming twin of users_sig_edges_incremental, WITHOUT the
+    disjoint-days assumption: batches split by event_id (so hours span
+    batches arbitrarily).  After every prefix the edge view must equal
+    the batch _significant_edges recomputed from scratch on everything
+    streamed so far — each (hour, pair) instance counted exactly once
+    across the new-x-state / new-x-new joins and the re-arrival
+    anti-join."""
+    import unittest.mock as mock
+
+    from updating_datasets_data_engineering_spark import registry as R
+
+    src = str(tmp_path / "se_src")
+    active_path = str(tmp_path / "se_active")
+    pairs_path = str(tmp_path / "se_pairs")
+    edges_path = str(tmp_path / "se_edges")
+    ckpt = str(tmp_path / "se_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    batches = [events.where(F.col("event_id") % 3 == i) for i in range(3)]
+
+    def run_increment(batch_df):
+        batch_df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                SP.maintain_sig_edges_each_batch(active_path, pairs_path, edges_path)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+
+    streamed = None
+    cols = ["user_a", "user_b", "shared_windows", "lift"]
+    for b in batches:
+        run_increment(b)
+        streamed = b if streamed is None else streamed.unionByName(b)
+        got = spark.read.parquet(edges_path)
+        with mock.patch.object(R, "_t", lambda s, d, name: streamed):
+            want = R._significant_edges(spark, "")
+        assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(
+            want.select(*cols), cols
+        )
+    assert spark.read.parquet(edges_path).count() > 0

@@ -728,3 +728,151 @@ def maintain_value_histogram_each_batch(
             )
 
     return _apply
+
+
+def maintain_sig_edges_each_batch(
+    active_path: str,
+    pairs_path: str,
+    edges_path: str,
+    min_shared: int = 2,
+    min_lift: float = 1.5,
+):
+    """foreachBatch function: STREAMING maintenance of the significant
+    co-occurrence graph — incremental view maintenance of a SELF-JOIN
+    (the streaming twin of ``registry.users_sig_edges_incremental``,
+    without its disjoint-days assumption: micro-batches may split an
+    hour window arbitrarily).
+
+    Persisted state: the distinct active set (hour, user_id) and the
+    per-batch pair-count contributions, both ``_batch_id``-partitioned
+    idempotent appends; the thresholded edge list is a materialized
+    view swapped crash-safely.
+
+    Each unordered pair instance (hour, {u, v}) is counted EXACTLY
+    once, when the later of its two endpoints first arrives:
+
+      * both endpoints new in this batch → counted by the new×new
+        self-join (a < b);
+      * one endpoint already in the active state → counted by the
+        new×state join;
+      * a re-arriving (hour, user) row is dropped by the anti-join
+        against the state, so nothing is ever double-counted.
+
+    Per-batch work is new-actives × same-hour occupancy — the
+    streamed version of the quadratic floor any pair counting pays —
+    while the archive's pairs are never recomputed.  After ANY prefix
+    of batches the edge view equals `_significant_edges` recomputed
+    from scratch on everything streamed so far (asserted in
+    tests/test_streaming.py)."""
+    from pyspark.sql import functions as F
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        for p in (active_path, pairs_path, edges_path):
+            fs.recover_swap(spark, p)
+        if batch_df.isEmpty():
+            return
+        with caching.scope():
+            b_active = batch_df.select(
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias(
+                    "hour"
+                ),
+                "user_id",
+            ).distinct()
+            if fs.has_parquet(spark, active_path):
+                state_active = (
+                    spark.read.parquet(active_path)
+                    .where(F.col("_batch_id") < batch_id)
+                    .select("hour", "user_id")
+                )
+            else:
+                state_active = spark.createDataFrame([], b_active.schema)
+            state_active = caching.tracked_persist(state_active)
+            new_active = caching.tracked_persist(
+                b_active.join(state_active, ["hour", "user_id"], "left_anti")
+            )
+            n = new_active.alias("n")
+            s = state_active.alias("s")
+            p_cross = n.join(
+                s,
+                (F.col("n.hour") == F.col("s.hour"))
+                & (F.col("n.user_id") != F.col("s.user_id")),
+            ).select(
+                F.least(F.col("n.user_id"), F.col("s.user_id")).alias("user_a"),
+                F.greatest(F.col("n.user_id"), F.col("s.user_id")).alias("user_b"),
+            )
+            n2 = new_active.alias("n2")
+            p_new = n.join(
+                n2,
+                (F.col("n.hour") == F.col("n2.hour"))
+                & (F.col("n.user_id") < F.col("n2.user_id")),
+            ).select(
+                F.col("n.user_id").alias("user_a"),
+                F.col("n2.user_id").alias("user_b"),
+            )
+            contrib = (
+                p_cross.unionByName(p_new)
+                .groupBy("user_a", "user_b")
+                .agg(F.count(F.lit(1)).cast("long").alias("sh"))
+            )
+            contrib = caching.tracked_persist(contrib)
+            if fs.has_parquet(spark, pairs_path):
+                state_pairs = (
+                    spark.read.parquet(pairs_path)
+                    .where(F.col("_batch_id") < batch_id)
+                    .select("user_a", "user_b", "sh")
+                )
+            else:
+                state_pairs = spark.createDataFrame([], contrib.schema)
+            merged = (
+                state_pairs.unionByName(contrib)
+                .groupBy("user_a", "user_b")
+                .agg(F.sum("sh").cast("long").alias("shared_windows"))
+                .where(F.col("shared_windows") >= min_shared)
+            )
+            full_active = state_active.unionByName(new_active)
+            peru = full_active.groupBy("user_id").agg(
+                F.count(F.lit(1)).cast("long").alias("nu")
+            )
+            nw = full_active.agg(F.countDistinct("hour").alias("nw"))
+            edges = (
+                merged.join(
+                    peru.withColumnRenamed("user_id", "user_a").withColumnRenamed(
+                        "nu", "na"
+                    ),
+                    "user_a",
+                )
+                .join(
+                    peru.withColumnRenamed("user_id", "user_b").withColumnRenamed(
+                        "nu", "nb"
+                    ),
+                    "user_b",
+                )
+                .crossJoin(F.broadcast(nw))
+                .withColumn(
+                    "lift",
+                    F.round(
+                        (F.col("shared_windows") * F.col("nw"))
+                        / (F.col("na") * F.col("nb")).cast("double"),
+                        6,
+                    ),
+                )
+                .where(F.col("lift") >= min_lift)
+                .select("user_a", "user_b", "shared_windows", "lift")
+            )
+            staging = fs.staging_path(edges_path)
+            fs.delete(spark, staging)
+            edges.write.mode("overwrite").parquet(staging)
+            spark.read.parquet(staging).count()  # materialize before swap
+            fs.swap_directory(spark, staging, edges_path)
+            batch_lit = F.lit(batch_id).cast("long").alias("_batch_id")
+            for df, path in ((new_active, active_path), (contrib, pairs_path)):
+                (
+                    df.withColumn("_batch_id", batch_lit)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_batch_id")
+                    .parquet(path)
+                )
+
+    return _apply
