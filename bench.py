@@ -179,6 +179,7 @@ HEADLINE = [
     "docs_bigram_logprob",
     "users_sig_edges_incremental",
     "sources_jsd_divergence",
+    "users_communities",
 ]
 
 

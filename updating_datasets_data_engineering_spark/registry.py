@@ -4471,6 +4471,55 @@ GROUP BY f.doc_id
 """
 
 
+def users_communities(spark, sf_dir):
+    """Communities of the significant co-occurrence graph: connected
+    components (min-label propagation with pointer jumping —
+    `dedup.connected_components`, the same operator that forms dedup
+    clusters) over the persisted ``sig_edges`` state, plus each
+    community's size — the graph tier's third standard statistic after
+    rank and clustering (cohorts of genuinely co-active users; at the
+    host level, link farms).
+
+    Only edge endpoints are members (a user with no significant edge
+    belongs to no community — unlike dedup clusters, where singletons
+    are their own cluster, a 'community of one' is noise here).  The
+    oracle closes the same edge set with a recursive CTE — identical
+    fixpoint: every label is the component's minimum user id."""
+    from pyspark.sql import Window
+
+    edges = _persisted_index(
+        spark, sf_dir, "sig_edges", lambda: _significant_edges(spark, sf_dir)
+    )
+    comp = D.connected_components(edges, id_a="user_a", id_b="user_b")
+    w = Window.partitionBy("community_id")
+    return (
+        comp.select(
+            F.col("id").alias("user_id"), F.col("cluster_id").alias("community_id")
+        )
+        .withColumn("community_size", F.count(F.lit(1)).over(w).cast("long"))
+    )
+
+
+_ORACLE_COMMUNITIES = f"""
+WITH RECURSIVE {_SIG_EDGES_SQL},
+cedges AS (
+    SELECT ua AS src, ub AS dst FROM pairs
+    UNION
+    SELECT ub, ua FROM pairs
+),
+cnodes AS (SELECT DISTINCT src AS id FROM cedges),
+reach AS (
+    SELECT id, id AS peer FROM cnodes
+    UNION
+    SELECT r.id, e.dst AS peer FROM reach r JOIN cedges e ON e.src = r.peer
+),
+labels AS (SELECT id AS user_id, min(peer) AS community_id FROM reach GROUP BY id)
+SELECT user_id, community_id,
+       CAST(count(*) OVER (PARTITION BY community_id) AS BIGINT) AS community_size
+FROM labels
+"""
+
+
 def sources_jsd_divergence(spark, sf_dir):
     """Per-source Jensen–Shannon divergence from the REST of the
     corpus — the mixture-design distance (`sources_overlap_matrix`
@@ -5336,6 +5385,7 @@ SPECS: list[QuerySpec] = [
         _ORACLE_SIG_EDGES_INCR,
     ),
     QuerySpec("sources_jsd_divergence", sources_jsd_divergence, _ORACLE_JSD),
+    QuerySpec("users_communities", users_communities, _ORACLE_COMMUNITIES),
 ]
 
 
