@@ -180,6 +180,7 @@ HEADLINE = [
     "users_sig_edges_incremental",
     "sources_jsd_divergence",
     "users_communities",
+    "users_pagerank_personalized",
 ]
 
 

@@ -223,3 +223,29 @@ def test_sig_edges_incremental_scans_state_not_archive_pairs(spark, sf_dir):
     plan = formatted_plan(registry.users_sig_edges_incremental(spark, sf_dir))
     for kind in ("graph_pair_counts", "graph_user_counts", "graph_hours"):
         assert f"graft_idx_{kind}" in plan, f"{kind} state must be scanned"
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    """PPR sanity on a barbell graph (two K3s joined by one bridge):
+    with seeds in the left triangle, left-triangle nodes must outrank
+    right-triangle nodes, and total mass stays 1 (symmetric graph, no
+    dangling teleport loss)."""
+    left = [(1, 2), (1, 3), (2, 3)]
+    right = [(4, 5), (4, 6), (5, 6)]
+    bridge = [(3, 4)]
+    edges = _edges(spark, left + right + bridge)
+    seeds = spark.createDataFrame([Row(u=1), Row(u=2)])
+    out = {r.node: r.rank for r in G.pagerank(edges, "user_a", "user_b", seeds=seeds).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+    assert min(out[1], out[2], out[3]) > max(out[4], out[5], out[6])
+
+
+def test_personalized_uniform_seeds_equal_global(spark):
+    """Seeding EVERY node uniformly must reproduce the global rank —
+    the defining degeneracy of the teleport vector."""
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1)])
+    allnodes = spark.createDataFrame([Row(u=i) for i in range(1, 6)])
+    ppr = {r.node: r.rank for r in G.pagerank(edges, "user_a", "user_b", seeds=allnodes).collect()}
+    glob = {r.node: r.rank for r in G.pagerank(edges, "user_a", "user_b").collect()}
+    for k in glob:
+        assert ppr[k] == pytest.approx(glob[k], abs=1e-9)

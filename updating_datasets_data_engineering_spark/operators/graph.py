@@ -53,9 +53,13 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 3,
     checkpoint: bool = True,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over an undirected edge list, ``iters`` synchronous
-    rounds of r(v) <- (1-d)/N + d * sum_{u~v} r(u)/deg(u).
+    rounds of r(v) <- tele(v) + d * sum_{u~v} r(u)/deg(u), where the
+    teleport vector is uniform 1/N (``seeds=None``, the classic global
+    rank) or concentrated on a seed set (personalized PageRank —
+    ranks then measure proximity to the seeds, not global centrality).
 
     The node set is the edge endpoints (symmetric edges mean every
     node has degree >= 1, so there are no dangling nodes and the
@@ -76,10 +80,42 @@ def pagerank(
     sym = tracked_persist(sym)  # reused every round: pay the scan once
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     deg = tracked_persist(deg)
-    n1 = deg.agg(F.count(F.lit(1)).alias("n"))  # one row
-    ranks = deg.crossJoin(F.broadcast(n1)).select(
-        "u", "deg", "n", F.round(F.lit(1.0) / F.col("n"), 12).alias("rank")
-    )
+    if seeds is None:
+        # uniform teleport: the classic global rank
+        n1 = deg.agg(F.count(F.lit(1)).alias("n"))  # one row
+        base = deg.crossJoin(F.broadcast(n1)).select(
+            "u",
+            "deg",
+            ((1.0 - damping) / F.col("n")).alias("tele"),
+            F.round(F.lit(1.0) / F.col("n"), 12).alias("rank"),
+        )
+    else:
+        # PERSONALIZED teleport (Haveliwala, WWW 2002, public): mass
+        # returns only to the seed set, so ranks measure proximity to
+        # the seeds, not global centrality.  Seeds outside the edge
+        # set are ignored (no dangling teleport targets).
+        sd = seeds.select(F.col(seeds.columns[0]).alias("u")).distinct()
+        sd = sd.join(deg.select("u"), "u", "left_semi")
+        ns = sd.agg(F.count(F.lit(1)).alias("ns"))
+        base = (
+            deg.join(sd.withColumn("_is_seed", F.lit(True)), "u", "left")
+            .crossJoin(F.broadcast(ns))
+            .select(
+                "u",
+                "deg",
+                F.when(
+                    F.col("_is_seed"), (1.0 - damping) / F.col("ns")
+                )
+                .otherwise(F.lit(0.0))
+                .alias("tele"),
+                # init = e_S/|S| (rank mass 1 concentrated on seeds)
+                F.when(F.col("_is_seed"), F.round(F.lit(1.0) / F.col("ns"), 12))
+                .otherwise(F.lit(0.0))
+                .alias("rank"),
+            )
+        )
+    base = tracked_persist(base)
+    ranks = base
     for _ in range(iters):
         contrib = (
             sym.join(
@@ -88,15 +124,17 @@ def pagerank(
             .groupBy("v")
             .agg(F.round(F.sum("c"), 12).alias("s"))
         )
+        # left join: with a personalized teleport, nodes whose
+        # neighborhood holds no rank yet receive no contribution row
         ranks = (
-            deg.crossJoin(F.broadcast(n1))
-            .join(contrib, F.col("u") == F.col("v"))
+            base.select("u", "deg", "tele")
+            .join(contrib, F.col("u") == F.col("v"), "left")
             .select(
                 "u",
                 "deg",
-                "n",
+                "tele",
                 F.round(
-                    (1.0 - damping) / F.col("n") + damping * F.col("s"), 12
+                    F.col("tele") + damping * F.coalesce("s", F.lit(0.0)), 12
                 ).alias("rank"),
             )
         )

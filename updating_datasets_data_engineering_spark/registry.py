@@ -4998,6 +4998,69 @@ WHERE round(sh * w.nw / CAST(pa.nu * pb.nu AS DOUBLE), 6) >= 1.5
 """
 
 
+def users_pagerank_personalized(spark, sf_dir):
+    """Personalized PageRank (Haveliwala, "Topic-Sensitive PageRank",
+    WWW 2002, public): teleport mass returns only to a SEED set — here
+    the 5 best-connected nodes of the significant graph (degree-desc,
+    id tie-break — deterministic and guaranteed inside the node set) —
+    so ranks measure proximity to the seeds.  The recommendation /
+    related-content primitive: at the host level, 'rank everything
+    relative to these trusted sites'.
+
+    Same engine-determinism discipline as the global rank (12-decimal
+    state rounding); zero-rank neighborhoods contribute an explicit
+    0.0 through the left join + coalesce on BOTH engines."""
+    from .operators import graph as G
+
+    edges = _persisted_index(
+        spark, sf_dir, "sig_edges", lambda: _significant_edges(spark, sf_dir)
+    )
+    sym = G.symmetrize(edges, "user_a", "user_b")
+    seeds = (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.col("deg").desc(), "u")
+        .limit(5)
+        .select("u")
+    )
+    return G.pagerank(edges, "user_a", "user_b", damping=0.85, iters=3, seeds=seeds)
+
+
+_PPR_STEP = """
+c{K} AS (
+    SELECT s.v AS u, round(sum(r.rank / r.deg), 12) AS c
+    FROM sym s JOIN r{P} r ON s.u = r.u GROUP BY s.v
+),
+r{K} AS (
+    SELECT b.u, b.deg, b.tele,
+           round(b.tele + {DAMP} * coalesce(c{K}.c, CAST(0.0 AS DOUBLE)), 12) AS rank
+    FROM r0 b LEFT JOIN c{K} ON b.u = c{K}.u
+)"""
+
+_ORACLE_PPR = (
+    f"""
+WITH {_SIG_EDGES_SQL},
+sym AS (SELECT ua AS u, ub AS v FROM pairs UNION ALL SELECT ub AS u, ua AS v FROM pairs),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+seeds AS (SELECT u FROM deg ORDER BY deg DESC, u LIMIT 5),
+ns AS (SELECT count(*) AS ns FROM seeds),
+r0 AS (
+    SELECT d.u, d.deg,
+           CASE WHEN s.u IS NOT NULL
+                THEN (CAST(1.0 AS DOUBLE) - {_PR_DAMP}) / ns.ns
+                ELSE CAST(0.0 AS DOUBLE) END AS tele,
+           CASE WHEN s.u IS NOT NULL
+                THEN round(CAST(1.0 AS DOUBLE) / ns.ns, 12)
+                ELSE CAST(0.0 AS DOUBLE) END AS rank
+    FROM deg d LEFT JOIN seeds s ON d.u = s.u CROSS JOIN ns
+),"""
+    + ",".join(_PPR_STEP.format(K=k, P=k - 1, DAMP=_PR_DAMP) for k in (1, 2, 3))
+    + """
+SELECT u AS node, deg AS degree, round(rank, 6) AS rank FROM r3
+"""
+)
+
+
 def users_triangles(spark, sf_dir):
     """Per-node triangle count + local clustering coefficient on the
     user co-occurrence graph — the second standard graph statistic
@@ -5386,6 +5449,9 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec("sources_jsd_divergence", sources_jsd_divergence, _ORACLE_JSD),
     QuerySpec("users_communities", users_communities, _ORACLE_COMMUNITIES),
+    QuerySpec(
+        "users_pagerank_personalized", users_pagerank_personalized, _ORACLE_PPR
+    ),
 ]
 
 
