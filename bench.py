@@ -181,6 +181,7 @@ HEADLINE = [
     "sources_jsd_divergence",
     "users_communities",
     "users_pagerank_personalized",
+    "incremental_type_quantiles",
 ]
 
 

@@ -224,25 +224,34 @@ def distinct_counts(pairs: DataFrame, key: Sequence[str], out: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 
-def histogram_state(df: DataFrame, value_col: str, width: float) -> DataFrame:
-    """(bin, cnt) equi-width histogram — ONE hash-aggregate on the
-    integer bin key (uniform, bounded by range/width)."""
+def histogram_state(
+    df: DataFrame, value_col: str, width: float, keys: Sequence[str] = ()
+) -> DataFrame:
+    """(*keys, bin, cnt) equi-width histogram — ONE hash-aggregate on
+    the (keys, bin) key (uniform, bounded by groups × range/width).
+    With ``keys`` this is the GROUPED sketch: one independent
+    histogram per dimension value (the per-event-type / per-tenant
+    latency dashboard shape)."""
     return (
         df.select(
-            F.floor(F.col(value_col) / F.lit(width)).cast("long").alias("bin")
+            *keys,
+            F.floor(F.col(value_col) / F.lit(width)).cast("long").alias("bin"),
         )
-        .groupBy("bin")
+        .groupBy(*keys, "bin")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
 
 
-def combine_histograms(state: DataFrame, delta: DataFrame) -> DataFrame:
-    """state ⊕ delta: outer join on the bin key, counts summed.  The
-    delta side touches few bins, so the join broadcasts it and the
-    big state never shuffles."""
+def combine_histograms(
+    state: DataFrame, delta: DataFrame, keys: Sequence[str] = ()
+) -> DataFrame:
+    """state ⊕ delta: outer join on the (keys, bin) key, counts
+    summed.  The delta side touches few bins, so the join broadcasts
+    it and the big state never shuffles."""
     s = state.withColumnRenamed("cnt", "_cs")
     d = delta.withColumnRenamed("cnt", "_cd")
-    return s.join(d, "bin", "full_outer").select(
+    return s.join(d, [*keys, "bin"], "full_outer").select(
+        *keys,
         "bin",
         (F.coalesce("_cs", F.lit(0)) + F.coalesce("_cd", F.lit(0)))
         .cast("long")
@@ -251,31 +260,39 @@ def combine_histograms(state: DataFrame, delta: DataFrame) -> DataFrame:
 
 
 def quantiles_from_histogram(
-    hist: DataFrame, width: float, qs: Sequence[float] = (0.5, 0.9, 0.99)
+    hist: DataFrame,
+    width: float,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    keys: Sequence[str] = (),
 ) -> DataFrame:
-    """(q, n_events, estimate) per requested quantile: cumulative
-    counts over the bin order, first bin whose cumulative reaches
-    q·n, linear interpolation inside it.
+    """(*keys, q, n_events, estimate) per requested quantile:
+    cumulative counts over the bin order (within each key group),
+    first bin whose cumulative reaches q·n, linear interpolation
+    inside it.
 
-    The histogram frame is sketch-sized (range/width rows), so the
-    unpartitioned cumulative window and the tiny quantile cross join
-    are driver-free but trivially small at ANY corpus size — the
-    corpus itself was reduced by histogram_state's single aggregate."""
+    The histogram frame is sketch-sized (groups × range/width rows),
+    so the cumulative window and the tiny quantile cross join are
+    driver-free but trivially small at ANY corpus size — the corpus
+    itself was reduced by histogram_state's single aggregate.  With
+    ``keys`` the cumulative window partitions by group, so the global
+    sort the ungrouped form pays disappears."""
     from pyspark.sql import Window
 
     spark = hist.sparkSession
     qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
-    cum = hist.withColumn(
-        "cum", F.sum("cnt").over(Window.orderBy("bin")).cast("long")
+    w = Window.partitionBy(*keys).orderBy("bin") if keys else Window.orderBy("bin")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w).cast("long"))
+    tot = hist.groupBy(*keys).agg(F.sum("cnt").cast("long").alias("n_events"))
+    joined = qdf.crossJoin(F.broadcast(tot)).join(
+        cum,
+        [F.col("cum") >= F.col("q") * F.col("n_events")]
+        + [cum[k] == tot[k] for k in keys],
     )
-    tot = hist.agg(F.sum("cnt").cast("long").alias("n_events"))
-    hit = (
-        qdf.crossJoin(F.broadcast(tot))
-        .join(cum, F.col("cum") >= F.col("q") * F.col("n_events"))
-        .groupBy("q", "n_events")
-        .agg(F.min(F.struct("bin", "cnt", "cum")).alias("_s"))
+    hit = joined.groupBy(*[tot[k] for k in keys], "q", "n_events").agg(
+        F.min(F.struct("bin", "cnt", "cum")).alias("_s")
     )
     return hit.select(
+        *keys,
         "q",
         "n_events",
         F.round(

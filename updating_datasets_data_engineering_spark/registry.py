@@ -5161,6 +5161,66 @@ FROM sel s JOIN cum c ON s.bin = c.bin
 """
 
 
+def incremental_type_quantiles(spark, sf_dir):
+    """GROUPED incremental quantile dashboard: one independent
+    histogram sketch per event_type (the per-dimension latency/value
+    dashboard every observability stack maintains), merged archive ⊕
+    delta exactly like `incremental_value_quantiles` — the grouped
+    sketch is still fully mergeable because groups never interact.
+
+    Plan shape: the (event_type, bin) aggregate is one shuffle on a
+    uniform composite key; the cumulative window partitions BY GROUP,
+    so the global sort the ungrouped form pays disappears — at extreme
+    group cardinality this is the shape that keeps working."""
+    from .operators import incremental as INC
+
+    ev = _t(spark, sf_dir, "events")
+    archive = ev.where(F.col("event_id") % 10 != 0)
+    delta = ev.where(F.col("event_id") % 10 == 0)
+    state = _persisted_index(
+        spark,
+        sf_dir,
+        "value_hist_by_type",
+        lambda: INC.histogram_state(archive, "value", 1.0, keys=("event_type",)),
+    )
+    merged = INC.combine_histograms(
+        state,
+        INC.histogram_state(delta, "value", 1.0, keys=("event_type",)),
+        keys=("event_type",),
+    )
+    return INC.quantiles_from_histogram(
+        merged, 1.0, qs=(0.5, 0.9, 0.99), keys=("event_type",)
+    )
+
+
+_ORACLE_TYPE_QUANTILES = """
+WITH hist AS (
+    SELECT event_type, CAST(floor(value / CAST(1.0 AS DOUBLE)) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+),
+tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_events FROM hist GROUP BY 1),
+cum AS (
+    SELECT event_type, bin, cnt,
+           CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum
+    FROM hist
+),
+qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.9), (0.99)) t(q)),
+sel AS (
+    SELECT tot.event_type, qs.q, tot.n_events, min(cum.bin) AS bin
+    FROM qs CROSS JOIN tot
+    JOIN cum ON cum.event_type = tot.event_type
+            AND cum.cum >= qs.q * tot.n_events
+    GROUP BY tot.event_type, qs.q, tot.n_events
+)
+SELECT s.event_type, s.q, s.n_events,
+       round(s.bin * CAST(1.0 AS DOUBLE)
+             + CAST(1.0 AS DOUBLE) * (s.q * s.n_events - (c.cum - c.cnt)) / c.cnt,
+             6) AS estimate
+FROM sel s JOIN cum c ON s.event_type = c.event_type AND s.bin = c.bin
+"""
+
+
 def orders_skyline(spark, sf_dir):
     """Skyline (Pareto frontier) of orders on (cheapest price,
     earliest date): the (price, date) points not dominated by any
@@ -5451,6 +5511,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("users_communities", users_communities, _ORACLE_COMMUNITIES),
     QuerySpec(
         "users_pagerank_personalized", users_pagerank_personalized, _ORACLE_PPR
+    ),
+    QuerySpec(
+        "incremental_type_quantiles",
+        incremental_type_quantiles,
+        _ORACLE_TYPE_QUANTILES,
     ),
 ]
 
