@@ -182,6 +182,7 @@ HEADLINE = [
     "users_communities",
     "users_pagerank_personalized",
     "incremental_type_quantiles",
+    "docs_weighted_sample",
 ]
 
 

@@ -690,3 +690,51 @@ def test_streaming_sig_edges_maintenance(spark, tmp_path):
             want.select(*cols), cols
         )
     assert spark.read.parquet(edges_path).count() > 0
+
+
+def test_streaming_grouped_histogram_maintenance(spark, tmp_path):
+    """Grouped variant of the histogram maintainer: per-event-type
+    quantile dashboards maintained from a stream equal the from-scratch
+    grouped recompute after every prefix."""
+    from updating_datasets_data_engineering_spark.operators import incremental as INC
+
+    src = str(tmp_path / "gh_src")
+    hist_path = str(tmp_path / "gh_hist")
+    q_path = str(tmp_path / "gh_quantiles")
+    ckpt = str(tmp_path / "gh_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    batches = [events.where(F.col("event_id") % 2 == i) for i in range(2)]
+
+    def run_increment(batch_df):
+        batch_df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                SP.maintain_value_histogram_each_batch(
+                    hist_path, q_path, "value", 1.0, keys=("event_type",)
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+
+    streamed = None
+    cols = ["event_type", "q", "n_events", "estimate"]
+    for b in batches:
+        run_increment(b)
+        streamed = b if streamed is None else streamed.unionByName(b)
+        got = spark.read.parquet(q_path)
+        want = INC.quantiles_from_histogram(
+            INC.histogram_state(streamed, "value", 1.0, keys=("event_type",)),
+            1.0,
+            keys=("event_type",),
+        )
+        assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(
+            want.select(*cols), cols
+        )

@@ -5161,6 +5161,52 @@ FROM sel s JOIN cum c ON s.bin = c.bin
 """
 
 
+def docs_weighted_sample(spark, sf_dir, k: int = 100):
+    """Weighted sampling WITHOUT replacement via exponential keys
+    (Efraimidis & Spirakis, IPL 2006, public — the A-ES scheme every
+    distributed engine uses): each doc draws key = ln(u)/w with
+    u ∈ (0,1] and weight w; the k LARGEST keys are an exact weighted
+    sample.  Here w = n_chars (longer docs proportionally likelier —
+    the standard token-budget-aware corpus subsample) and u is
+    md5-derived from the doc id, so the 'random' draw is deterministic
+    and reproducible across engines, runs, retries, and cluster sizes
+    — the same rand()-free discipline as docs_split_assign.
+
+    Plan shape: map-only key computation, then a global top-k — at any
+    scale that is a partial per-partition top-k (TakeOrdered) with only
+    k·partitions rows reaching the final selection, never a full sort
+    of the corpus."""
+    docs = _td(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|ws"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (h + 1) / F.lit(4294967296.0)  # (0, 1]: ln defined, never -inf
+    key = F.log(u) / F.col("n_chars")
+    return (
+        docs.where(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            F.round(key, 12).alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+_ORACLE_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars AS weight,
+       round(ln((('0x' || substr(md5(CAST(doc_id AS STRING) || '|ws'), 1, 8))::BIGINT + 1)
+                / CAST(4294967296.0 AS DOUBLE)) / n_chars, 12) AS sample_key
+FROM documents
+WHERE n_chars > 0
+ORDER BY sample_key DESC, doc_id
+LIMIT 100
+"""
+
+
 def incremental_type_quantiles(spark, sf_dir):
     """GROUPED incremental quantile dashboard: one independent
     histogram sketch per event_type (the per-dimension latency/value
@@ -5517,6 +5563,7 @@ SPECS: list[QuerySpec] = [
         incremental_type_quantiles,
         _ORACLE_TYPE_QUANTILES,
     ),
+    QuerySpec("docs_weighted_sample", docs_weighted_sample, _ORACLE_WEIGHTED_SAMPLE),
 ]
 
 

@@ -666,6 +666,7 @@ def maintain_value_histogram_each_batch(
     value_col: str = "value",
     width: float = 1.0,
     qs: Sequence[float] = (0.5, 0.9, 0.99),
+    keys: Sequence[str] = (),
 ):
     """foreachBatch function: STREAMING maintenance of the mergeable
     equi-width histogram sketch and its quantile dashboard — the
@@ -699,19 +700,19 @@ def maintain_value_histogram_each_batch(
             return
         with caching.scope():
             batch_hist = caching.tracked_persist(
-                INC.histogram_state(batch_df, value_col, width)
+                INC.histogram_state(batch_df, value_col, width, keys=keys)
             )
             if fs.has_parquet(spark, hist_path):
                 state = (
                     spark.read.parquet(hist_path)
                     .where(F.col("_batch_id") < batch_id)
-                    .groupBy("bin")
+                    .groupBy(*keys, "bin")
                     .agg(F.sum("cnt").cast("long").alias("cnt"))
                 )
-                merged = INC.combine_histograms(state, batch_hist)
+                merged = INC.combine_histograms(state, batch_hist, keys=keys)
             else:
                 merged = batch_hist
-            view = INC.quantiles_from_histogram(merged, width, qs)
+            view = INC.quantiles_from_histogram(merged, width, qs, keys=keys)
             staging = fs.staging_path(quantiles_path)
             fs.delete(spark, staging)
             view.write.mode("overwrite").parquet(staging)
