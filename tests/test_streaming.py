@@ -738,3 +738,61 @@ def test_streaming_grouped_histogram_maintenance(spark, tmp_path):
         assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(
             want.select(*cols), cols
         )
+
+
+def test_sig_edges_state_compaction(spark, tmp_path):
+    """The edge-maintenance states grow one partition per micro-batch;
+    compact_batch_index must collapse them without changing the edge
+    view, and the stream must continue correctly over the compacted
+    state (same lifecycle the LSH band index got)."""
+    import unittest.mock as mock
+
+    from updating_datasets_data_engineering_spark import registry as R
+    from updating_datasets_data_engineering_spark.operators import maintenance as MNT
+
+    src = str(tmp_path / "sec_src")
+    active_path = str(tmp_path / "sec_active")
+    pairs_path = str(tmp_path / "sec_pairs")
+    edges_path = str(tmp_path / "sec_edges")
+    ckpt = str(tmp_path / "sec_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    batches = [events.where(F.col("event_id") % 3 == i) for i in range(3)]
+
+    def run_increment(batch_df):
+        batch_df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                SP.maintain_sig_edges_each_batch(active_path, pairs_path, edges_path)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+
+    cols = ["user_a", "user_b", "shared_windows", "lift"]
+    run_increment(batches[0])
+    run_increment(batches[1])
+    before = _sorted_rows(spark.read.parquet(edges_path).select(*cols), cols)
+    for p in (active_path, pairs_path):
+        nb, na = MNT.compact_batch_index(spark, p)
+        assert na <= nb
+    # compaction must not change the state the readers see
+    assert (
+        _sorted_rows(spark.read.parquet(edges_path).select(*cols), cols) == before
+    )
+    # the stream continues over compacted state; final view still equals
+    # the from-scratch recompute on everything streamed
+    run_increment(batches[2])
+    got = spark.read.parquet(edges_path)
+    streamed = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    with mock.patch.object(R, "_t", lambda s, d, name: streamed):
+        want = R._significant_edges(spark, "")
+    assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(
+        want.select(*cols), cols
+    )
