@@ -183,6 +183,7 @@ HEADLINE = [
     "users_pagerank_personalized",
     "incremental_type_quantiles",
     "docs_weighted_sample",
+    "docs_weighted_sample_per_source",
 ]
 
 

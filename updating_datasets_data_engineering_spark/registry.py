@@ -5207,6 +5207,58 @@ LIMIT 100
 """
 
 
+def docs_weighted_sample_per_source(spark, sf_dir, k: int = 10):
+    """Per-source weighted sampling — the stratified companion of
+    `docs_weighted_sample`: the k largest exponential keys WITHIN each
+    source (the per-domain quota draw mixture builders use so one
+    giant source cannot monopolize a weighted subsample).
+
+    Plan shape: the global top-k's TakeOrdered becomes a window rank
+    partitioned by source — a single shuffle on the source key, each
+    partition ranking independently; same deterministic md5-derived
+    draws, so stratum membership is reproducible anywhere."""
+    from pyspark.sql import Window
+
+    docs = _td(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|ws"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (h + 1) / F.lit(4294967296.0)
+    key = F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy(F.col("sample_key").desc(), "doc_id")
+    return (
+        docs.where(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").alias("weight"),
+            F.round(key, 12).alias("sample_key"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+_ORACLE_WEIGHTED_SAMPLE_SRC = """
+WITH keyed AS (
+    SELECT doc_id, source, n_chars AS weight,
+           round(ln((('0x' || substr(md5(CAST(doc_id AS STRING) || '|ws'), 1, 8))::BIGINT + 1)
+                    / CAST(4294967296.0 AS DOUBLE)) / n_chars, 12) AS sample_key
+    FROM documents
+    WHERE n_chars > 0
+)
+SELECT doc_id, source, weight, sample_key
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY source ORDER BY sample_key DESC, doc_id) AS rk
+    FROM keyed
+)
+WHERE rk <= 10
+"""
+
+
 def incremental_type_quantiles(spark, sf_dir):
     """GROUPED incremental quantile dashboard: one independent
     histogram sketch per event_type (the per-dimension latency/value
@@ -5564,6 +5616,11 @@ SPECS: list[QuerySpec] = [
         _ORACLE_TYPE_QUANTILES,
     ),
     QuerySpec("docs_weighted_sample", docs_weighted_sample, _ORACLE_WEIGHTED_SAMPLE),
+    QuerySpec(
+        "docs_weighted_sample_per_source",
+        docs_weighted_sample_per_source,
+        _ORACLE_WEIGHTED_SAMPLE_SRC,
+    ),
 ]
 
 
