@@ -249,3 +249,49 @@ def test_personalized_uniform_seeds_equal_global(spark):
     glob = {r.node: r.rank for r in G.pagerank(edges, "user_a", "user_b").collect()}
     for k in glob:
         assert ppr[k] == pytest.approx(glob[k], abs=1e-9)
+
+
+def test_bloom_probe_preserves_duplicate_members(spark):
+    """ADVICE r5 item 1: duplicate candidate rows must each survive the
+    probe.  The old plan grouped by the candidate columns alone, so two
+    identical member rows produced one group with 2k hits and BOTH were
+    dropped — a false negative.  Rows are now probed individually."""
+    members = spark.range(0, 50).select(
+        F.concat(F.lit("key_"), F.col("id")).alias("k")
+    )
+    dupped = members.union(members)  # every member twice
+    bits = G.bloom_bits(members, "k", 4096, 3)
+    surv = G.bloom_probe(dupped, "k", bits, 4096, 3)
+    assert surv.count() == 100, "duplicate member rows dropped by probe"
+    # multiplicity itself preserved, not just the total
+    per_key = surv.groupBy("k").count().collect()
+    assert all(r["count"] == 2 for r in per_key)
+
+
+def test_personalized_pagerank_empty_seed_raises(spark):
+    """ADVICE r5 item 2: seeds that miss the node set entirely must be
+    a loud error, not an all-zero/NULL rank vector."""
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    ghosts = spark.createDataFrame([Row(u=99), Row(u=100)])
+    with pytest.raises(Exception, match="no seed intersects"):
+        G.pagerank(edges, "user_a", "user_b", seeds=ghosts).collect()
+
+
+def test_histogram_state_ignores_nulls(spark):
+    """ADVICE r5 item 3: NULL values must not become their own bucket
+    (Spark orders NULL bins first in the cumulative window, DuckDB
+    last — a silent cross-engine divergence), and quantiles must be
+    computed over the non-null population (ANSI percentile_cont)."""
+    from updating_datasets_data_engineering_spark.operators import incremental as INC
+
+    vals = spark.range(0, 500).select((F.col("id") / 1.0).alias("v"))
+    nulled = vals.unionByName(
+        spark.range(0, 50).select(F.lit(None).cast("double").alias("v"))
+    )
+    hist = INC.histogram_state(nulled, "v", 10.0)
+    assert hist.where(F.col("bin").isNull()).count() == 0
+    # identical sketch to the null-free input
+    clean = INC.histogram_state(vals, "v", 10.0)
+    assert sorted(map(tuple, hist.collect())) == sorted(map(tuple, clean.collect()))
+    est = {r.q: r.estimate for r in INC.quantiles_from_histogram(hist, 10.0).collect()}
+    assert est[0.5] == pytest.approx(250.0, abs=1e-6)

@@ -96,7 +96,24 @@ def pagerank(
         # set are ignored (no dangling teleport targets).
         sd = seeds.select(F.col(seeds.columns[0]).alias("u")).distinct()
         sd = sd.join(deg.select("u"), "u", "left_semi")
-        ns = sd.agg(F.count(F.lit(1)).alias("ns"))
+        # Guard the degenerate empty intersection (ADVICE r5 item 2):
+        # ns = 0 would zero the teleport vector and every rank, silently.
+        # The guard is applied to the one-row seed-count aggregate itself
+        # — unconditionally evaluated, regardless of whether any row later
+        # takes the seed branch — and raises lazily at execution with a
+        # clear message instead of returning an all-zero/NULL rank vector.
+        ns = sd.agg(F.count(F.lit(1)).alias("_ns_raw")).select(
+            F.when(F.col("_ns_raw") > 0, F.col("_ns_raw"))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "pagerank: no seed intersects the node set — "
+                        "personalized teleport vector would be all-zero"
+                    )
+                )
+            )
+            .alias("ns")
+        )
         base = (
             deg.join(sd.withColumn("_is_seed", F.lit(True)), "u", "left")
             .crossJoin(F.broadcast(ns))
@@ -275,9 +292,20 @@ def bloom_probe(
     row, keep hits == k.  The candidate side never shuffles on data
     keys and the archive side is the bounded bit table — the whole
     probe is map-side at any archive size.
+
+    Rows are probed INDIVIDUALLY (a per-row handle is attached before
+    the explode), so duplicate candidate rows survive with their
+    multiplicity intact: grouping by the candidate columns alone would
+    collapse two identical member rows into one group with 2k hits and
+    drop both — a false negative the no-false-negative contract forbids
+    (ADVICE r5 item 1).  The handle is only a grouping key and is
+    dropped before return, so its partition-dependent values never
+    reach the result.
     """
     seeds = F.array(*[F.lit(i) for i in range(k_hashes)])
     probed = candidates.withColumn(
+        "_bloom_row", F.monotonically_increasing_id()
+    ).withColumn(
         "_bloom_bit",
         F.explode(
             F.transform(
@@ -286,12 +314,19 @@ def bloom_probe(
             )
         ),
     )
+    # `bits` holds DISTINCT positions, so each exploded row matches at
+    # most one bit row; seed collisions (two seeds -> same position)
+    # produce two exploded rows that each match, keeping count == k for
+    # true members even under hash collisions.
     hits = (
         probed.join(
             F.broadcast(bits.withColumnRenamed("bit", "_bloom_bit")),
             "_bloom_bit",
         )
-        .groupBy(*candidates.columns)
+        .groupBy("_bloom_row", *candidates.columns)
         .agg(F.count(F.lit(1)).alias("_bloom_hits"))
     )
-    return hits.where(F.col("_bloom_hits") == k_hashes).drop("_bloom_hits")
+    return (
+        hits.where(F.col("_bloom_hits") == k_hashes)
+        .drop("_bloom_hits", "_bloom_row")
+    )

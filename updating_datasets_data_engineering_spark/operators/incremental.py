@@ -231,9 +231,17 @@ def histogram_state(
     the (keys, bin) key (uniform, bounded by groups × range/width).
     With ``keys`` this is the GROUPED sketch: one independent
     histogram per dimension value (the per-event-type / per-tenant
-    latency dashboard shape)."""
+    latency dashboard shape).
+
+    NULL values are excluded up front (ADVICE r5 item 3): a NULL value
+    would otherwise become its own NULL bin, and Spark's cumulative
+    window orders NULL bins FIRST while the DuckDB oracles order NULLs
+    LAST — a silent cross-engine divergence (plus NULL estimates) on
+    nullable inputs.  A quantile over the non-null population is also
+    the standard definition (ANSI percentile_cont ignores NULLs)."""
     return (
-        df.select(
+        df.where(F.col(value_col).isNotNull())
+        .select(
             *keys,
             F.floor(F.col(value_col) / F.lit(width)).cast("long").alias("bin"),
         )

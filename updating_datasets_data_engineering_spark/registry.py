@@ -4535,7 +4535,14 @@ def sources_jsd_divergence(spark, sf_dir):
     move is a hashed-vocab projection first), joined back on the
     (source, term) key; one aggregate per source.  All probability
     arithmetic is identically associated on both engines and the two
-    KL sums are rounded at 6dp after the 0.5 weights (dyadic, exact)."""
+    KL sums are rounded at 6dp after the 0.5 weights (dyadic, exact).
+
+    Degenerate case (ADVICE r5 item 4): if a source holds EVERY token
+    (single-source corpus), the complement distribution Q₋ₛ has a zero
+    denominator (tt - ts = 0) and no defined divergence exists; both
+    engines emit an EXPLICIT ``jsd = NULL`` for that source (guarded
+    CASE on ts < tt, identical in the Spark plan and the oracle) rather
+    than relying on engine-specific divide-by-zero propagation."""
     from .caching import tracked_persist
     from .functions.text import words
 
@@ -4566,11 +4573,16 @@ def sources_jsd_divergence(spark, sf_dir):
             F.sum(
                 F.when(F.col("ct") - F.col("c") > 0, q * F.log(q / m)).otherwise(0.0)
             ).alias("_kq"),
+            F.first("tt").alias("_tt"),
         )
         .select(
             "source",
             F.col("ts").alias("n_tokens"),
-            F.round(0.5 * F.col("_kp") + 0.5 * F.col("_kq"), 6).alias("jsd"),
+            # explicit NULL when the complement corpus is empty
+            F.when(
+                F.col("ts") < F.col("_tt"),
+                F.round(0.5 * F.col("_kp") + 0.5 * F.col("_kq"), 6),
+            ).alias("jsd"),
         )
     )
     return out
@@ -4591,16 +4603,17 @@ grid AS (
     CROSS JOIN tot
 ),
 terms AS (
-    SELECT source, ts,
+    SELECT source, ts, tt,
            CAST(c AS DOUBLE) / CAST(ts AS DOUBLE) AS p,
            CAST(ct - c AS DOUBLE) / CAST(tt - ts AS DOUBLE) AS q,
            c, ct
     FROM grid
 )
 SELECT source, ts AS n_tokens,
+       CASE WHEN ts < max(tt) THEN
        round(0.5 * sum(CASE WHEN c > 0 THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END)
              + 0.5 * sum(CASE WHEN ct - c > 0 THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END),
-             6) AS jsd
+             6) END AS jsd
 FROM terms
 GROUP BY source, ts
 """
@@ -5386,12 +5399,28 @@ WHERE NOT EXISTS (
 # driver-green in r1/r2 and locally pinned by tests/test_oracle_parity.py —
 # rotate to the tail.
 SPECS: list[QuerySpec] = [
+    # --- r6 rotation block #1 (VERDICT r5 item 2) -------------------------
+    # The driver grades SPECS[:50] only; 62 specs had never been driver
+    # graded by end of round 5.  Starting r6 the window rotates a FIVE-spec
+    # block per round: the never-graded tail (in SPECS order as of r5) is
+    # chunked into deterministic blocks of 5 (schedule pinned in
+    # tests/test_registry_window.py); each round the next block swaps in and
+    # the 5 longest-resident non-pinned window members swap out to the
+    # pytest-pinned tail.  Block #1 in: embedding_near_dup_t90,
+    # q21_waiting_suppliers, q20_dominant_suppliers, q2_min_cost_supplier,
+    # q11_important_stock.  Out (driver-green r1-r5, still oracle-gated by
+    # tests/test_oracle_parity.py): dedup_exact, dedup_ngram_jaccard,
+    # dedup_minhash_lsh, dedup_simhash, dedup_clusters.
+    QuerySpec(
+        "embedding_near_dup_t90",
+        embedding_near_dup_t90,
+        OE.embedding_near_dup_ann_sql(0.9, 8, 8, 64),
+    ),
+    QuerySpec("q21_waiting_suppliers", q21_waiting, _ORACLE_Q21),
+    QuerySpec("q20_dominant_suppliers", q20_dominant, _ORACLE_Q20),
+    QuerySpec("q2_min_cost_supplier", q2_min_cost, _ORACLE_Q2),
+    QuerySpec("q11_important_stock", q11_important, _ORACLE_Q11),
     # --- LLM-data-pipeline tier: dedup -----------------------------------
-    QuerySpec("dedup_exact", dedup_exact_q, OE.dedup_exact_sql()),
-    QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard_q, OE.ngram_jaccard_sql(0.5, 3)),
-    QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh_q, OE.minhash_lsh_sql(16, 4, 0.4, ngram=3)),
-    QuerySpec("dedup_simhash", dedup_simhash_q, OE.simhash_sql()),
-    QuerySpec("dedup_clusters", dedup_clusters, _oracle_clusters_sql()),
     QuerySpec("docs_deduplicated", docs_deduplicated, _oracle_dedup_corpus_sql()),
     QuerySpec(
         "dedup_incremental",
@@ -5461,10 +5490,15 @@ SPECS: list[QuerySpec] = [
     QuerySpec("q5_regional_revenue", q5, _ORACLE_Q5),
     QuerySpec("events_hourly", events_hourly, _ORACLE_HOURLY),
     # ---- driver grading window ends here: SPECS[:50] -------------------
-    # FROZEN (VERDICT r3 item 2): the first 50 names are pinned by
-    # tests/test_registry_window.py; r4 consumed exactly one slot for
-    # dedup_incremental (VERDICT r4 item 1), rotating events_sessionize
-    # out (pytest-pinned, driver-green r1-r3).  Do not reorder further.
+    # ROTATING since r6 (VERDICT r5 item 2): the first 50 names are pinned
+    # per-round by tests/test_registry_window.py, which also pins the 20
+    # forever-resident §2-parity specs and the deterministic 5-spec block
+    # schedule.  Everything below is graded by tests/test_oracle_parity.py.
+    QuerySpec("dedup_exact", dedup_exact_q, OE.dedup_exact_sql()),
+    QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard_q, OE.ngram_jaccard_sql(0.5, 3)),
+    QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh_q, OE.minhash_lsh_sql(16, 4, 0.4, ngram=3)),
+    QuerySpec("dedup_simhash", dedup_simhash_q, OE.simhash_sql()),
+    QuerySpec("dedup_clusters", dedup_clusters, _oracle_clusters_sql()),
     QuerySpec("events_sessionize", sessionize, _ORACLE_SESSIONIZE),
     QuerySpec("events_props_json", events_props_json, _ORACLE_PROPS_JSON),
     QuerySpec("word_counts", word_counts, _ORACLE_WORD_COUNTS),
@@ -5498,16 +5532,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("events_unpivot", events_unpivot, _ORACLE_UNPIVOT),
     QuerySpec("grouping_sets_revenue", grouping_sets_revenue, _ORACLE_GROUPING_SETS),
     QuerySpec("sql_passthrough_revenue", sql_passthrough_revenue, _SQL_PASSTHROUGH),
-    # --- r4 additions (pytest-pinned tail; window is frozen) -------------
-    QuerySpec(
-        "embedding_near_dup_t90",
-        embedding_near_dup_t90,
-        OE.embedding_near_dup_ann_sql(0.9, 8, 8, 64),
-    ),
-    QuerySpec("q21_waiting_suppliers", q21_waiting, _ORACLE_Q21),
-    QuerySpec("q20_dominant_suppliers", q20_dominant, _ORACLE_Q20),
-    QuerySpec("q2_min_cost_supplier", q2_min_cost, _ORACLE_Q2),
-    QuerySpec("q11_important_stock", q11_important, _ORACLE_Q11),
+    # --- r4 additions (pytest-pinned tail) --------------------------------
+    # (embedding_near_dup_t90 / q21 / q20 / q2 / q11 rotated into the
+    # driver window as r6 block #1.)
     QuerySpec(
         "dedup_incremental_simhash",
         dedup_incremental_simhash,
