@@ -295,3 +295,46 @@ def test_histogram_state_ignores_nulls(spark):
     assert sorted(map(tuple, hist.collect())) == sorted(map(tuple, clean.collect()))
     est = {r.q: r.estimate for r in INC.quantiles_from_histogram(hist, 10.0).collect()}
     assert est[0.5] == pytest.approx(250.0, abs=1e-6)
+
+
+def test_guarded_self_pairs_flash_event_identical(spark):
+    """VERDICT r5 item 4: a flash-event window (one hour holding 30% of
+    all users — the adversarial shape for a per-window self-join) must
+    produce IDENTICAL pairs with the salt-grid guard engaged, with the
+    hot window's work spread across grid cells instead of one task.
+    Mirrors test_ml_lsh.py's identical-prefix corpus for LSH buckets."""
+    from updating_datasets_data_engineering_spark.operators import skew
+
+    n_users = 300
+    rows = []
+    # flash hour: 30% of the user base in a single window
+    rows += [("2024-01-01 12", f"u{i:04d}") for i in range(90)]
+    # normal hours: ~6 users each
+    for h in range(48):
+        rows += [(f"2024-01-03 {h % 24:02d}", f"u{(7 * h + j) % n_users:04d}")
+                 for j in range(6)]
+    active = spark.createDataFrame(rows, "hour string, user_id string").distinct()
+
+    bare = skew.guarded_self_pairs(active, ["hour"], "user_id")
+    guarded = skew.guarded_self_pairs(
+        active, ["hour"], "user_id", bucket_cap=20, n_salts=4
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(bare) == key(guarded), "salt grid changed the pair set"
+    # the guard actually engaged: the flash hour is above the cap
+    hot = active.groupBy("hour").count().where(F.col("count") > 20)
+    assert hot.count() == 1
+    # exactly-once per (hour, pair): no duplicates inside the union
+    assert guarded.count() == guarded.distinct().count()
+
+
+def test_users_cooccurrence_guard_preserves_oracle(spark, sf_dir):
+    """The registry query's result must be invariant to the guard
+    setting — run it with a cap low enough to trip on the fixture and
+    compare with the bare plan (the oracle gates the bare plan)."""
+    from updating_datasets_data_engineering_spark.registry import users_cooccurrence
+
+    bare = users_cooccurrence(spark, sf_dir, bucket_cap=None)
+    tripped = users_cooccurrence(spark, sf_dir, bucket_cap=3, n_salts=4)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(bare) == key(tripped)

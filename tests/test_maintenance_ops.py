@@ -229,3 +229,60 @@ def test_retraction_equals_rebuild_for_all_index_families(spark, sf_dir):
     # centroids (vec_id < 16) survive the delete set, so rebuild on the
     # remaining corpus uses the same quantizer
     assert _norm(got) == _norm(SIM.ivf_assign_cells(vrem, 16))
+
+
+def test_persisted_index_warehouse_root_shared_across_sessions(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r5 item 7: with SPARK_GRAFT_INDEX_ROOT set, the persisted
+    index lands at a NAMED warehouse path and a fresh session (memo
+    cleared — the in-process stand-in for a new SparkSession in another
+    process) pointed at the same root REUSES the stored state instead
+    of rebuilding."""
+    from updating_datasets_data_engineering_spark import registry as R
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_ROOT", str(tmp_path))
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(0, 10).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        )
+
+    first = R._persisted_index(spark, sf_dir, "wh_probe", build)
+    assert calls["n"] == 1
+    got = sorted(map(tuple, first.collect()))
+    # the state is a named, _SUCCESS-marked table under the root
+    import os
+
+    sf_key = os.path.basename(sf_dir.rstrip("/"))
+    stored = tmp_path / sf_key / "wh_probe"
+    assert (stored / "_SUCCESS").is_file()
+
+    # "new session": forget every in-process memo entry, re-probe
+    for k in [k for k in R._PERSISTED_INDEX if k[1] == "wh_probe"]:
+        del R._PERSISTED_INDEX[k]
+
+    def build_must_not_run():
+        raise AssertionError("warehouse state should be reused, not rebuilt")
+
+    second = R._persisted_index(spark, sf_dir, "wh_probe", build_must_not_run)
+    assert sorted(map(tuple, second.collect())) == got
+    assert calls["n"] == 1
+
+
+def test_persisted_index_default_stays_process_local(spark, sf_dir, monkeypatch):
+    """Unset root keeps the r5 behavior: tempfile state, memoized per
+    process, rebuilt (deterministically) by other processes."""
+    from updating_datasets_data_engineering_spark import registry as R
+
+    monkeypatch.delenv("SPARK_GRAFT_INDEX_ROOT", raising=False)
+    df = R._persisted_index(
+        spark, sf_dir, "wh_probe_local", lambda: spark.range(0, 3).select("id")
+    )
+    assert df.count() == 3
+    path = R._PERSISTED_INDEX[(sf_dir.rstrip("/"), "wh_probe_local")]
+    import tempfile
+
+    assert path.startswith(tempfile.gettempdir())

@@ -77,3 +77,84 @@ def salted_join(
     right = small.select("*", salts)
     joined = left.join(right, keys + ["_salt"], how)
     return joined.drop("_salt")
+
+
+def guarded_self_pairs(
+    df: DataFrame,
+    window_cols: Sequence[str],
+    id_col: str,
+    bucket_cap: int | None = None,
+    n_salts: int = 8,
+) -> DataFrame:
+    """All within-window (id_a < id_b) pairs of a (window, id) frame,
+    with the result-preserving oversized-bucket salt grid (VERDICT r5
+    item 4 — the generalization of ``dedup.banded_self_candidates``'s
+    guard from LSH band buckets to ANY windowed self-join: the user
+    co-occurrence hour buckets here).
+
+    The output keeps the window columns and emits each (window, pair)
+    EXACTLY once, so downstream pair-count aggregates are unchanged by
+    any (bucket_cap, n_salts) setting — the guard redistributes work,
+    never drops or double-counts pairs.
+
+    Why: per-window fan-out is occupancy², which is the quadratic floor
+    any pair counting pays — acceptable when occupancy is uniform, but
+    a FLASH-EVENT window holding a large share of all ids concentrates
+    that B² on the single task owning the window key.  Members of
+    windows above ``bucket_cap`` join through an s × s salt grid
+    instead: member a (salt u(a), md5-derived and deterministic) is
+    emitted once per grid column (u(a), j) on the left and once per
+    grid row (i, u(a)) on the right, so pair (a, b) matches in exactly
+    one cell (u(a), u(b)) and the hot window's quadratic work spreads
+    over s² independently-scheduled join partitions.  Normal windows
+    keep the plain join; only oversized-window members (found with one
+    aggregate, broadcast both ways) pay the s× replication.
+    """
+    wc = list(window_cols)
+    out_a = f"{id_col}_a"
+    out_b = f"{id_col}_b"
+
+    def _project(a: DataFrame, b: DataFrame, pred) -> DataFrame:
+        return a.join(b, pred).select(
+            *[F.col(f"a.{c}").alias(c) for c in wc],
+            F.col(f"a.{id_col}").alias(out_a),
+            F.col(f"b.{id_col}").alias(out_b),
+        )
+
+    def _window_pred():
+        pred = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        for c in wc:
+            pred = pred & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        return pred
+
+    def _pairs(frame: DataFrame) -> DataFrame:
+        return _project(frame.alias("a"), frame.alias("b"), _window_pred())
+
+    if bucket_cap is None:
+        return _pairs(df)
+
+    hot_keys = (
+        df.groupBy(*wc)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > bucket_cap)
+        .select(*wc)
+    )
+    plain = df.join(F.broadcast(hot_keys), wc, "left_anti")
+    hot = df.join(F.broadcast(hot_keys), wc, "left_semi")
+    # md5-derived salt: deterministic and oracle-replayable, the same
+    # discipline as banded_self_candidates' grid
+    salt = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(n_salts),
+    ).cast("int")
+    grid = F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    left = hot.withColumn("_u", salt).withColumn("_j", grid)
+    right = hot.withColumn("_u", salt).withColumn("_i", grid)
+    hot_pred = (
+        _window_pred()
+        & (F.col("a._u") == F.col("b._i"))
+        & (F.col("a._j") == F.col("b._u"))
+    )
+    hot_out = _project(left.alias("a"), right.alias("b"), hot_pred)
+    return _pairs(plain).unionByName(hot_out)
