@@ -191,6 +191,22 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def shuffle_totals(spark) -> tuple[int, int]:
+    """Cumulative (shuffle_read_bytes, shuffle_write_bytes) across all
+    executors, from the JVM AppStatusStore (VERDICT r5 item 8: wall
+    time alone cannot distinguish a plan regression from ambient load —
+    shuffle bytes are load-independent and deterministic per plan).
+    Snapshot before/after a query; the delta is the query's shuffle."""
+    store = spark.sparkContext._jsc.sc().statusStore()
+    ex = store.executorList(True)
+    r = w = 0
+    for i in range(ex.size()):
+        e = ex.apply(i)
+        r += e.totalShuffleRead()
+        w += e.totalShuffleWrite()
+    return r, w
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -220,13 +236,20 @@ def main() -> None:
     # common-subset TOTALS across rounds, not single queries.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    shuffle_mb: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
+        r0, w0 = shuffle_totals(spark)
         for _ in range(runs):
             t0 = time.perf_counter()
             force(qs[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
+        r1, w1 = shuffle_totals(spark)
         timings[name] = round(best, 3)
+        # runs are identical work (caches released between them), so
+        # per-run shuffle write = delta / runs; write, not read, is the
+        # canonical "bytes exchanged" (read double-counts local reads)
+        shuffle_mb[name] = round((w1 - w0) / runs / 1e6, 2)
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -234,6 +257,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "shuffle_mb": shuffle_mb,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full per-query detail: one JSON line (the documented contract) plus

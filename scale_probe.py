@@ -65,9 +65,9 @@ def replicate(spark, k: int) -> str:
         emb.select(
             (F.col("vec_id") + F.lit(i * n_vecs)).alias("vec_id"),
             (
-                F.col("embedding") if i == 0 else F.concat(
-                    F.slice("embedding", 7 * i + 1, 64 - 7 * i),
-                    F.slice("embedding", 1, 7 * i),
+                F.col("embedding") if (7 * i) % 64 == 0 else F.concat(
+                    F.slice("embedding", (7 * i) % 64 + 1, 64 - (7 * i) % 64),
+                    F.slice("embedding", 1, (7 * i) % 64),
                 )
             ).alias("embedding"),
             "label",
@@ -85,7 +85,101 @@ def replicate(spark, k: int) -> str:
     return out
 
 
+def clusters_crossover(max_k: int = 8) -> None:
+    """VERDICT r5 item 1: measure the batch-vs-incremental CLUSTER
+    crossover with the PRODUCTION shape — a churned delta held at FIXED
+    absolute size (the base fixture's doc_id % 10 == 0 slice, ~N/10
+    docs = "one day") against an archive that grows k×.  The registry's
+    graded pair uses delta ∝ corpus, where at 5k docs probe + star
+    closure ≈ the local per-job floor; this probe holds the delta fixed
+    so the avoided work (full re-band + full re-closure) grows with k
+    while the incremental plan's work does not.
+
+    Batch  = full minhash_lsh_pairs + connected_components on
+             archive ∪ delta (what a nightly full recompute pays).
+    Incr   = probe the PERSISTED band index + label fixpoint (built
+             outside the timer — it is yesterday's state) with the
+             delta: incremental_minhash_pairs + incremental_components.
+
+    Output: one JSON line per (variant, k), then the crossover summary.
+    """
+    os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    from updating_datasets_data_engineering_spark.operators import dedup as D
+    from updating_datasets_data_engineering_spark.session import get_spark
+    from updating_datasets_data_engineering_spark.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    spark = get_spark("scale-probe-clusters", shuffle_partitions=32)
+    n_base = load_table(spark, SF_DIR, "documents").count()
+    ks = [k for k in (1, 2, 4, 8, 16) if k <= max_k]
+    out: dict[int, dict[str, float]] = {}
+    for k in ks:
+        path = replicate(spark, k)
+        docs = spark.read.parquet(os.path.join(path, "documents.parquet"))
+        is_delta = (F.col("doc_id") < n_base) & (F.col("doc_id") % 10 == 0)
+        delta = docs.where(is_delta)
+        archive = docs.where(~is_delta)
+        # yesterday's state: built once, OUTSIDE the timers
+        idx_dir = os.path.join(path, "probe_band_index")
+        lbl_dir = os.path.join(path, "probe_labels")
+        if not os.path.isfile(os.path.join(idx_dir, "_SUCCESS")):
+            D.minhash_band_index(
+                D.minhash_features(archive, "doc_id", "text", 3), 16, 4
+            ).write.mode("overwrite").parquet(idx_dir)
+        if not os.path.isfile(os.path.join(lbl_dir, "_SUCCESS")):
+            D.connected_components(
+                D.minhash_lsh_pairs(
+                    archive, num_hashes=16, band_size=4, threshold=0.4, ngram=3
+                )
+            ).write.mode("overwrite").parquet(lbl_dir)
+
+        def run_batch():
+            return D.connected_components(
+                D.minhash_lsh_pairs(
+                    docs, num_hashes=16, band_size=4, threshold=0.4, ngram=3
+                )
+            ).count()
+
+        def run_incremental():
+            band_index = spark.read.parquet(idx_dir)
+            labels = spark.read.parquet(lbl_dir)
+            new_pairs = D.incremental_minhash_pairs(
+                archive, delta, num_hashes=16, band_size=4,
+                threshold=0.4, ngram=3, archive_index=band_index,
+            )
+            return D.incremental_components(labels, new_pairs).count()
+
+        res = {}
+        for name, fn in (("clusters_batch", run_batch),
+                         ("clusters_incremental", run_incremental)):
+            best, rows = None, None
+            for _ in range(2):
+                t0 = time.time()
+                rows = fn()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            res[name] = best
+            print(json.dumps({"op": name, "k": k, "sec": round(best, 2),
+                              "rows": rows, "delta_docs": "fixed n/10"}),
+                  flush=True)
+        out[k] = res
+    summary = {
+        f"x{k}": {
+            "batch_s": round(v["clusters_batch"], 2),
+            "incremental_s": round(v["clusters_incremental"], 2),
+            "incremental_wins": v["clusters_incremental"] < v["clusters_batch"],
+        }
+        for k, v in out.items()
+    }
+    print(json.dumps({"clusters_crossover": summary}))
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "clusters":
+        clusters_crossover(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
+        return
     max_k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     from updating_datasets_data_engineering_spark.operators import dedup as D

@@ -278,3 +278,22 @@ def test_dsir_targets_score_higher(spark, sf_dir):
     n = out.count()
     sel = out.where("selected").count()
     assert abs(sel - 0.2 * n) <= max(2, 0.02 * n)
+
+
+def test_jsd_hashed_rank_agreement(spark, sf_dir):
+    """VERDICT r5 item 5: the hashed-vocab JSD (sources x 2^k grid,
+    vocab-independent) must preserve the ORDERING of the most-divergent
+    sources vs the exact variant — the property mixture design consumes.
+    Floor-asserted: >= 3 of the exact top-5 appear in the hashed top-5,
+    and the single most-divergent source agrees."""
+    exact = {
+        r.source: r.jsd for r in registry.sources_jsd_divergence(spark, sf_dir).collect()
+    }
+    hashed = {
+        r.source: r.jsd for r in registry.sources_jsd_hashed(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(hashed)
+    top_e = sorted(exact, key=exact.get, reverse=True)[:5]
+    top_h = sorted(hashed, key=hashed.get, reverse=True)[:5]
+    assert len(set(top_e) & set(top_h)) >= 3, (top_e, top_h)
+    assert top_e[0] == top_h[0]

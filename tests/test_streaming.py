@@ -796,3 +796,113 @@ def test_sig_edges_state_compaction(spark, tmp_path):
     assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(
         want.select(*cols), cols
     )
+
+
+def test_streaming_ann_index_maintenance(spark, tmp_path):
+    """VERDICT r5 item 6 — streaming twin of knn_ann_ivf_incremental:
+    three embedding micro-batches maintain the frozen-centroid IVF cell
+    index; after EVERY prefix, top-k over the stored index equals the
+    full-index recompute on the streamed prefix (per-vector assignment
+    is deterministic given the frozen quantizer, so append == rebuild
+    bit-identically).  Then a tombstone batch retracts a vector from
+    both stores, and compaction preserves the result."""
+    from updating_datasets_data_engineering_spark.operators import (
+        maintenance as MNT,
+        similarity as SIM,
+    )
+
+    src = str(tmp_path / "ann_src")
+    vectors_path = str(tmp_path / "ann_vectors")
+    cells_path = str(tmp_path / "ann_cells")
+    cents_path = str(tmp_path / "ann_centroids")
+    ckpt = str(tmp_path / "ann_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # batch 0 must hold the 16 smallest ids so the frozen quantizer
+    # matches the batch query's deterministic id < 16 seeding
+    batches = [
+        emb.where(F.col("vec_id") < 16).unionByName(
+            emb.where((F.col("vec_id") >= 16) & (F.col("vec_id") % 3 == 0))
+        ),
+        emb.where((F.col("vec_id") >= 16) & (F.col("vec_id") % 3 == 1)),
+        emb.where((F.col("vec_id") >= 16) & (F.col("vec_id") % 3 == 2)),
+    ]
+    queries = emb.where(F.col("vec_id") < 5)
+    topk_cols = ["query_id", "neighbor_id", "cos_sim", "rank"]
+
+    def run_increment(batch_df):
+        batch_df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                SP.maintain_ann_index_each_batch(vectors_path, cells_path, cents_path)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+
+    def stored_topk():
+        cents = spark.read.parquet(cents_path)
+        cells = spark.read.parquet(cells_path).select("vec_id", "embedding", "cell")
+        corpus = spark.read.parquet(vectors_path).select("vec_id", "embedding")
+        return SIM.ivf_ann_topk(
+            corpus, queries, k=5, n_cells=16, n_probe=4,
+            centroids=cents, cells=cells,
+        )
+
+    streamed = None
+    for b in batches:
+        run_increment(b)
+        streamed = b if streamed is None else streamed.unionByName(b)
+        cents = spark.read.parquet(cents_path)
+        want = SIM.ivf_ann_topk(
+            streamed, queries, k=5, n_cells=16, n_probe=4, centroids=cents
+        )
+        assert _sorted_rows(stored_topk(), topk_cols) == _sorted_rows(
+            want.select(*topk_cols), topk_cols
+        )
+
+    # frozen quantizer == the batch query's deterministic seeding
+    cents = spark.read.parquet(cents_path)
+    assert sorted(r.cid for r in cents.collect()) == list(range(16))
+
+    # tombstone: delete one archived vector via a CDC batch
+    victim = 17
+    tomb = spark.createDataFrame([(victim, [0.0] * 64, "delete")],
+                                 "vec_id long, embedding array<double>, op string")
+    tomb.write.mode("append").parquet(src + "_cdc")
+    stream = spark.readStream.schema(tomb.schema).parquet(src + "_cdc")
+    q = (
+        stream.writeStream.foreachBatch(
+            SP.maintain_ann_index_each_batch(
+                vectors_path, cells_path, cents_path, op_col="op"
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ann_ckpt_cdc"))
+        .trigger(availableNow=True)
+        .outputMode("update")
+        .start()
+    )
+    q.awaitTermination()
+    assert (
+        spark.read.parquet(cells_path).where(F.col("vec_id") == victim).count() == 0
+    )
+    assert (
+        spark.read.parquet(vectors_path).where(F.col("vec_id") == victim).count() == 0
+    )
+    post_delete = _sorted_rows(stored_topk(), topk_cols)
+    survivors = streamed.where(F.col("vec_id") != victim)
+    want = SIM.ivf_ann_topk(
+        survivors, queries, k=5, n_cells=16, n_probe=4, centroids=cents
+    )
+    assert post_delete == _sorted_rows(want.select(*topk_cols), topk_cols)
+
+    # compaction folds the per-batch partitions, result unchanged
+    before, after = MNT.compact_batch_index(spark, cells_path)
+    assert after <= before
+    assert _sorted_rows(stored_topk(), topk_cols) == post_delete

@@ -4653,6 +4653,114 @@ GROUP BY source, ts
 """
 
 
+def sources_jsd_hashed(spark, sf_dir, k_bits: int = 10):
+    """Per-source JSD over a HASHED-vocab projection (VERDICT r5
+    item 5 — the scale path ``sources_jsd_divergence``'s docstring
+    names): every term is projected to one of 2^k_bits md5 buckets
+    BEFORE the source-vs-complement comparison, so the evaluation grid
+    is sources × 2^k — VOCAB-INDEPENDENT — instead of sources × V.
+    This is feature hashing (Weinberger et al., ICML 2009, public)
+    applied to the divergence estimate: collisions merge term masses,
+    which perturbs but preserves the ordering of strongly-divergent
+    sources (rank agreement vs the exact variant floor-asserted in
+    tests/test_curation.py).
+
+    Plan shape: the same single (source, term) aggregate as the exact
+    variant, immediately re-keyed to (source, bucket) — one map-side
+    projection, no extra corpus pass; the grid crossJoin is bounded by
+    2^k occupied buckets (unoccupied buckets contribute 0 to both KL
+    sums — p = 0 and q = 0 terms are skipped on both engines — so
+    restricting the grid to occupied buckets is result-identical).
+    Hash = the repo's standard cross-engine md5 fold (15 hex chars →
+    BIGINT, mod 2^k), replayed verbatim in the oracle.  Same explicit
+    NULL guard for the single-source degenerate case as the exact
+    variant."""
+    from .caching import tracked_persist
+    from .functions.text import words
+
+    n_buckets = 1 << k_bits
+    docs = _td(spark, sf_dir)
+    toks = docs.select("source", F.explode(words(F.col("text"))).alias("term"))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    ).alias("bucket")
+    c_sb = (
+        toks.select("source", bucket)
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    c_sb = tracked_persist(c_sb)
+    vocabb = c_sb.groupBy("bucket").agg(F.sum("c").cast("long").alias("ct"))
+    srct = c_sb.groupBy("source").agg(F.sum("c").cast("long").alias("ts"))
+    tot = srct.agg(F.sum("ts").cast("long").alias("tt"))
+    grid = srct.crossJoin(vocabb)
+    j = (
+        grid.join(c_sb, ["source", "bucket"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("c").cast("double") / F.col("ts").cast("double")
+    q = (F.col("ct") - F.col("c")).cast("double") / (
+        F.col("tt") - F.col("ts")
+    ).cast("double")
+    m = (p + q) / F.lit(2.0)
+    return (
+        j.groupBy("source", "ts")
+        .agg(
+            F.sum(F.when(F.col("c") > 0, p * F.log(p / m)).otherwise(0.0)).alias("_kp"),
+            F.sum(
+                F.when(F.col("ct") - F.col("c") > 0, q * F.log(q / m)).otherwise(0.0)
+            ).alias("_kq"),
+            F.first("tt").alias("_tt"),
+        )
+        .select(
+            "source",
+            F.col("ts").alias("n_tokens"),
+            F.when(
+                F.col("ts") < F.col("_tt"),
+                F.round(0.5 * F.col("_kp") + 0.5 * F.col("_kq"), 6),
+            ).alias("jsd"),
+        )
+    )
+
+
+_ORACLE_JSD_HASHED = f"""
+WITH toks AS (
+    SELECT source, unnest({OE.WORDS}) AS term FROM documents
+),
+bucketed AS (
+    SELECT source,
+           (('0x' || substr(md5(term), 1, 15))::BIGINT % 1024 + 1024) % 1024 AS bucket
+    FROM toks
+),
+c_sb AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS c FROM bucketed GROUP BY source, bucket),
+vocabb AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS ct FROM c_sb GROUP BY bucket),
+srct AS (SELECT source, CAST(sum(c) AS BIGINT) AS ts FROM c_sb GROUP BY source),
+tot AS (SELECT CAST(sum(ts) AS BIGINT) AS tt FROM srct),
+grid AS (
+    SELECT s.source, s.ts, v.bucket, v.ct, coalesce(x.c, 0) AS c, tot.tt
+    FROM srct s CROSS JOIN vocabb v
+    LEFT JOIN c_sb x ON x.source = s.source AND x.bucket = v.bucket
+    CROSS JOIN tot
+),
+terms AS (
+    SELECT source, ts, tt,
+           CAST(c AS DOUBLE) / CAST(ts AS DOUBLE) AS p,
+           CAST(ct - c AS DOUBLE) / CAST(tt - ts AS DOUBLE) AS q,
+           c, ct
+    FROM grid
+)
+SELECT source, ts AS n_tokens,
+       CASE WHEN ts < max(tt) THEN
+       round(0.5 * sum(CASE WHEN c > 0 THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END)
+             + 0.5 * sum(CASE WHEN ct - c > 0 THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END),
+             6) END AS jsd
+FROM terms
+GROUP BY source, ts
+"""
+
+
 def users_pagerank(spark, sf_dir):
     """PageRank over the SIGNIFICANT user co-occurrence graph (3
     synchronous rounds, damping 0.85) — the host-graph ranking pattern
@@ -5667,6 +5775,7 @@ SPECS: list[QuerySpec] = [
         _ORACLE_SIG_EDGES_INCR,
     ),
     QuerySpec("sources_jsd_divergence", sources_jsd_divergence, _ORACLE_JSD),
+    QuerySpec("sources_jsd_hashed", sources_jsd_hashed, _ORACLE_JSD_HASHED),
     QuerySpec("users_communities", users_communities, _ORACLE_COMMUNITIES),
     QuerySpec(
         "users_pagerank_personalized", users_pagerank_personalized, _ORACLE_PPR
