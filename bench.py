@@ -179,6 +179,10 @@ HEADLINE = [
     "docs_bigram_logprob",
     "users_sig_edges_incremental",
     "sources_jsd_divergence",
+    # r6: vocab-independent JSD projection (VERDICT r5 item 5) +
+    # privacy-curation gate
+    "sources_jsd_hashed",
+    "events_k_anonymity",
     "users_communities",
     "users_pagerank_personalized",
     "incremental_type_quantiles",
@@ -212,8 +216,15 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("updating-datasets-bench")
     qs = queries()
+    # SPARK_GRAFT_BENCH_QUERIES: comma-separated subset override (the
+    # sf1.0 top-20 run, VERDICT r5 item 3); SPARK_GRAFT_BENCH_OUT:
+    # detail-file override so BENCH_SF1.json can live beside
+    # BENCH_FULL.json without clobbering it.
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    headline = subset.split(",") if subset else HEADLINE
+    out_file = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
 
-    force(qs[HEADLINE[0]](spark, sf_dir))  # warmup: JVM + codegen + IO path
+    force(qs[headline[0]](spark, sf_dir))  # warmup: JVM + codegen + IO path
     force(qs["multimodal_features"](spark, sf_dir))  # warmup: Python workers (Arrow path)
     # warmup: first driver-local createDataFrame in a session pays ~4s
     # of Py4J/serialization init; absorb it so the first lexicon/plane
@@ -237,7 +248,7 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     shuffle_mb: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         best = float("inf")
         r0, w0 = shuffle_totals(spark)
         for _ in range(runs):
@@ -263,7 +274,7 @@ def main() -> None:
     # Full per-query detail: one JSON line (the documented contract) plus
     # a repo-root file so per-query numbers survive any log truncation.
     print(json.dumps(payload, separators=(",", ":")))
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), out_file), "w") as f:
         json.dump(payload, f, indent=1)
     # The driver records only the last ~2000 chars of stdout and parses a
     # JSON line out of it; with 130 queries the full line is ~3.9k chars,
@@ -278,7 +289,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {},
         "n_queries": len(timings),
-        "detail": "BENCH_FULL.json",
+        "detail": out_file,
         "sf": payload["sf"],
     }
     for name, sec in slowest:

@@ -297,3 +297,36 @@ def test_jsd_hashed_rank_agreement(spark, sf_dir):
     top_h = sorted(hashed, key=hashed.get, reverse=True)[:5]
     assert len(set(top_e) & set(top_h)) >= 3, (top_e, top_h)
     assert top_e[0] == top_h[0]
+
+
+def test_k_anonymity_ladder_and_suppression(spark):
+    """k_anonymity_levels picks the FINEST level whose class holds >= k
+    rows and marks rows unsatisfiable at the coarsest level for
+    suppression (anon_level NULL) — the property the fixture query
+    can't exercise (its month classes are always >= k)."""
+    from updating_datasets_data_engineering_spark.operators import curation as CUR
+
+    rows = [(i, 1) for i in range(5)] + [(5, 2), (6, 4)]
+    df = spark.createDataFrame(rows, "row_id long, v long")
+    out = CUR.k_anonymity_levels(
+        df,
+        [("fine", F.col("v").cast("string")),
+         ("coarse", (F.col("v") % 2 == 0).cast("string"))],
+        k=5,
+    )
+    got = {r.row_id: (r.anon_level, r.class_size) for r in out.collect()}
+    assert len(got) == 7
+    for i in range(5):
+        assert got[i] == ("fine", 5)  # the v=1 class satisfies k at fine
+    # v=2 and v=4: fine classes of 1, coarse (even) class of 2 < k
+    assert got[5] == (None, None)
+    assert got[6] == (None, None)
+
+
+def test_events_k_anonymity_every_row_classified(spark, sf_dir):
+    out = registry.events_k_anonymity(spark, sf_dir)
+    n = registry._t(spark, sf_dir, "events").count()
+    assert out.count() == n
+    # the ladder must be monotone: finer level implies bigger-or-equal
+    # class sizes as it coarsens, so class_size >= k wherever classified
+    assert out.where("anon_level IS NOT NULL AND class_size < 5").count() == 0

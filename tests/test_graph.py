@@ -221,7 +221,8 @@ def test_sig_edges_incremental_scans_state_not_archive_pairs(spark, sf_dir):
     from updating_datasets_data_engineering_spark.plans.audit import formatted_plan
 
     plan = formatted_plan(registry.users_sig_edges_incremental(spark, sf_dir))
-    for kind in ("graph_pair_counts", "graph_user_counts", "graph_hours"):
+    # r6: per-user state became per-(user, month) for the epoch-local lift
+    for kind in ("graph_pair_counts", "graph_user_month_counts", "graph_hours"):
         assert f"graft_idx_{kind}" in plan, f"{kind} state must be scanned"
 
 
@@ -338,3 +339,44 @@ def test_users_cooccurrence_guard_preserves_oracle(spark, sf_dir):
     tripped = users_cooccurrence(spark, sf_dir, bucket_cap=3, n_salts=4)
     key = lambda df: sorted(map(tuple, df.collect()))
     assert key(bare) == key(tripped)
+
+
+def test_sig_edges_epoch_local_lift_scale_invariant(spark, monkeypatch, tmp_path):
+    """r6: lift must be computed against the EPOCH-LOCAL independence
+    expectation.  Construction: in January, users 1 and 2 share exactly
+    their within-month independence expectation (4x5/10 windows, shared
+    2 -> lift 1.0: NOT significant); February adds 100 windows of
+    unrelated activity.  The old global formula would score the pair
+    2*110/(4*5) = 11 and call it significant purely because history
+    grew — the densification measured at sf1.0 (11.0M edges vs 1.18M
+    calibrated, users_triangles 555 s vs 15.8 s)."""
+    from updating_datasets_data_engineering_spark import registry as R
+
+    rows = []
+    # January: 10 hourly windows 00..09 on day 1; user 1 in 4, user 2 in
+    # 5, overlapping in exactly 2; filler user 9 makes windows count
+    for h in range(10):
+        rows.append((900 + h, f"2024-01-01 {h:02d}:30:00", 9))
+    for h in (0, 1, 2, 3):
+        rows.append((100 + h, f"2024-01-01 {h:02d}:10:00", 1))
+    for h in (2, 3, 5, 6, 7):
+        rows.append((200 + h, f"2024-01-01 {h:02d}:20:00", 2))
+    # February: 100 windows of unrelated users (inflates global W only)
+    for i in range(100):
+        rows.append((300 + i, f"2024-02-{1 + i // 24:02d} {i % 24:02d}:00:00", 50 + i))
+    ev = spark.createDataFrame(
+        [(eid, ts, u) for eid, ts, u in rows], "event_id long, ts string, user_id long"
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id")
+
+    import unittest.mock as mock
+
+    with mock.patch.object(R, "_t", lambda s, d, t: ev):
+        edges = R._significant_edges(spark, "ignored", min_shared=2)
+        got = edges.where(
+            (F.col("user_a") == 1) & (F.col("user_b") == 2)
+        ).collect()
+    assert got == [], (
+        "pair (1,2) shares exactly its January independence expectation "
+        "(epoch lift 1.0) — only the corpus-length-inflated global "
+        "formula would call it significant"
+    )

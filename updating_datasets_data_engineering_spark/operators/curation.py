@@ -15,7 +15,7 @@ length, never corpus size.  No UDFs, no driver participation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
@@ -84,4 +84,70 @@ def strip_against(
             ),
             " ",
         ).alias("clean_text"),
+    )
+
+
+def k_anonymity_levels(
+    df: DataFrame,
+    qi_exprs: list[tuple[str, Column]],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity via a GENERALIZATION LADDER (Sweeney, IJUFKS 2002,
+    public): ``qi_exprs`` is an ordered list of (level_name, key expr)
+    from finest to coarsest quasi-identifier granularity (e.g. hour →
+    day → month).  Each row is assigned the FINEST level at which its
+    equivalence class holds >= ``k`` rows; rows whose class is still
+    < k at the coarsest level are marked for SUPPRESSION (level NULL)
+    — the release discipline privacy-curated training corpora apply
+    before events/logs enter a training mix.
+
+    Plan shape — ONE corpus pass: the corpus is aggregated once at the
+    finest granularity; every coarser level's class sizes are
+    RE-AGGREGATED from the finest sketch (each coarser key must be a
+    function of the finest key — the ladder property), so levels cost
+    sketch-sized shuffles, not corpus passes.  The per-row pick is a
+    broadcast join of the (finest key → level) decision table back
+    onto the corpus: the corpus shuffles zero times.
+    """
+    names = [n for n, _ in qi_exprs]
+    finest = qi_exprs[0][1].alias(f"_q_{names[0]}")
+    keyed = df.select(
+        "*",
+        *[e.alias(f"_q_{n}") for n, e in qi_exprs],
+    )
+    # one corpus aggregate at the finest level, carrying the coarser
+    # keys along (they are functions of the finest class by the ladder
+    # property, so min() inside the class is exact)
+    sketch = keyed.groupBy(f"_q_{names[0]}").agg(
+        F.count(F.lit(1)).cast("long").alias("_n0"),
+        *[F.min(f"_q_{n}").alias(f"_q_{n}") for n in names[1:]],
+    )
+    sizes = {names[0]: sketch.select(f"_q_{names[0]}", F.col("_n0").alias("_n"))}
+    for n in names[1:]:
+        sizes[n] = sketch.groupBy(f"_q_{n}").agg(
+            F.sum("_n0").cast("long").alias("_n")
+        )
+    # decision table: finest key -> chosen level + class size
+    dec = sketch.select(f"_q_{names[0]}", *[f"_q_{n}" for n in names[1:]], "_n0")
+    for n in names[1:]:
+        dec = dec.join(
+            sizes[n].withColumnRenamed("_n", f"_n_{n}"), f"_q_{n}"
+        )
+    level = F.lit(None).cast("string")
+    size = F.lit(None).cast("long")
+    # coarsest-first fold so the finest satisfying level wins last
+    for n in reversed(names[1:]):
+        level = F.when(F.col(f"_n_{n}") >= k, F.lit(n)).otherwise(level)
+        size = F.when(F.col(f"_n_{n}") >= k, F.col(f"_n_{n}")).otherwise(size)
+    level = F.when(F.col("_n0") >= k, F.lit(names[0])).otherwise(level)
+    size = F.when(F.col("_n0") >= k, F.col("_n0")).otherwise(size)
+    dec = dec.select(
+        f"_q_{names[0]}",
+        level.alias("anon_level"),
+        size.alias("class_size"),
+    )
+    return keyed.join(F.broadcast(dec), f"_q_{names[0]}").select(
+        *df.columns,
+        "anon_level",
+        "class_size",
     )

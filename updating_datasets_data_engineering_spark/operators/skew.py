@@ -113,6 +113,16 @@ def guarded_self_pairs(
     wc = list(window_cols)
     out_a = f"{id_col}_a"
     out_b = f"{id_col}_b"
+    # Pin the self-join's partitioning EXPLICITLY (measured at sf1.0,
+    # BENCH_SF1): AQE sizes post-shuffle partitions from map-output
+    # bytes, but a self-join's output is quadratic in per-window
+    # occupancy, so AQE coalesced the (small) distinct output to 6
+    # partitions and each task exploded to ~200M pair rows — 6 of 32
+    # cores busy.  A user-specified repartition on the window key is
+    # not coalescible by AQE, satisfies the join's distribution
+    # requirement (no extra exchange), and restores full parallelism.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(n_part, *wc)
 
     def _project(a: DataFrame, b: DataFrame, pred) -> DataFrame:
         return a.join(b, pred).select(

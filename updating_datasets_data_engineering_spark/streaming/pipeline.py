@@ -946,31 +946,45 @@ def maintain_sig_edges_each_batch(
                 .agg(F.sum("sh").cast("long").alias("shared_windows"))
                 .where(F.col("shared_windows") >= min_shared)
             )
+            # EPOCH-LOCAL lift (see registry._significant_edges: the
+            # global expectation densifies with history length) — the
+            # (hour, user) active state already encodes the month, so
+            # the per-month aggregates are derived, not new state
             full_active = state_active.unionByName(new_active)
-            peru = full_active.groupBy("user_id").agg(
-                F.count(F.lit(1)).cast("long").alias("nu")
-            )
-            nw = full_active.agg(F.countDistinct("hour").alias("nw"))
-            edges = (
-                merged.join(
-                    peru.withColumnRenamed("user_id", "user_a").withColumnRenamed(
+            peru_m = full_active.groupBy(
+                "user_id", F.substring("hour", 1, 7).alias("month")
+            ).agg(F.count(F.lit(1)).cast("long").alias("nu"))
+            wm = full_active.groupBy(
+                F.substring("hour", 1, 7).alias("month")
+            ).agg(F.countDistinct("hour").alias("wm"))
+            ex = (
+                merged.select("user_a", "user_b")
+                .join(
+                    peru_m.withColumnRenamed("user_id", "user_a").withColumnRenamed(
                         "nu", "na"
                     ),
                     "user_a",
                 )
                 .join(
-                    peru.withColumnRenamed("user_id", "user_b").withColumnRenamed(
+                    peru_m.withColumnRenamed("user_id", "user_b").withColumnRenamed(
                         "nu", "nb"
                     ),
-                    "user_b",
+                    ["user_b", "month"],
                 )
-                .crossJoin(F.broadcast(nw))
+                .join(F.broadcast(wm), "month")
+                .groupBy("user_a", "user_b")
+                .agg(
+                    F.sum(
+                        (F.col("na") * F.col("nb")).cast("double") / F.col("wm")
+                    ).alias("ex")
+                )
+            )
+            edges = (
+                merged.join(ex, ["user_a", "user_b"])
                 .withColumn(
                     "lift",
                     F.round(
-                        (F.col("shared_windows") * F.col("nw"))
-                        / (F.col("na") * F.col("nb")).cast("double"),
-                        6,
+                        F.col("shared_windows").cast("double") / F.col("ex"), 6
                     ),
                 )
                 .where(F.col("lift") >= min_lift)
