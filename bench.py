@@ -183,6 +183,7 @@ HEADLINE = [
     # privacy-curation gate
     "sources_jsd_hashed",
     "events_k_anonymity",
+    "events_zorder_layout",
     "users_communities",
     "users_pagerank_personalized",
     "incremental_type_quantiles",

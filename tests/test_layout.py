@@ -1,0 +1,71 @@
+"""Z-order layout clustering: zonemap correctness and the pruning
+advantage over a single-dimension layout (the claim the operator
+exists to deliver)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from updating_datasets_data_engineering_spark.operators import layout as L
+from updating_datasets_data_engineering_spark.tables import load_table
+
+
+def test_zonemap_covers_all_rows(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_millis("ts").alias("x"), F.col("value").alias("y")
+    )
+    zm = L.zorder_shards(ev, "x", "y")
+    rows = zm.agg(F.sum("n_rows")).first()[0]
+    assert rows == ev.count()
+    # bounding boxes are consistent
+    bad = zm.where((F.col("x_min") > F.col("x_max")) | (F.col("y_min") > F.col("y_max")))
+    assert bad.count() == 0
+    assert zm.count() <= 64  # 2^shard_bits
+
+
+def test_zorder_prunes_value_predicates_linear_layout_cannot(spark, sf_dir):
+    """For a 2-D range predicate, the Morton layout's zonemap must
+    touch a strictly smaller row fraction than a pure time-ordered
+    layout of the same shard count (whose shards all span the full
+    value range, so a value predicate cannot prune them)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_millis("ts").alias("x"), F.col("value").alias("y")
+    )
+    s = ev.agg(
+        F.min("x").alias("xmin"), F.max("x").alias("xmax"),
+        F.min("y").alias("ymin"), F.max("y").alias("ymax"),
+        F.expr("percentile(y, 0.9)").alias("y90"),
+    ).first()
+    # middle 20% time window AND top value decile (true percentile —
+    # the fixture's value column is heavy-tailed, so a min/max-scaled
+    # band can be empty)
+    x_lo = s.xmin + 0.4 * (s.xmax - s.xmin)
+    x_hi = s.xmin + 0.6 * (s.xmax - s.xmin)
+    y_lo = s.y90
+    y_hi = s.ymax
+
+    zm = L.zorder_shards(ev, "x", "y")
+    z_stats = L.pruning_fraction(zm, x_lo, x_hi, y_lo, y_hi).first()
+
+    # linear layout: 64 equal-width time shards (what partitioning by
+    # date alone gives); same zonemap machinery
+    linear = ev.withColumn(
+        "shard",
+        F.least(
+            F.lit(63),
+            F.floor((F.col("x") - F.lit(s.xmin)) / F.lit((s.xmax - s.xmin) / 64.0 + 1e-9)).cast("long"),
+        ),
+    ).groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"), F.max("y").alias("y_max"),
+    )
+    l_stats = L.pruning_fraction(linear, x_lo, x_hi, y_lo, y_hi).first()
+
+    # both layouts must prune the time dimension...
+    assert z_stats.rows_touched < z_stats.rows_total
+    assert l_stats.rows_touched < l_stats.rows_total
+    # ...but only Z-order also prunes on value
+    assert z_stats.rows_touched < l_stats.rows_touched, (
+        f"zorder touched {z_stats.rows_touched} vs linear {l_stats.rows_touched}"
+    )

@@ -1,89 +1,125 @@
-"""Z-order (Morton-curve) clustering layout.
+"""Multi-dimensional layout clustering (Z-order) for data skipping.
 
-Partition pruning handles ONE leading dimension; real archives get
-filtered on several (``user_id`` AND ``ts``, ``lang`` AND ``quality``).
-A linear sort makes the first column's min/max file statistics tight and
-leaves every other column's full range in every file — so only one
-predicate ever skips data.  Interleaving the bits of the sort keys
-(the Morton / Z-value, the technique behind Delta Lake's ``OPTIMIZE
-ZORDER BY``) makes every participating column's per-file range narrow,
-so min/max pruning works on ANY of them.
+At 100 TB the fastest scan is the one that never reads the file: engines
+prune files whose column min/max zonemaps cannot satisfy the predicate
+(parquet row-group stats, the classic zonemap design from Moerkotte,
+"Small Materialized Aggregates", VLDB 1998).  A layout sorted on ONE
+column prunes only predicates on that column; interleaving the bits of
+two (or more) quantized columns — the Z-order / Morton curve (Morton,
+IBM 1966; popularized for analytic layouts by Oracle/Db2 zone-map
+clustering and open-source lakehouse OPTIMIZE ZORDER implementations) —
+keeps every shard's bounding box small in ALL interleaved dimensions, so
+range predicates on any of them prune.
 
-Columns are coded by QUANTILE, not min-max: a skewed column (the
-events ``value`` is exponential-ish) crams most rows into a sliver of
-the min-max scale and the curve degenerates to a linear sort on the
-other dimension.  Quantile boundaries come from ``approxQuantile``
-(the Greenwald-Khanna sketch — the same sampling pass a range rewrite
-of a 100 TB table already runs for its partition bounds); the
-code-assignment is a sum of boolean comparisons against the broadcast
-boundary literals — monotone, one flat codegen expression, no UDF.
+Everything here is deterministic integer arithmetic on quantized ranks,
+so a SQL oracle replays it bit-for-bit, and the shard assignment is
+MAP-SIDE (shard = the z-value's top bits): laying out the data needs a
+single write pass partitioned by shard — no global sort, unlike
+sort-based clustering.  (Top-bit sharding IS a coarse radix sort by z;
+the within-shard order is left free, which is exactly what zonemap
+pruning needs — bounding boxes, not total order.)
 """
 
 from __future__ import annotations
 
-from collections.abc import Sequence
-
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def quantile_code(col, boundaries: Sequence[float]):
-    """Map a numeric column to its quantile-bucket index: the count of
-    boundaries at or below the value — Σ (v >= b_i), a flat sum of
-    boolean casts (monotone by construction, duplicate boundaries from
-    heavy skew merely skip codes)."""
-    code = F.lit(0).cast("long")
-    for b in boundaries:
-        code = code + (col.cast("double") >= F.lit(float(b))).cast("long")
-    return code
+def quantize(col: Column, cmin: Column, cmax: Column, bits: int) -> Column:
+    """Map a numeric column into [0, 2^bits) by linear min/max scaling
+    — the fixed-width quantization both engines replay exactly (the
+    double arithmetic is identical: one subtraction, one division, one
+    multiply, one floor).  Degenerate constant columns (cmax == cmin)
+    quantize to 0."""
+    top = (1 << bits) - 1
+    norm = (col.cast("double") - cmin) / F.when(cmax > cmin, cmax - cmin).otherwise(
+        F.lit(1.0)
+    )
+    q = F.floor(norm * F.lit(float(top))).cast("long")
+    return F.least(F.greatest(q, F.lit(0)), F.lit(top))
 
 
-def zorder_value(codes: Sequence, bits: int):
-    """Interleave the bits of non-negative int code columns into one
-    Morton value: dimension d contributes bit i at position
-    ``i * n_dims + d`` — adjacent z-values differ little in every
-    dimension at once."""
-    n = len(codes)
+def z_interleave(bx: Column, by: Column, bits: int) -> Column:
+    """Morton interleave of two ``bits``-wide integers: bit i of x
+    lands at position 2i, bit i of y at 2i+1.  Built as a plain integer
+    expression (shifts and adds) so DuckDB replays it verbatim —
+    2·bits ≤ 62 keeps everything in a BIGINT."""
+    assert 2 * bits <= 62
     z = F.lit(0).cast("long")
-    for d, col in enumerate(codes):
-        for i in range(bits):
-            bit = F.shiftright(col, i).bitwiseAND(F.lit(1).cast("long"))
-            z = z.bitwiseOR(F.shiftleft(bit, i * n + d))
+    for i in range(bits):
+        z = (
+            z
+            + (F.shiftleft(F.shiftright(bx, i).bitwiseAND(F.lit(1)), 2 * i))
+            + (F.shiftleft(F.shiftright(by, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
     return z
 
 
-def zorder_write(
+def zorder_shards(
     df: DataFrame,
-    path: str,
-    cols: Sequence[str],
-    code_bits: int = 6,
-    n_files: int = 16,
-    boundaries: dict[str, Sequence[float]] | None = None,
-    relative_error: float = 0.01,
-) -> None:
-    """Rewrite ``df`` as ``n_files`` parquet files clustered on the
-    Z-curve over ``cols``: quantile-code each column to ``code_bits``
-    bits, range-partition + sort by the interleaved value, so every
-    file covers a small hyper-rectangle in QUANTILE space and min/max
-    footer stats prune scans filtered on ANY of the z-ordered columns.
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    shard_bits: int = 6,
+) -> DataFrame:
+    """Assign every row a Z-order shard over (x_col, y_col) and return
+    the per-shard ZONEMAP: (shard, n_rows, min/max of both dims).
 
-    ``boundaries`` (col -> ascending cut points) skips the sketch pass
-    — at production scale the table statistics already know them.
+    Plan shape: one tiny global min/max aggregate (4 values, broadcast),
+    then the quantize + interleave + top-bits shard assignment is pure
+    map-side expression work, and ONE hash aggregate on the shard key
+    (2^shard_bits groups) builds the zonemap.  The corpus never sorts
+    and never shuffles on data keys — writing the physical layout is
+    ``df.withColumn("shard", ...).write.partitionBy("shard")``, a single
+    pass.  Contrast with sort-based clustering, which pays a global
+    range exchange; top-bit Morton sharding trades perfect curve order
+    within shards (irrelevant to zonemap pruning) for zero sort.
     """
-    cols = list(cols)
-    n_buckets = 1 << code_bits
-    if boundaries is None:
-        probs = [i / n_buckets for i in range(1, n_buckets)]
-        boundaries = {
-            c: df.stat.approxQuantile(c, probs, relative_error) for c in cols
-        }
-    codes = [quantile_code(F.col(c), boundaries[c]) for c in cols]
-    z = zorder_value(codes, code_bits)
-    (
-        df.withColumn("_z", z)
-        .repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("overwrite")
-        .parquet(path)
+    stats = df.agg(
+        F.min(x_col).cast("double").alias("_xmin"),
+        F.max(x_col).cast("double").alias("_xmax"),
+        F.min(y_col).cast("double").alias("_ymin"),
+        F.max(y_col).cast("double").alias("_ymax"),
+    )
+    bx = quantize(F.col(x_col), F.col("_xmin"), F.col("_xmax"), bits)
+    by = quantize(F.col(y_col), F.col("_ymin"), F.col("_ymax"), bits)
+    z = z_interleave(bx, by, bits)
+    shard = F.shiftright(z, 2 * bits - shard_bits).alias("shard")
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .select(F.col(x_col), F.col(y_col), shard)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(x_col).alias("x_min"),
+            F.max(x_col).alias("x_max"),
+            F.min(y_col).alias("y_min"),
+            F.max(y_col).alias("y_max"),
+        )
+    )
+
+
+def pruning_fraction(
+    zonemap: DataFrame,
+    x_lo,
+    x_hi,
+    y_lo,
+    y_hi,
+) -> DataFrame:
+    """One-row frame (n_shards, n_touched, rows_total, rows_touched):
+    how much of the layout a 2-D range predicate must read, by zonemap
+    intersection — the skip metric a lakehouse table format computes
+    from file stats.  Runs on the sketch-sized zonemap only."""
+    hit = (
+        (F.col("x_max") >= F.lit(x_lo))
+        & (F.col("x_min") <= F.lit(x_hi))
+        & (F.col("y_max") >= F.lit(y_lo))
+        & (F.col("y_min") <= F.lit(y_hi))
+    )
+    return zonemap.agg(
+        F.count(F.lit(1)).cast("long").alias("n_shards"),
+        F.sum(hit.cast("int")).cast("long").alias("n_touched"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+        F.sum(F.when(hit, F.col("n_rows")).otherwise(0)).cast("long").alias("rows_touched"),
     )

@@ -4268,6 +4268,64 @@ JOIN cm ON cm.event_type = e.event_type AND cm.qm = e.qm
 """
 
 
+def events_zorder_layout(spark, sf_dir, bits: int = 8, shard_bits: int = 6):
+    """Z-order (Morton-curve) layout clustering of the event log over
+    (time, value) with its per-shard ZONEMAP — the multi-dimensional
+    data-skipping layout (`operators/layout.py`: Morton 1966 curve over
+    min/max-quantized ranks; zonemaps per Moerkotte VLDB 1998).  A
+    time-sorted layout prunes only time predicates; the interleaved
+    layout keeps every shard's bounding box small in BOTH dimensions,
+    so value-range predicates prune too (measured in
+    tests/test_layout.py: the 2-D predicate touches strictly fewer
+    rows than under linear time sharding).
+
+    Plan shape: one 4-value min/max aggregate broadcast everywhere;
+    quantize + bit-interleave + top-bits shard assignment are pure
+    map-side integer expressions (NO global sort — top-bit Morton
+    sharding is a coarse radix partition, which is all zonemap pruning
+    needs); one hash aggregate on the 2^shard_bits shard key builds the
+    zonemap.  At 100 TB the same expression drives
+    ``write.partitionBy("shard")`` — a single-pass layout job, vs the
+    global range exchange sort-based clustering pays."""
+    from .operators import layout as L
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.unix_millis("ts").alias("x"), F.col("value").alias("y")
+    )
+    return L.zorder_shards(ev, "x", "y", bits=bits, shard_bits=shard_bits)
+
+
+def _oracle_zorder_sql(bits: int = 8, shard_bits: int = 6) -> str:
+    top = (1 << bits) - 1
+    inter = " + ".join(
+        f"(((bx >> {i}) & 1) << {2 * i}) + (((by >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    return f"""
+WITH stats AS (
+    SELECT CAST(min(epoch_ms(ts)) AS DOUBLE) AS xmin,
+           CAST(max(epoch_ms(ts)) AS DOUBLE) AS xmax,
+           CAST(min(value) AS DOUBLE) AS ymin,
+           CAST(max(value) AS DOUBLE) AS ymax
+    FROM events
+),
+q AS (
+    SELECT epoch_ms(ts) AS x, value AS y,
+           least(greatest(CAST(floor(((CAST(epoch_ms(ts) AS DOUBLE) - xmin)
+               / (CASE WHEN xmax > xmin THEN xmax - xmin ELSE 1.0 END)) * {top}.0) AS BIGINT), 0), {top}) AS bx,
+           least(greatest(CAST(floor(((CAST(value AS DOUBLE) - ymin)
+               / (CASE WHEN ymax > ymin THEN ymax - ymin ELSE 1.0 END)) * {top}.0) AS BIGINT), 0), {top}) AS by
+    FROM events CROSS JOIN stats
+)
+SELECT ({inter}) >> {2 * bits - shard_bits} AS shard,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(x) AS x_min, max(x) AS x_max,
+       min(y) AS y_min, max(y) AS y_max
+FROM q
+GROUP BY shard
+"""
+
+
 def events_rfm_segments(spark, sf_dir):
     """RFM user segmentation (recency / frequency / monetary), the
     classic behavioral-cohort operator: per-user last-activity age,
@@ -5882,6 +5940,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("sources_jsd_divergence", sources_jsd_divergence, _ORACLE_JSD),
     QuerySpec("sources_jsd_hashed", sources_jsd_hashed, _ORACLE_JSD_HASHED),
     QuerySpec("events_k_anonymity", events_k_anonymity, _ORACLE_K_ANONYMITY),
+    QuerySpec("events_zorder_layout", events_zorder_layout, _oracle_zorder_sql()),
     QuerySpec("users_communities", users_communities, _ORACLE_COMMUNITIES),
     QuerySpec(
         "users_pagerank_personalized", users_pagerank_personalized, _ORACLE_PPR
