@@ -184,6 +184,7 @@ HEADLINE = [
     "sources_jsd_hashed",
     "events_k_anonymity",
     "events_zorder_layout",
+    "events_zorder_incremental",
     "users_communities",
     "users_pagerank_personalized",
     "incremental_type_quantiles",

@@ -69,3 +69,26 @@ def test_zorder_prunes_value_predicates_linear_layout_cannot(spark, sf_dir):
     assert z_stats.rows_touched < l_stats.rows_touched, (
         f"zorder touched {z_stats.rows_touched} vs linear {l_stats.rows_touched}"
     )
+
+
+def test_zonemap_merge_equals_frozen_bounds_recompute(spark, sf_dir):
+    """state ⊕ delta must equal the zonemap of the union under the
+    archive-frozen bounds — the mergeability contract the incremental
+    query relies on (and the clamp keeps out-of-bounds delta values in
+    the edge bins, so the merge is exact even when the delta extends
+    the value range)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_millis("ts").alias("x"),
+        F.col("value").alias("y"),
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+    )
+    maxd = ev.agg(F.max("d").alias("m")).first().m
+    archive = ev.where(F.col("d") != maxd).select("x", "y")
+    delta = ev.where(F.col("d") == maxd).select("x", "y")
+    bounds = L.zorder_bounds(archive, "x", "y")
+    merged = L.merge_zonemaps(
+        L.zorder_shards(archive, "x", "y", bounds=bounds),
+        L.zorder_shards(delta, "x", "y", bounds=bounds),
+    )
+    full = L.zorder_shards(archive.unionByName(delta), "x", "y", bounds=bounds)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))

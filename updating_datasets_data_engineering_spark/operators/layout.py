@@ -56,12 +56,29 @@ def z_interleave(bx: Column, by: Column, bits: int) -> Column:
     return z
 
 
+def zorder_bounds(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """One-row (_xmin, _xmax, _ymin, _ymax) quantization-bounds frame.
+    In an incremental layout these bounds are FROZEN state (layout
+    metadata, like IVF centroids): re-deriving them per delta would
+    re-bin the whole archive.  Out-of-range delta values clamp to the
+    edge bins (the quantize least/greatest), which only widens edge
+    shards' boxes — pruning stays correct, and a re-layout recalibrates
+    when drift makes edge shards fat."""
+    return df.agg(
+        F.min(x_col).cast("double").alias("_xmin"),
+        F.max(x_col).cast("double").alias("_xmax"),
+        F.min(y_col).cast("double").alias("_ymin"),
+        F.max(y_col).cast("double").alias("_ymax"),
+    )
+
+
 def zorder_shards(
     df: DataFrame,
     x_col: str,
     y_col: str,
     bits: int = 8,
     shard_bits: int = 6,
+    bounds: DataFrame | None = None,
 ) -> DataFrame:
     """Assign every row a Z-order shard over (x_col, y_col) and return
     the per-shard ZONEMAP: (shard, n_rows, min/max of both dims).
@@ -76,12 +93,7 @@ def zorder_shards(
     range exchange; top-bit Morton sharding trades perfect curve order
     within shards (irrelevant to zonemap pruning) for zero sort.
     """
-    stats = df.agg(
-        F.min(x_col).cast("double").alias("_xmin"),
-        F.max(x_col).cast("double").alias("_xmax"),
-        F.min(y_col).cast("double").alias("_ymin"),
-        F.max(y_col).cast("double").alias("_ymax"),
-    )
+    stats = bounds if bounds is not None else zorder_bounds(df, x_col, y_col)
     bx = quantize(F.col(x_col), F.col("_xmin"), F.col("_xmax"), bits)
     by = quantize(F.col(y_col), F.col("_ymin"), F.col("_ymax"), bits)
     z = z_interleave(bx, by, bits)
@@ -122,4 +134,22 @@ def pruning_fraction(
         F.sum(hit.cast("int")).cast("long").alias("n_touched"),
         F.sum("n_rows").cast("long").alias("rows_total"),
         F.sum(F.when(hit, F.col("n_rows")).otherwise(0)).cast("long").alias("rows_touched"),
+    )
+
+
+def merge_zonemaps(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Zonemap state ⊕ delta: per-shard counts add, bounding boxes
+    union (min of mins / max of maxs) — the zonemap is a mergeable
+    sketch, so appending a day of data updates the layout metadata
+    with one sketch-sized aggregate, never a re-layout."""
+    return (
+        state.unionByName(delta)
+        .groupBy("shard")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.min("x_min").alias("x_min"),
+            F.max("x_max").alias("x_max"),
+            F.min("y_min").alias("y_min"),
+            F.max("y_max").alias("y_max"),
+        )
     )

@@ -4295,6 +4295,85 @@ def events_zorder_layout(spark, sf_dir, bits: int = 8, shard_bits: int = 6):
     return L.zorder_shards(ev, "x", "y", bits=bits, shard_bits=shard_bits)
 
 
+def events_zorder_incremental(spark, sf_dir, bits: int = 8, shard_bits: int = 6):
+    """Incremental zonemap maintenance — the archive ∪ daily-delta loop
+    applied to the LAYOUT tier: the last calendar day of events is
+    "today's delta"; the archive's quantization BOUNDS and zonemap are
+    PERSISTED state (bounds are layout metadata, frozen like the IVF
+    centroids — re-deriving them per delta would re-bin the archive),
+    and only the delta is quantized and interleaved per call.  Delta
+    values outside the frozen bounds clamp to the edge bins, which only
+    widens edge shards' boxes — pruning stays correct under drift, and
+    a re-layout recalibrates when edge shards grow fat.
+
+    The zonemap is a MERGEABLE sketch (counts add, boxes union), so the
+    day's update is one sketch-sized aggregate — never a re-layout.
+    Oracle = the zonemap of the full corpus under the archive-frozen
+    bounds, which state ⊕ delta must reproduce exactly."""
+    from .operators import layout as L
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.unix_millis("ts").alias("x"),
+        F.col("value").alias("y"),
+        F.date_format("ts", "yyyy-MM-dd").alias("_day"),
+    )
+    maxd = ev.agg(F.max("_day").alias("_maxd"))
+    ev = ev.crossJoin(F.broadcast(maxd))
+    archive = ev.where(F.col("_day") != F.col("_maxd")).select("x", "y")
+    delta = ev.where(F.col("_day") == F.col("_maxd")).select("x", "y")
+    bounds = _persisted_index(
+        spark, sf_dir, "zorder_bounds", lambda: L.zorder_bounds(archive, "x", "y")
+    )
+    state = _persisted_index(
+        spark,
+        sf_dir,
+        "zorder_zonemap",
+        lambda: L.zorder_shards(
+            archive, "x", "y", bits=bits, shard_bits=shard_bits,
+            bounds=L.zorder_bounds(archive, "x", "y"),
+        ),
+    )
+    d_zm = L.zorder_shards(
+        delta, "x", "y", bits=bits, shard_bits=shard_bits, bounds=bounds
+    )
+    return L.merge_zonemaps(state, d_zm)
+
+
+def _oracle_zorder_incr_sql(bits: int = 8, shard_bits: int = 6) -> str:
+    """Full-corpus zonemap under ARCHIVE-frozen quantization bounds."""
+    top = (1 << bits) - 1
+    inter = " + ".join(
+        f"(((bx >> {i}) & 1) << {2 * i}) + (((by >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    return f"""
+WITH maxd AS (
+    SELECT max(strftime(ts, '%Y-%m-%d')) AS d FROM events
+),
+stats AS (
+    SELECT CAST(min(epoch_ms(ts)) AS DOUBLE) AS xmin,
+           CAST(max(epoch_ms(ts)) AS DOUBLE) AS xmax,
+           CAST(min(value) AS DOUBLE) AS ymin,
+           CAST(max(value) AS DOUBLE) AS ymax
+    FROM events CROSS JOIN maxd WHERE strftime(ts, '%Y-%m-%d') <> maxd.d
+),
+q AS (
+    SELECT epoch_ms(ts) AS x, value AS y,
+           least(greatest(CAST(floor(((CAST(epoch_ms(ts) AS DOUBLE) - xmin)
+               / (CASE WHEN xmax > xmin THEN xmax - xmin ELSE 1.0 END)) * {top}.0) AS BIGINT), 0), {top}) AS bx,
+           least(greatest(CAST(floor(((CAST(value AS DOUBLE) - ymin)
+               / (CASE WHEN ymax > ymin THEN ymax - ymin ELSE 1.0 END)) * {top}.0) AS BIGINT), 0), {top}) AS by
+    FROM events CROSS JOIN stats
+)
+SELECT ({inter}) >> {2 * bits - shard_bits} AS shard,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(x) AS x_min, max(x) AS x_max,
+       min(y) AS y_min, max(y) AS y_max
+FROM q
+GROUP BY shard
+"""
+
+
 def _oracle_zorder_sql(bits: int = 8, shard_bits: int = 6) -> str:
     top = (1 << bits) - 1
     inter = " + ".join(
@@ -5941,6 +6020,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("sources_jsd_hashed", sources_jsd_hashed, _ORACLE_JSD_HASHED),
     QuerySpec("events_k_anonymity", events_k_anonymity, _ORACLE_K_ANONYMITY),
     QuerySpec("events_zorder_layout", events_zorder_layout, _oracle_zorder_sql()),
+    QuerySpec(
+        "events_zorder_incremental", events_zorder_incremental, _oracle_zorder_incr_sql()
+    ),
     QuerySpec("users_communities", users_communities, _ORACLE_COMMUNITIES),
     QuerySpec(
         "users_pagerank_personalized", users_pagerank_personalized, _ORACLE_PPR
