@@ -906,3 +906,52 @@ def test_streaming_ann_index_maintenance(spark, tmp_path):
     before, after = MNT.compact_batch_index(spark, cells_path)
     assert after <= before
     assert _sorted_rows(stored_topk(), topk_cols) == post_delete
+
+
+def test_streaming_zonemap_maintenance(spark, tmp_path):
+    """Streaming twin of events_zorder_incremental: three event
+    micro-batches maintain the frozen-bounds zonemap; after every
+    prefix the merged live zonemap equals the frozen-bounds full
+    recompute on everything streamed so far."""
+    from updating_datasets_data_engineering_spark.operators import layout as L
+
+    src = str(tmp_path / "zm_src")
+    zm_path = str(tmp_path / "zm_state")
+    bounds_path = str(tmp_path / "zm_bounds")
+    ckpt = str(tmp_path / "zm_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_millis("ts").alias("x"), F.col("value").alias("y"),
+        (F.col("event_id") % 3).alias("b"),
+    )
+    batches = [ev.where(F.col("b") == i).drop("b") for i in range(3)]
+
+    def run_increment(batch_df):
+        batch_df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                SP.maintain_zonemap_each_batch(zm_path, bounds_path)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+
+    streamed = None
+    for b in batches:
+        run_increment(b)
+        streamed = b if streamed is None else streamed.unionByName(b)
+        bounds = spark.read.parquet(bounds_path)
+        live = SP.read_live_zonemap(spark, zm_path)
+        want = L.zorder_shards(streamed, "x", "y", bounds=bounds)
+        assert sorted(map(tuple, live.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+    # bounds froze at batch 0 and never moved
+    b0 = L.zorder_bounds(batches[0], "x", "y").first()
+    assert spark.read.parquet(bounds_path).first() == b0

@@ -634,6 +634,78 @@ def maintain_ann_index_each_batch(
     return _apply
 
 
+def maintain_zonemap_each_batch(
+    zonemap_path: str,
+    bounds_path: str,
+    x_col: str = "x",
+    y_col: str = "y",
+    bits: int = 8,
+    shard_bits: int = 6,
+):
+    """foreachBatch function: STREAMING Z-order zonemap maintenance —
+    the streaming twin of ``registry.events_zorder_incremental``,
+    completing the maintenance family (LSH bands, boilerplate spans,
+    sig edges, ANN cells, histogram, and now layout metadata all share
+    the same state ⊕ delta discipline).
+
+    Quantization bounds FREEZE from the first batch (layout metadata —
+    the same first-batch-freeze the ANN maintainer applies to its
+    centroids); later batches quantize against them, with out-of-range
+    values clamping to edge bins (pruning stays correct, re-layout
+    recalibrates).  The zonemap itself is ``_batch_id``-partitioned
+    per-batch sketches — idempotent under crash replay — and readers
+    merge with ``layout.merge_zonemaps`` (counts add, boxes union), so
+    the live zonemap equals the frozen-bounds full recompute after any
+    prefix of batches (asserted in tests/test_streaming.py).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators import layout as L
+
+    def _swap_overwrite(df: DataFrame, path: str) -> None:
+        spark = df.sparkSession
+        staging = fs.staging_path(path)
+        fs.delete(spark, staging)
+        df.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).count()
+        fs.swap_directory(spark, staging, path)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        for p in (zonemap_path, bounds_path):
+            fs.recover_swap(spark, p)
+        if batch_df.isEmpty():
+            return
+        with caching.scope():
+            if not fs.has_parquet(spark, bounds_path):
+                _swap_overwrite(
+                    L.zorder_bounds(batch_df, x_col, y_col), bounds_path
+                )
+            bounds = spark.read.parquet(bounds_path)
+            zm = L.zorder_shards(
+                batch_df, x_col, y_col, bits=bits, shard_bits=shard_bits,
+                bounds=bounds,
+            )
+            (
+                zm.withColumn("_batch_id", F.lit(batch_id).cast("long"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(zonemap_path)
+            )
+
+    return _apply
+
+
+def read_live_zonemap(spark: SparkSession, zonemap_path: str) -> DataFrame:
+    """Merge the per-batch zonemap sketches into the live zonemap."""
+    from ..operators import layout as L
+
+    raw = spark.read.parquet(zonemap_path).drop("_batch_id")
+    empty = raw.limit(0)
+    return L.merge_zonemaps(raw, empty)
+
+
 def maintain_boilerplate_each_batch(
     docs_path: str,
     span_index_path: str,
