@@ -185,6 +185,7 @@ HEADLINE = [
     "events_k_anonymity",
     "events_zorder_layout",
     "events_zorder_incremental",
+    "docs_split_leakage_safe",
     "users_communities",
     "users_pagerank_personalized",
     "incremental_type_quantiles",

@@ -330,3 +330,41 @@ def test_events_k_anonymity_every_row_classified(spark, sf_dir):
     # the ladder must be monotone: finer level implies bigger-or-equal
     # class sizes as it coarsens, so class_size >= k wherever classified
     assert out.where("anon_level IS NOT NULL AND class_size < 5").count() == 0
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark, sf_dir):
+    """The property the query exists for: ZERO near-dup pairs straddle
+    splits under the cluster-anchored assignment, while the naive
+    per-doc hash split leaves straddlers on the same corpus (the eval
+    contamination it permits)."""
+    from updating_datasets_data_engineering_spark.operators import dedup as D
+
+    docs = registry._td(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=16, band_size=4, threshold=0.4, ngram=3
+    ).select("id_a", "id_b")
+
+    def straddlers(split_df):
+        s = split_df.select("doc_id", "split")
+        return (
+            pairs.join(s.withColumnRenamed("doc_id", "id_a")
+                        .withColumnRenamed("split", "sa"), "id_a")
+            .join(s.withColumnRenamed("doc_id", "id_b")
+                   .withColumnRenamed("split", "sb"), "id_b")
+            .where(F.col("sa") != F.col("sb"))
+            .count()
+        )
+
+    naive = straddlers(registry.docs_split_assign(spark, sf_dir))
+    safe = straddlers(registry.docs_split_leakage_safe(spark, sf_dir))
+    assert safe == 0, f"{safe} near-dup pairs straddle splits"
+    assert naive > 0, "fixture should exhibit naive-split leakage"
+    # split proportions stay roughly 90/5/5 (anchoring moves whole
+    # clusters, not the marginal distribution)
+    dist = {
+        r.split: r.n
+        for r in registry.docs_split_leakage_safe(spark, sf_dir)
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = sum(dist.values())
+    assert dist["train"] / n > 0.8

@@ -3372,6 +3372,76 @@ FROM (
 """
 
 
+def docs_split_leakage_safe(spark, sf_dir):
+    """LEAKAGE-SAFE train/val/test assignment: every member of a
+    near-dup cluster inherits the split of the cluster's min-id anchor,
+    so near-duplicates can never straddle train and test — the eval
+    contamination a per-doc hash split permits (Lee et al. 2021,
+    arXiv:2107.06499, measured benchmark inflation from exactly this
+    leak; group-aware splitting is the standard guard).  Singleton docs
+    hash their own id; the bucket arithmetic is ``docs_split_assign``'s
+    md5 discipline, applied to the ANCHOR id.
+
+    Plan shape: the cluster-label fixpoint is the SAME persisted state
+    the delete-retraction query probes (``cluster_labels_full`` — one
+    state serves dedup, retraction, and splitting); assigning splits is
+    a single left join of docs against that label store (paired docs
+    only, so the store is much smaller than the corpus and AQE
+    broadcasts it at graded scale) followed by map-side hashing.  The
+    leakage guarantee is tested: zero near-dup pairs straddle splits
+    here, while the naive split leaves straddlers
+    (tests/test_curation.py)."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def _labels():
+        return D.connected_components(
+            D.minhash_lsh_pairs(
+                docs, num_hashes=16, band_size=4, threshold=0.4, ngram=3
+            )
+        )
+
+    labels = _persisted_index(spark, sf_dir, "cluster_labels_full", _labels)
+    anchored = docs.join(
+        labels.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).withColumn("anchor", F.coalesce("cluster_id", "doc_id"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("anchor").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return anchored.select("doc_id", "lang", "source", split.alias("split"))
+
+
+def _oracle_split_safe_sql() -> str:
+    """Recursive cluster closure + anchor-hash split (same CTE surgery
+    as the delete-retraction oracle)."""
+    inner = _oracle_clusters_sql().strip()
+    assert inner.startswith("WITH RECURSIVE ")
+    body = inner[len("WITH RECURSIVE ") :]
+    head, _ = body.rsplit("SELECT doc_id, cluster_id FROM labels", 1)
+    head = head.strip().rstrip(",")
+    return f"""
+WITH RECURSIVE {head},
+anchored AS (
+    SELECT d.doc_id, d.lang, d.source,
+           coalesce(l.cluster_id, d.doc_id) AS anchor
+    FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+)
+SELECT doc_id, lang, source,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+FROM (
+    SELECT doc_id, lang, source,
+           ('0x' || substr(md5(CAST(anchor AS STRING)), 1, 8))::BIGINT % 100 AS b
+    FROM anchored
+)
+"""
+
+
 def embedding_quantize(spark, sf_dir):
     """Int8 embedding quantization — the storage/serving compression
     step (4x smaller vectors, the standard trick before shipping
@@ -5973,6 +6043,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("merge_scd2_asof", merge_scd2_asof, _ORACLE_SCD2_ASOF),
     QuerySpec("embedding_quantize", embedding_quantize, _ORACLE_QUANTIZE),
     QuerySpec("docs_split_assign", docs_split_assign, _ORACLE_SPLIT),
+    QuerySpec(
+        "docs_split_leakage_safe", docs_split_leakage_safe, _oracle_split_safe_sql()
+    ),
     # r5 block 4: cross-document curation (docs_boilerplate_strip holds
     # the r5 rotation slot inside the driver window above)
     QuerySpec("docs_source_cap", docs_source_cap, _ORACLE_SOURCE_CAP),
