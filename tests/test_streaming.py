@@ -955,3 +955,61 @@ def test_streaming_zonemap_maintenance(spark, tmp_path):
     # bounds froze at batch 0 and never moved
     b0 = L.zorder_bounds(batches[0], "x", "y").first()
     assert spark.read.parquet(bounds_path).first() == b0
+
+
+def test_streaming_k_anonymity_maintenance(spark, tmp_path):
+    """Streaming twin of events_k_anonymity: three event micro-batches
+    maintain the anonymity view; after every prefix the view equals the
+    batch query recomputed on everything streamed so far — including
+    ARCHIVED events whose released granularity refines when a later
+    batch pushes their class over k (the monotone-refinement property
+    the maintainer exploits)."""
+    from updating_datasets_data_engineering_spark import registry as R
+
+    src = str(tmp_path / "ka_src")
+    events_path = str(tmp_path / "ka_archive")
+    view_path = str(tmp_path / "ka_view")
+    ckpt = str(tmp_path / "ka_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    batches = [ev.where(F.col("event_id") % 3 == i) for i in range(3)]
+
+    def run_increment(batch_df):
+        batch_df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                SP.maintain_k_anonymity_each_batch(events_path, view_path)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+
+    import unittest.mock as mock
+
+    streamed = None
+    cols = ["event_id", "anon_level", "class_size"]
+    refined_seen = False
+    prev_levels = {}
+    for b in batches:
+        run_increment(b)
+        streamed = b if streamed is None else streamed.unionByName(b)
+        with mock.patch.object(R, "_t", lambda s, d, t: streamed):
+            want = R.events_k_anonymity(spark, "ignored")
+        got = spark.read.parquet(view_path)
+        assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(
+            want.select(*cols), cols
+        )
+        levels = {r.event_id: r.anon_level for r in got.collect()}
+        order = {None: 0, "month": 1, "day": 2, "hour": 3}
+        for eid, lvl in prev_levels.items():
+            assert order[levels[eid]] >= order[lvl], "level coarsened"
+            if order[levels[eid]] > order[lvl]:
+                refined_seen = True
+        prev_levels = levels
+    assert refined_seen, "fixture batches should refine some archived event"

@@ -634,6 +634,118 @@ def maintain_ann_index_each_batch(
     return _apply
 
 
+def maintain_k_anonymity_each_batch(
+    events_path: str,
+    view_path: str,
+    k: int = 5,
+):
+    """foreachBatch function: STREAMING k-anonymity view maintenance —
+    the streaming twin of ``registry.events_k_anonymity``.
+
+    Monotonicity is what makes this incremental: class sizes only GROW
+    under inserts, so an event's released granularity only REFINES
+    (month → day → hour) — it never coarsens, and suppression can only
+    end.  A batch can therefore change the level of exactly (a) its own
+    events and (b) archived events whose hour-class gained members this
+    batch or whose day/month-class crossed the k threshold.  The
+    maintainer re-classifies batch ∪ affected and upserts those rows
+    into the view; untouched classes are never re-read.
+
+    State: the keyed event archive (``_batch_id``-partitioned
+    idempotent appends; the quasi-identifier keys are stored so the
+    archive is never re-derived from timestamps) and the materialized
+    (event_id, anon_level, class_size) view, swapped crash-safely.
+    After ANY prefix of batches the view equals the batch query on
+    everything streamed so far (asserted in tests/test_streaming.py).
+    Deletes are out of scope by design: retraction breaks the
+    monotonicity this maintainer exploits — a tombstoned corpus needs
+    the batch recompute (cheap: it is one corpus pass).
+    """
+    from pyspark.sql import functions as F
+
+    def _keys(df: DataFrame) -> DataFrame:
+        return df.select(
+            "event_id",
+            F.concat_ws(
+                "|", F.col("event_type"),
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH"),
+            ).alias("qh"),
+            F.concat_ws(
+                "|", F.col("event_type"),
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"),
+            ).alias("qd"),
+            F.concat_ws(
+                "|", F.col("event_type"),
+                F.date_format(F.date_trunc("month", "ts"), "yyyy-MM"),
+            ).alias("qm"),
+        )
+
+    def _classify(keyed: DataFrame, full: DataFrame) -> DataFrame:
+        ch = full.groupBy("qh").agg(F.count(F.lit(1)).cast("long").alias("nh"))
+        cd = full.groupBy("qd").agg(F.count(F.lit(1)).cast("long").alias("nd"))
+        cm = full.groupBy("qm").agg(F.count(F.lit(1)).cast("long").alias("nm"))
+        j = keyed.join(ch, "qh").join(cd, "qd").join(cm, "qm")
+        level = (
+            F.when(F.col("nh") >= k, F.lit("hour"))
+            .when(F.col("nd") >= k, F.lit("day"))
+            .when(F.col("nm") >= k, F.lit("month"))
+        )
+        size = (
+            F.when(F.col("nh") >= k, F.col("nh"))
+            .when(F.col("nd") >= k, F.col("nd"))
+            .when(F.col("nm") >= k, F.col("nm"))
+        )
+        return j.select(
+            "event_id", level.alias("anon_level"), size.alias("class_size")
+        )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        for p in (events_path, view_path):
+            fs.recover_swap(spark, p)
+        if batch_df.isEmpty():
+            return
+        with caching.scope():
+            b_keyed = caching.tracked_persist(_keys(batch_df))
+            if fs.has_parquet(spark, events_path):
+                archive = (
+                    spark.read.parquet(events_path)
+                    .where(F.col("_batch_id") < batch_id)
+                    .select("event_id", "qh", "qd", "qm")
+                )
+            else:
+                archive = spark.createDataFrame([], b_keyed.schema)
+            archive = caching.tracked_persist(archive)
+            full = archive.unionByName(b_keyed)
+            # affected archive rows: any event sharing a MONTH class with
+            # the batch (month ⊇ day ⊇ hour by the ladder property, so
+            # the month key over-approximates every class whose count —
+            # and therefore any member's level — could have changed)
+            touched_m = b_keyed.select("qm").distinct()
+            affected = archive.join(F.broadcast(touched_m), "qm", "left_semi")
+            out = _classify(affected.unionByName(b_keyed), full)
+            # upsert into the view
+            if fs.has_parquet(spark, view_path):
+                prev = spark.read.parquet(view_path)
+                merged = prev.join(out, "event_id", "left_anti").unionByName(out)
+            else:
+                merged = out
+            staging = fs.staging_path(view_path)
+            fs.delete(spark, staging)
+            merged.write.mode("overwrite").parquet(staging)
+            spark.read.parquet(staging).count()
+            fs.swap_directory(spark, staging, view_path)
+            (
+                b_keyed.withColumn("_batch_id", F.lit(batch_id).cast("long"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(events_path)
+            )
+
+    return _apply
+
+
 def maintain_zonemap_each_batch(
     zonemap_path: str,
     bounds_path: str,
