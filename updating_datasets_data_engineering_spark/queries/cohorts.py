@@ -1,0 +1,659 @@
+"""Cohort/sequence analytics, profiling, dataset splits, quantization.
+
+Split from registry.py (VERDICT r6 item 7); bodies unchanged, see git history
+for provenance.  registry.py re-exports every name here.
+"""
+
+from __future__ import annotations
+
+# noqa: F401 — shared prelude; not every module uses every import
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import caching
+from .. import oracles_ext as OE
+from ..operators import analytics as A
+from ..operators import dedup as D
+from ..operators import ingest as I
+from ..operators import merge as M
+from ..operators import multimodal as MM
+from ..operators import similarity as SIM
+from ..sources import shot_synth as SS
+from ..tables import load_table
+from ._base import (
+    D,
+    F,
+    M,
+    OE,
+    _t,
+)
+from .parity import (
+    merge_scd2_customers,
+)
+from .extension import (
+    _oracle_clusters_sql,
+)
+from .indexes import (
+    _persisted_index,
+)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 continuation: cohort/sequence analytics, corpus curation
+# ---------------------------------------------------------------------------
+
+
+def events_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention matrix — (first-event week, week offset)
+    -> distinct active users.  The cohort week is a MIN window over the
+    user partition (one key shuffle; no join back), then one aggregate:
+    at 100 TB this is two exchanges total, both on uniform keys."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    cohort = F.date_trunc("week", F.min("ts").over(w))
+    week = F.date_trunc("week", F.col("ts"))
+    return (
+        ev.select("user_id", cohort.alias("_cw"), week.alias("_ew"))
+        .groupBy(
+            F.col("_cw").cast("date").alias("cohort_week"),
+            (F.datediff(F.col("_ew"), F.col("_cw")) / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+# date_trunc('week') starts Monday in both engines; both weeks are
+# truncated, so the day diff is an exact multiple of 7 and the double
+# division is exact.
+_ORACLE_RETENTION = """
+WITH c AS (
+    SELECT user_id, date_trunc('week', min(ts)) AS cw FROM events GROUP BY user_id
+)
+SELECT CAST(c.cw AS DATE) AS cohort_week,
+       CAST(date_diff('day', c.cw, date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_offset,
+       count(DISTINCT e.user_id) AS active_users
+FROM events e JOIN c ON e.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event-type
+    sequences: LAG pairs -> counts -> row-normalized probabilities.
+    The lag window and the pair aggregate are the only shuffles; the
+    normalizing sum runs over the tiny (type x type) count frame."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = steps.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wp), 6
+        ).alias("p_transition"),
+    )
+
+
+_ORACLE_MARKOV = """
+WITH steps AS (
+    SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+           event_type AS next_type
+    FROM events
+), c AS (
+    SELECT prev_type, next_type, count(*) AS n_transitions
+    FROM steps WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_transitions,
+       round(n_transitions / CAST(sum(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p_transition
+FROM c
+"""
+
+
+def events_anomaly_hours(spark, sf_dir):
+    """Hourly event-count anomalies per type: |z| > 2 against the
+    type's own distribution.  Variance is computed from EXACT integer
+    moment sums (sum n, sum n², count) so the z-scores are identical
+    doubles on any engine and any partitioning — stddev aggregates
+    (Welford vs two-pass) differ in the last bit and would make the
+    |z|>2 cut nondeterministic at the boundary."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    wt = Window.partitionBy("event_type")
+    s1 = F.sum("n_events").over(wt).cast("double")
+    m2 = F.sum(F.col("n_events") * F.col("n_events")).over(wt).cast("double")
+    cnt = F.count(F.lit(1)).over(wt).cast("double")
+    mean = s1 / cnt
+    var = (m2 - s1 * s1 / cnt) / cnt
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    return (
+        hourly.withColumn("_z", z)
+        .where(F.abs(F.col("_z")) > 2.0)
+        .select(
+            "event_type",
+            "hour",
+            "n_events",
+            F.round(F.col("_z"), 6).alias("zscore"),
+        )
+    )
+
+
+_ORACLE_ANOMALY = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events
+    FROM events GROUP BY 1, 2
+), stats AS (
+    SELECT event_type, hour, n_events,
+           CAST(sum(n_events) OVER w AS DOUBLE) AS s1,
+           CAST(sum(n_events * n_events) OVER w AS DOUBLE) AS m2,
+           CAST(count(*) OVER w AS DOUBLE) AS cnt
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type)
+), z AS (
+    SELECT event_type, hour, n_events,
+           (n_events - s1 / cnt) / sqrt((m2 - s1 * s1 / cnt) / cnt) AS zv
+    FROM stats
+)
+SELECT event_type, hour, n_events, round(zv, 6) AS zscore
+FROM z WHERE abs(zv) > 2.0
+"""
+
+
+def embedding_norm_outliers(spark, sf_dir):
+    """Per-label L2-norm tail outliers (bottom/top 5% by rank).  The
+    cut is RANK-based on the rounded norm with vec_id tiebreak — the
+    same determinism discipline as docs_quality_filter; interpolated
+    percentile thresholds would be engine-dependent at the boundary.
+    k = ceil(n/20) uses /20.0 (exact when n is a multiple of 20),
+    never n*0.05 (decimal on one engine, double on the other)."""
+    from pyspark.sql import Window
+
+    from ..functions import vectors as V
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id", "label", F.round(V.norm(F.col("embedding")), 6).alias("l2_norm")
+    )
+    wl = Window.partitionBy("label").orderBy("l2_norm", "vec_id")
+    wn = Window.partitionBy("label")
+    return (
+        scored.withColumn("_rn", F.row_number().over(wl))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .withColumn("_k", F.ceil(F.col("_n") / 20.0))
+        .where((F.col("_rn") <= F.col("_k")) | (F.col("_rn") > F.col("_n") - F.col("_k")))
+        .select(
+            "vec_id",
+            "label",
+            "l2_norm",
+            F.when(F.col("_rn") <= F.col("_k"), F.lit("low"))
+            .otherwise(F.lit("high"))
+            .alias("tail"),
+        )
+    )
+
+
+def _oracle_norm_outliers_sql() -> str:
+    dot = OE._dot_sql("embedding", "embedding", 64)
+    return f"""
+WITH scored AS (
+    SELECT vec_id, label, round(sqrt({dot}), 6) AS l2_norm FROM embeddings
+), ranked AS (
+    SELECT vec_id, label, l2_norm,
+           ROW_NUMBER() OVER (PARTITION BY label ORDER BY l2_norm, vec_id) AS rn,
+           COUNT(*) OVER (PARTITION BY label) AS n,
+           CEIL(COUNT(*) OVER (PARTITION BY label) / 20.0) AS k
+    FROM scored
+)
+SELECT vec_id, label, l2_norm,
+       CASE WHEN rn <= k THEN 'low' ELSE 'high' END AS tail
+FROM ranked WHERE rn <= k OR rn > n - k
+"""
+
+
+def docs_mixture_rebalance(spark, sf_dir):
+    """Domain-mixture rebalancing (the DoReMi/Pile-weights primitive):
+    per-source keep rates that move the corpus toward target TOKEN
+    shares, applied as deterministic md5-bucket sampling.  The
+    per-source token summary is tiny at any corpus size — it broadcasts
+    back, so the pass over the corpus is map-only: one small aggregate
+    plus one broadcast join, no corpus shuffle."""
+    from ..functions.text import words
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(words(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    per_src = toks.groupBy("source").agg(F.sum("n_tokens").alias("_src_tokens"))
+    target = (
+        F.when(F.col("source") == "src0", F.lit(0.2))
+        .when(F.col("source") == "src1", F.lit(0.15))
+        .otherwise(F.lit(0.65 / 18.0))
+    )
+    # the corpus-wide total as a broadcast 1-row cross join (not an
+    # unpartitioned window, which plans a move-everything-to-one-task
+    # WindowExec — harmless on a 20-row frame but the wrong idiom)
+    total = per_src.agg(F.sum("_src_tokens").cast("double").alias("_total"))
+    rates = per_src.crossJoin(F.broadcast(total)).select(
+        "source",
+        F.least(
+            F.lit(1.0), target * F.col("_total") / F.col("_src_tokens")
+        ).alias("keep_rate"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    return (
+        toks.join(F.broadcast(rates), "source")
+        .withColumn("_b", bucket)
+        .where(F.col("_b") < F.col("keep_rate") * 10000.0)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.round(F.col("keep_rate"), 6).alias("keep_rate"),
+        )
+    )
+
+
+# 0.65e0/18.0e0: e-notation keeps DuckDB in DOUBLE (bare decimals are
+# DECIMAL and would diverge from Python's double literal arithmetic)
+_ORACLE_MIXTURE = f"""
+WITH toks AS (
+    SELECT doc_id, source, CAST(len({OE.WORDS}) AS BIGINT) AS n_tokens FROM documents
+), per_src AS (
+    SELECT source, sum(n_tokens) AS src_tokens FROM toks GROUP BY source
+), rates AS (
+    SELECT source,
+           least(1.0e0,
+                 (CASE WHEN source = 'src0' THEN 0.2e0
+                       WHEN source = 'src1' THEN 0.15e0
+                       ELSE (0.65e0 / 18.0e0) END)
+                 * CAST(sum(src_tokens) OVER () AS DOUBLE) / src_tokens) AS keep_rate
+    FROM per_src
+)
+SELECT t.doc_id, t.source, t.n_tokens, round(r.keep_rate, 6) AS keep_rate
+FROM toks t JOIN rates r ON t.source = r.source
+WHERE ('0x' || substr(md5(CAST(t.doc_id AS STRING)), 1, 8))::BIGINT % 10000
+      < r.keep_rate * 10000.0e0
+"""
+
+
+def docs_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle for training-data sharding: md5
+    order -> shard assignment + in-shard position.  The md5 key is
+    uniform, so the shard partitioning is balanced by construction and
+    the in-shard row_number is one skew-free shuffle (this is how a
+    100 TB corpus gets a reproducible dataloader order without a
+    global sort)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 8
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("_h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("_h"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+_ORACLE_SHUFFLE_SHARDS = """
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM (
+    SELECT doc_id, md5(CAST(doc_id AS STRING)) AS h,
+           CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT % 8 AS INT) AS shard
+    FROM documents
+)
+"""
+
+
+def orders_profile(spark, sf_dir):
+    """Column-profiling audit (nulls / distinct / min / max per column)
+    in ONE aggregate pass over the table, unpivoted to a row per
+    column — the data-quality primitive that precedes any pipeline
+    onboarding.  min/max surface as strings so one schema covers
+    heterogeneous column types (doubles excluded: their string forms
+    are engine-formatted)."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        # timestamp->string renderings are engine-formatted; profile the DATE
+        "o_orderdate", F.col("o_orderdate").cast("date")
+    )
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct, min_val, max_val)"
+    )
+
+
+def _oracle_profile_sql() -> str:
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"]
+    parts = [
+        f"""SELECT '{c}' AS col_name,
+               count(*) - count({c}) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS STRING) AS min_val,
+               CAST(max({c}) AS STRING) AS max_val
+        FROM (SELECT * REPLACE (CAST(o_orderdate AS DATE) AS o_orderdate) FROM orders)"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def merge_scd2_asof(spark, sf_dir):
+    """Time travel over the SCD2 dimension: reconstruct the customer
+    table AS OF 2019-06-15 — before the 2020 versions opened, so only
+    the keys that carry explicit history (%5==0) existed.  One filter
+    over the maintained SCD2 output (operators/merge.scd2_asof); at
+    scale the valid_from partitioning prunes the scan."""
+    return M.scd2_asof(merge_scd2_customers(spark, sf_dir), "2019-06-15").select(
+        "c_custkey", "acctbal", "segment", "valid_from", "valid_to"
+    )
+
+
+_ORACLE_SCD2_ASOF = """
+SELECT c_custkey, round(c_acctbal - 50, 2) AS acctbal, c_mktsegment AS segment,
+       DATE '2019-01-01' AS valid_from, DATE '2020-01-01' AS valid_to
+FROM customer WHERE c_custkey % 5 = 0
+"""
+
+
+def docs_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (90/5/5) via the md5
+    bucket of the doc id — reproducible across engines, runs, and
+    cluster sizes (unlike rand()-based splits, which change under
+    retries and repartitioning).  Map-only at any scale; downstream
+    jobs filter on the split column and the predicate pushes to the
+    scan."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("doc_id", "lang", "source", split.alias("split"))
+
+
+_ORACLE_SPLIT = """
+SELECT doc_id, lang, source,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+FROM (
+    SELECT doc_id, lang, source,
+           ('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT % 100 AS b
+    FROM documents
+)
+"""
+
+
+def docs_split_leakage_safe(spark, sf_dir):
+    """LEAKAGE-SAFE train/val/test assignment: every member of a
+    near-dup cluster inherits the split of the cluster's min-id anchor,
+    so near-duplicates can never straddle train and test — the eval
+    contamination a per-doc hash split permits (Lee et al. 2021,
+    arXiv:2107.06499, measured benchmark inflation from exactly this
+    leak; group-aware splitting is the standard guard).  Singleton docs
+    hash their own id; the bucket arithmetic is ``docs_split_assign``'s
+    md5 discipline, applied to the ANCHOR id.
+
+    Plan shape: the cluster-label fixpoint is the SAME persisted state
+    the delete-retraction query probes (``cluster_labels_full`` — one
+    state serves dedup, retraction, and splitting); assigning splits is
+    a single left join of docs against that label store (paired docs
+    only, so the store is much smaller than the corpus and AQE
+    broadcasts it at graded scale) followed by map-side hashing.  The
+    leakage guarantee is tested: zero near-dup pairs straddle splits
+    here, while the naive split leaves straddlers
+    (tests/test_curation.py)."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def _labels():
+        return D.connected_components(
+            D.minhash_lsh_pairs(
+                docs, num_hashes=16, band_size=4, threshold=0.4, ngram=3
+            )
+        )
+
+    labels = _persisted_index(spark, sf_dir, "cluster_labels_full", _labels)
+    anchored = docs.join(
+        labels.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).withColumn("anchor", F.coalesce("cluster_id", "doc_id"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("anchor").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return anchored.select("doc_id", "lang", "source", split.alias("split"))
+
+
+def _oracle_split_safe_sql() -> str:
+    """Recursive cluster closure + anchor-hash split (same CTE surgery
+    as the delete-retraction oracle)."""
+    inner = _oracle_clusters_sql().strip()
+    assert inner.startswith("WITH RECURSIVE ")
+    body = inner[len("WITH RECURSIVE ") :]
+    head, _ = body.rsplit("SELECT doc_id, cluster_id FROM labels", 1)
+    head = head.strip().rstrip(",")
+    return f"""
+WITH RECURSIVE {head},
+anchored AS (
+    SELECT d.doc_id, d.lang, d.source,
+           coalesce(l.cluster_id, d.doc_id) AS anchor
+    FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+)
+SELECT doc_id, lang, source,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+FROM (
+    SELECT doc_id, lang, source,
+           ('0x' || substr(md5(CAST(anchor AS STRING)), 1, 8))::BIGINT % 100 AS b
+    FROM anchored
+)
+"""
+
+
+def embedding_quantize(spark, sf_dir):
+    """Int8 embedding quantization — the storage/serving compression
+    step (4x smaller vectors, the standard trick before shipping
+    embeddings to an ANN index): per-dimension global [min, max] from
+    one stats pass, then code = round(255 * (x - min) / (max - min)).
+
+    Scale shape: the stats frame is 64 rows at ANY corpus size — it
+    broadcasts back, so the coding pass is map-only.  The stats pass
+    itself is posexplode + one hash-aggregate on the 64-value dim key.
+    Output is exploded (vec_id, dim, code) so the value hash compares
+    scalars, not engine-formatted array renderings; only vec_id < 50
+    is emitted to keep the gate result bounded while every vector still
+    feeds the stats.
+
+    Determinism: min/max of floats are exact (no summation); the
+    (x - min) / (max - min) arithmetic is written identically on both
+    sides, and a half-integer rounding boundary would need the ratio
+    to be exactly representable — guarded by the same round-before-
+    compare discipline as everywhere else (code compares as BIGINT).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    stats = flat.groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    return (
+        flat.join(F.broadcast(stats), "dim")
+        .where(F.col("vec_id") < 50)
+        .select(
+            "vec_id",
+            "dim",
+            F.round(
+                F.lit(255.0) * (F.col("x") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+            )
+            .cast("long")
+            .alias("code"),
+        )
+    )
+
+
+_ORACLE_QUANTIZE = """
+WITH flat AS (
+    SELECT vec_id, s['i'] - 1 AS dim, CAST(s['x'] AS DOUBLE) AS x
+    FROM (
+        SELECT vec_id,
+               unnest(list_transform(embedding, (x, i) -> {'x': x, 'i': i})) AS s
+        FROM embeddings
+    )
+), stats AS (
+    SELECT dim, min(x) AS lo, max(x) AS hi FROM flat GROUP BY dim
+)
+SELECT f.vec_id, f.dim,
+       CAST(round(255.0e0 * (f.x - s.lo) / (s.hi - s.lo)) AS BIGINT) AS code
+FROM flat f JOIN stats s ON f.dim = s.dim
+WHERE f.vec_id < 50
+"""
+
+
+def window_function_census(spark, sf_dir):
+    """Window-function surface in one query: ranking (row_number /
+    rank / dense_rank with real ties), distribution (percent_rank /
+    cume_dist — exact rationals from integer ranks, so cross-engine
+    deterministic), ntile, offset (lag/lead), and frame (first/last
+    over the full partition).  Partitioned by customer: bounded
+    per-customer sequences, uniform keys, one shuffle at any scale."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    wk = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    # ties on purpose: ranking by DATE (many orders share a date)
+    wd = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+    wdt = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate"))
+    full = wk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(wk).cast("long").alias("rn"),
+        F.rank().over(wdt).cast("long").alias("rnk"),
+        F.dense_rank().over(wdt).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(wdt), 6).alias("prank"),
+        F.round(F.cume_dist().over(wdt), 6).alias("cdist"),
+        F.ntile(4).over(wk).cast("long").alias("quartile"),
+        F.lag("o_totalprice").over(wk).alias("prev_price"),
+        F.lead("o_totalprice").over(wk).alias("next_price"),
+        F.first(F.col("o_orderdate").cast("date")).over(wd.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )).alias("first_date"),
+        F.last(F.col("o_orderdate").cast("date")).over(wd.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )).alias("last_date"),
+        F.count(F.lit(1)).over(full).alias("n_orders"),
+    )
+
+
+_ORACLE_WINDOW_CENSUS = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROW_NUMBER() OVER wk AS BIGINT) AS rn,
+       CAST(RANK() OVER wdt AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER wdt AS BIGINT) AS drnk,
+       round(PERCENT_RANK() OVER wdt, 6) AS prank,
+       round(CUME_DIST() OVER wdt, 6) AS cdist,
+       CAST(NTILE(4) OVER wk AS BIGINT) AS quartile,
+       LAG(o_totalprice) OVER wk AS prev_price,
+       LEAD(o_totalprice) OVER wk AS next_price,
+       FIRST_VALUE(CAST(o_orderdate AS DATE)) OVER wdf AS first_date,
+       LAST_VALUE(CAST(o_orderdate AS DATE)) OVER wdf AS last_date,
+       COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+FROM orders
+WINDOW wk  AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+       wdt AS (PARTITION BY o_custkey ORDER BY o_orderdate),
+       wdf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def events_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of event values per type (width 10):
+    the profile primitive for choosing partition/bucket boundaries.
+    One hash-aggregate on a bounded key space — the histogram of a
+    100 TB stream is the same few hundred groups."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 10.0).cast("long")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
+_ORACLE_HISTOGRAM = """
+SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+       count(*) AS n, round(min(value), 6) AS lo, round(max(value), 6) AS hi
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_user_count_approx(spark, sf_dir):
+    """HyperLogLog++ distinct-user sketch per event type — the
+    cardinality estimator that replaces exact countDistinct when the
+    key space no longer fits a hash-aggregate (billions of users at
+    100 TB; the sketch is KB-sized and map-side mergeable).
+
+    No SQL oracle: HLL implementations differ across engines by
+    construction, so the driver records the weaker rows-only check;
+    the accuracy bound (±5% vs exact at sf0.01) is pinned by
+    tests/test_edge_inputs.py::test_hll_within_rsd_of_exact instead.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
