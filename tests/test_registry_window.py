@@ -3,35 +3,42 @@
 Window policy history:
   * r3 froze the first 50 names (VERDICT r3 item 2) — churn just moves the
     blind spot.
-  * r4/r5 rotated exactly ONE slot per round (``dedup_incremental`` in at
-    r4, ``docs_boilerplate_strip`` in at r5).
-  * r5's VERDICT item 2 observed that at one slot per round the 62 specs
-    never driver-graded by end of r5 NEVER converge, and prescribed the
-    scheme implemented here: the 20 §2-parity specs are PINNED forever; the
-    other 30 slots rotate a deterministic FIVE-spec block per round.
+  * r4/r5 rotated exactly ONE slot per round.
+  * r6 rotated a FIVE-spec block (VERDICT r5 item 2) — but 5 new
+    specs/round cancelled the 5-spec drain, so the 62-spec blind spot
+    never shrank (VERDICT r6 "What's missing" 1).
+  * r7 (VERDICT r6 item 3): the rotation is a PENDING QUEUE drained TEN
+    specs per round, and specs added in round N enter the driver window
+    in round N ITSELF (strictly earlier than the prescribed N+1 — a new
+    spec is never part of the blind spot at all).  The 20 §2-parity
+    specs stay pinned forever; evictions pop the longest-resident
+    non-pinned member per incoming spec.
 
 Mechanics (all deterministic, no runtime state):
-  * ``ROTATION_BLOCKS`` chunks the never-driver-graded tail — in SPECS
-    order as of the r5 snapshot — into blocks of 5.  Round N (N >= 6)
-    swaps in block ``N - 6``.
-  * Evictions come from ``RESIDENCE_QUEUE`` front-first: the non-pinned
-    members of the r5 window in window order (longest-resident first),
-    followed by previously-rotated-in blocks in rotation order, so a spec
-    rotated in at round K leaves 6 rounds later and every spec is driver
-    graded at least once.
+  * ``PENDING_R5`` is the 62-spec never-driver-graded tail as of the r5
+    snapshot, in SPECS order (the old blocks-of-5 schedule, flattened).
+  * Round 6 drained 5 (the historical block #1) and front-enqueued the
+    5 specs ADDED in round 6; every later round drains 10.
+  * ``NEW_SPECS_BY_ROUND[N]`` (N >= 7) lists specs added in round N —
+    they join the window immediately, on top of the 10-spec drain, and
+    evict additional residents (window stays exactly 50).
   * Specs leaving the window stay oracle-gated by
-    ``tests/test_oracle_parity.py`` (all 146 specs, both SFs).
+    ``tests/test_oracle_parity.py`` (every registered spec, sf0.01).
 
-``expected_window(round)`` computes the window for any round, so the judge
-can verify both the current window and the whole forward schedule.
+``expected_window(round)`` computes the window for any round >= 6, so
+the judge can verify both the current window and the whole forward
+schedule; ``pending_after(round)`` is the never-driver-graded count the
+schedule guarantees, asserted strictly decreasing to zero by round 13.
 """
 
 from __future__ import annotations
 
+from collections import deque
+
 from updating_datasets_data_engineering_spark.registry import SPECS
 
 DRIVER_WINDOW = 50
-CURRENT_ROUND = 6
+CURRENT_ROUND = 7
 
 # The 20 reference-parity (§2) specs that never leave the window: every
 # shot_*/merge_* parity query, the streaming + incremental + salted
@@ -59,8 +66,8 @@ PINNED_FOREVER = [
     "events_hourly",
 ]
 
-# Non-pinned members of the r5 frozen window, in r5 window order ==
-# residence order (all driver-green r1-r5).  Evictions pop from the front.
+# Non-pinned members of the r5 frozen window, in residence order (all
+# driver-green r1-r5).  Evictions pop from the front.
 R5_ROTATING_RESIDENTS = [
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -94,115 +101,123 @@ R5_ROTATING_RESIDENTS = [
     "events_gaps",
 ]
 
-# The 62 specs never driver-graded in rounds 1-5 (union of
-# CORRECTNESS_r01..r05 keys vs the 146-spec registry), in SPECS order as of
-# the r5 snapshot, chunked into deterministic blocks of 5.  Block k enters
-# the window at round 6 + k.
-ROTATION_BLOCKS = [
-    # block 0 — round 6
-    ["embedding_near_dup_t90", "q21_waiting_suppliers", "q20_dominant_suppliers",
-     "q2_min_cost_supplier", "q11_important_stock"],
-    # block 1 — round 7
-    ["dedup_incremental_simhash", "knn_ann_ivf_incremental", "docs_repeated_spans",
-     "docs_tfidf_keywords", "dedup_clusters_incremental"],
-    # block 2 — round 8
-    ["q8_market_share", "q9_product_profit", "q12_priority_counts",
-     "q16_supplier_counts", "dedup_minhash_lsh_salted"],
-    # block 3 — round 9
-    ["dedup_labels_after_delete", "merge_scd2_customers", "snapshot_diff_orders",
-     "events_concurrency", "events_funnel"],
-    # block 4 — round 10
-    ["events_trend", "dedup_fuzzy_titles", "dedup_semantic",
-     "events_retention_cohorts", "events_markov_transitions"],
-    # block 5 — round 11
-    ["events_anomaly_hours", "embedding_norm_outliers", "docs_mixture_rebalance",
-     "docs_shuffle_shards", "orders_profile"],
-    # block 6 — round 12
-    ["window_function_census", "events_value_histogram", "events_user_count_approx",
-     "merge_scd2_asof", "embedding_quantize"],
-    # block 7 — round 13
-    ["docs_split_assign", "docs_source_cap", "docs_cross_doc_dup_rate",
-     "docs_epoch_plan", "events_sliding_active_users"],
-    # block 8 — round 14
-    ["docs_dataset_card", "docs_unigram_logprob", "sources_overlap_matrix",
-     "events_rfm_segments", "users_cooccurrence"],
-    # block 9 — round 15
-    ["docs_boilerplate_incremental", "docs_delta_quality_scored", "users_pagerank",
-     "dedup_delta_bloom_probe", "orders_skyline"],
-    # block 10 — round 16
-    ["users_triangles", "incremental_value_quantiles", "docs_classifier_score",
-     "docs_importance_resample", "docs_bigram_logprob"],
-    # block 11 — round 17
-    ["users_sig_edges_incremental", "sources_jsd_divergence", "users_communities",
-     "users_pagerank_personalized", "incremental_type_quantiles"],
-    # block 12 — round 18 (tail block, 2 specs: only 2 evictions that round)
-    ["docs_weighted_sample", "docs_weighted_sample_per_source"],
+# The 62 specs never driver-graded at the end of round 5, in SPECS order
+# as of the r5 snapshot (the old blocks-of-5 schedule, flattened).  The
+# queue drains front-first: 5 at round 6, 10 per round from round 7.
+PENDING_R5 = [
+    # drained at round 6 (historical 5-spec block)
+    "embedding_near_dup_t90", "q21_waiting_suppliers", "q20_dominant_suppliers",
+    "q2_min_cost_supplier", "q11_important_stock",
+    # remaining tail
+    "dedup_incremental_simhash", "knn_ann_ivf_incremental", "docs_repeated_spans",
+    "docs_tfidf_keywords", "dedup_clusters_incremental",
+    "q8_market_share", "q9_product_profit", "q12_priority_counts",
+    "q16_supplier_counts", "dedup_minhash_lsh_salted",
+    "dedup_labels_after_delete", "merge_scd2_customers", "snapshot_diff_orders",
+    "events_concurrency", "events_funnel",
+    "events_trend", "dedup_fuzzy_titles", "dedup_semantic",
+    "events_retention_cohorts", "events_markov_transitions",
+    "events_anomaly_hours", "embedding_norm_outliers", "docs_mixture_rebalance",
+    "docs_shuffle_shards", "orders_profile",
+    "window_function_census", "events_value_histogram", "events_user_count_approx",
+    "merge_scd2_asof", "embedding_quantize",
+    "docs_split_assign", "docs_source_cap", "docs_cross_doc_dup_rate",
+    "docs_epoch_plan", "events_sliding_active_users",
+    "docs_dataset_card", "docs_unigram_logprob", "sources_overlap_matrix",
+    "events_rfm_segments", "users_cooccurrence",
+    "docs_boilerplate_incremental", "docs_delta_quality_scored", "users_pagerank",
+    "dedup_delta_bloom_probe", "orders_skyline",
+    "users_triangles", "incremental_value_quantiles", "docs_classifier_score",
+    "docs_importance_resample", "docs_bigram_logprob",
+    "users_sig_edges_incremental", "sources_jsd_divergence", "users_communities",
+    "users_pagerank_personalized", "incremental_type_quantiles",
+    "docs_weighted_sample", "docs_weighted_sample_per_source",
 ]
+
+# Specs ADDED in round N.  Round 6's additions were front-enqueued into
+# the pending queue (graded round 7, per VERDICT r6 item 3).  From round
+# 7 on, additions enter the window in their birth round directly and
+# never touch the queue.
+NEW_SPECS_BY_ROUND: dict[int, list[str]] = {
+    6: ["sources_jsd_hashed", "events_k_anonymity", "events_zorder_layout",
+        "events_zorder_incremental", "docs_split_leakage_safe"],
+    7: [],  # appended as round 7 lands new specs
+}
+
+
+def _simulate(round_no: int) -> tuple[list[str], list[str]]:
+    """(window, pending-after) for ``round_no`` >= 6."""
+    nonpinned = deque(R5_ROTATING_RESIDENTS)  # front = longest resident
+    pending = list(PENDING_R5)
+    for rnd in range(6, round_no + 1):
+        drain = 5 if rnd == 6 else 10
+        incoming = pending[:drain]
+        pending = pending[drain:]
+        if rnd == 6:
+            pending = list(NEW_SPECS_BY_ROUND[6]) + pending
+        else:
+            incoming = list(NEW_SPECS_BY_ROUND.get(rnd, [])) + incoming
+        for name in incoming:
+            nonpinned.popleft()
+            nonpinned.append(name)
+    return list(nonpinned) + PINNED_FOREVER, pending
 
 
 def expected_window(round_no: int) -> list[str]:
-    """Window contents for ``round_no`` >= 6 under the rotation policy.
+    return _simulate(round_no)[0]
 
-    Incoming blocks are prepended (newest block leads the window so
-    first-time-graded specs are unmistakable in CORRECTNESS_r{N});
-    residents follow in residence order; the 20 pinned specs close the
-    window in their fixed §2-parity order.
-    """
-    queue = list(R5_ROTATING_RESIDENTS)
-    in_window_blocks: list[list[str]] = []
-    for k in range(round_no - 6 + 1):
-        if k >= len(ROTATION_BLOCKS):
-            break
-        block = ROTATION_BLOCKS[k]
-        for _ in block:
-            queue.pop(0)  # evict longest residents, one per incoming spec
-        in_window_blocks.insert(0, block)
-        queue.extend(block)  # rotated-in specs join the back of the queue
-    # `queue` holds residence order for FUTURE evictions; the window itself
-    # is: newest blocks first, then surviving original residents (those
-    # still in queue and not part of an in-window block), then pins.
-    flat_blocks = [n for b in in_window_blocks for n in b]
-    survivors = [n for n in R5_ROTATING_RESIDENTS if n in queue]
-    # Once original residents are exhausted, older blocks start being
-    # evicted too — drop evicted block members.
-    flat_blocks = [n for n in flat_blocks if n in queue]
-    return flat_blocks + survivors + PINNED_FOREVER
+
+def pending_after(round_no: int) -> int:
+    return len(_simulate(round_no)[1])
 
 
 def test_driver_window_matches_rotation_schedule():
     # Membership is what the driver grades; intra-window order in
-    # registry.py keeps its thematic grouping (pins stay where r3 froze
-    # them), so compare sets + size + uniqueness, not sequence.
+    # queries/specs.py keeps its thematic grouping, so compare sets +
+    # size + uniqueness, not sequence.
     names = [s.name for s in SPECS[:DRIVER_WINDOW]]
     want = expected_window(CURRENT_ROUND)
     assert len(want) == DRIVER_WINDOW
     assert len(set(names)) == DRIVER_WINDOW, "duplicate spec in window"
     assert set(names) == set(want), (
         "SPECS[:50] does not match the deterministic rotation schedule for "
-        f"round {CURRENT_ROUND} (VERDICT r5 item 2).\nDiff: "
+        f"round {CURRENT_ROUND} (VERDICT r6 item 3).\nDiff: "
         f"{set(names) ^ set(want)}"
     )
 
 
-def test_pins_never_leave():
-    for r in range(6, 6 + len(ROTATION_BLOCKS)):
+def test_round7_block_is_ten_first_time_specs():
+    """VERDICT r6 item 3 'Done': >= 10 first-time-graded specs in r7."""
+    w6 = set(expected_window(6))
+    w7 = set(expected_window(7))
+    first_time = w7 - w6
+    assert len(first_time) >= 10, first_time
+    # the r6-new specs lead the queue — graded in round 7
+    for n in NEW_SPECS_BY_ROUND[6]:
+        assert n in first_time, f"{n} (added r6) not graded in r7"
+
+
+def test_pins_never_leave_and_window_size_stable():
+    for r in range(6, 14):
         w = expected_window(r)
         assert set(PINNED_FOREVER) <= set(w), f"pin evicted at round {r}"
         assert len(w) == DRIVER_WINDOW, f"window size drift at round {r}: {len(w)}"
+        assert len(set(w)) == DRIVER_WINDOW, f"duplicate in window at round {r}"
 
 
-def test_every_never_graded_spec_eventually_graded():
-    scheduled = {n for b in ROTATION_BLOCKS for n in b}
-    assert len(scheduled) == 62
-    # every scheduled spec is in the window the round its block lands
-    for k, block in enumerate(ROTATION_BLOCKS):
-        w = expected_window(6 + k)
-        for n in block:
-            assert n in w, f"{n} scheduled for round {6 + k} but not in window"
+def test_blind_spot_strictly_decreasing_to_zero():
+    """Never-driver-graded count: 62 after r6, then -10/round to 0."""
+    assert pending_after(6) == 62
+    prev = 62
+    for r in range(7, 14):
+        cur = pending_after(r)
+        assert cur < prev, f"blind spot not shrinking at round {r}"
+        prev = cur
+    assert pending_after(7) == 52
+    assert pending_after(13) == 0, "schedule must converge by round 13"
 
 
 def test_registry_has_all_scheduled_specs():
     names = {s.name for s in SPECS}
-    for b in ROTATION_BLOCKS:
-        for n in b:
-            assert n in names, f"scheduled spec {n} missing from registry"
+    for n in PENDING_R5 + [x for v in NEW_SPECS_BY_ROUND.values() for x in v]:
+        assert n in names, f"scheduled spec {n} missing from registry"

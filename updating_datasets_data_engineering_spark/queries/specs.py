@@ -337,18 +337,44 @@ from .graph import (
 # driver-green in r1/r2 and locally pinned by tests/test_oracle_parity.py —
 # rotate to the tail.
 SPECS: list[QuerySpec] = [
-    # --- r6 rotation block #1 (VERDICT r5 item 2) -------------------------
-    # The driver grades SPECS[:50] only; 62 specs had never been driver
-    # graded by end of round 5.  Starting r6 the window rotates a FIVE-spec
-    # block per round: the never-graded tail (in SPECS order as of r5) is
-    # chunked into deterministic blocks of 5 (schedule pinned in
-    # tests/test_registry_window.py); each round the next block swaps in and
-    # the 5 longest-resident non-pinned window members swap out to the
-    # pytest-pinned tail.  Block #1 in: embedding_near_dup_t90,
-    # q21_waiting_suppliers, q20_dominant_suppliers, q2_min_cost_supplier,
-    # q11_important_stock.  Out (driver-green r1-r5, still oracle-gated by
-    # tests/test_oracle_parity.py): dedup_exact, dedup_ngram_jaccard,
-    # dedup_minhash_lsh, dedup_simhash, dedup_clusters.
+    # --- r7 rotation block (VERDICT r6 item 3) ----------------------------
+    # The driver grades SPECS[:50] only.  From round 7 the never-graded
+    # pending queue drains TEN specs per round (schedule pinned in
+    # tests/test_registry_window.py) and specs added in round N enter the
+    # window in round N itself.  In this round (all first-time graded):
+    # the five r6 additions — sources_jsd_hashed, events_k_anonymity,
+    # events_zorder_layout, events_zorder_incremental,
+    # docs_split_leakage_safe — plus the next five of the r5 tail:
+    # dedup_incremental_simhash, knn_ann_ivf_incremental,
+    # docs_repeated_spans, docs_tfidf_keywords, dedup_clusters_incremental.
+    # Out (driver-green r1-r6, still oracle-gated every round by
+    # tests/test_oracle_parity.py): docs_deduplicated, knn_bruteforce,
+    # knn_ann_ivf, knn_ann_srp, embedding_near_dup, embedding_near_dup_ann,
+    # multimodal_features, text_metrics, text_langid, text_sentiment.
+    QuerySpec("sources_jsd_hashed", sources_jsd_hashed, _ORACLE_JSD_HASHED),
+    QuerySpec("events_k_anonymity", events_k_anonymity, _ORACLE_K_ANONYMITY),
+    QuerySpec("events_zorder_layout", events_zorder_layout, _oracle_zorder_sql()),
+    QuerySpec(
+        "events_zorder_incremental", events_zorder_incremental, _oracle_zorder_incr_sql()
+    ),
+    QuerySpec(
+        "docs_split_leakage_safe", docs_split_leakage_safe, _oracle_split_safe_sql()
+    ),
+    QuerySpec(
+        "dedup_incremental_simhash",
+        dedup_incremental_simhash,
+        OE.incremental_simhash_sql(10),
+    ),
+    # index-append ≡ full rebuild, so the oracle is the full-index SQL
+    QuerySpec("knn_ann_ivf_incremental", knn_ann_ivf_incremental, OE.ivf_ann_sql()),
+    QuerySpec("docs_repeated_spans", docs_repeated_spans, _ORACLE_REPEATED_SPANS),
+    QuerySpec("docs_tfidf_keywords", docs_tfidf_keywords, _ORACLE_TFIDF),
+    QuerySpec(
+        "dedup_clusters_incremental",
+        dedup_clusters_incremental,
+        _oracle_clusters_incremental_sql(10),
+    ),
+    # --- r6 rotation block (VERDICT r5 item 2), still resident ------------
     QuerySpec(
         "embedding_near_dup_t90",
         embedding_near_dup_t90,
@@ -359,28 +385,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec("q2_min_cost_supplier", q2_min_cost, _ORACLE_Q2),
     QuerySpec("q11_important_stock", q11_important, _ORACLE_Q11),
     # --- LLM-data-pipeline tier: dedup -----------------------------------
-    QuerySpec("docs_deduplicated", docs_deduplicated, _oracle_dedup_corpus_sql()),
     QuerySpec(
         "dedup_incremental",
         dedup_incremental,
         OE.incremental_minhash_sql(16, 4, 0.4, ngram=3, delta_mod=10),
     ),
-    # --- similarity search ----------------------------------------------
-    QuerySpec("knn_bruteforce", knn_bruteforce, OE.knn_bruteforce_sql(5, 5, 64)),
-    QuerySpec("knn_ann_ivf", knn_ann_ivf, OE.ivf_ann_sql(5, 5, 16, 4, 64)),
-    QuerySpec("knn_ann_srp", knn_ann_srp, OE.knn_ann_srp_sql(5, 5, 4, 2, 64)),
-    QuerySpec("embedding_near_dup", embedding_near_dup, OE.embedding_near_dup_sql(0.5, 64)),
-    QuerySpec(
-        "embedding_near_dup_ann",
-        embedding_near_dup_ann,
-        OE.embedding_near_dup_ann_sql(0.5, 24, 5, 64),
-    ),
-    # --- multimodal ------------------------------------------------------
-    QuerySpec("multimodal_features", multimodal_features_q, OE.multimodal_sql()),
     # --- text analysis / corpus curation --------------------------------
-    QuerySpec("text_metrics", text_metrics, OE.text_metrics_sql()),
-    QuerySpec("text_langid", text_langid, OE.lang_id_sql()),
-    QuerySpec("text_sentiment", text_sentiment, _oracle_sentiment_sql()),
     QuerySpec("text_redact", text_redact, OE.redact_sql()),
     QuerySpec("doc_fingerprints", doc_fingerprints, OE.fingerprint_sql()),
     QuerySpec("doc_chunks", doc_chunks, _ORACLE_CHUNKS),
@@ -471,22 +481,23 @@ SPECS: list[QuerySpec] = [
     QuerySpec("grouping_sets_revenue", grouping_sets_revenue, _ORACLE_GROUPING_SETS),
     QuerySpec("sql_passthrough_revenue", sql_passthrough_revenue, _SQL_PASSTHROUGH),
     # --- r4 additions (pytest-pinned tail) --------------------------------
-    # (embedding_near_dup_t90 / q21 / q20 / q2 / q11 rotated into the
-    # driver window as r6 block #1.)
+    # (embedding_near_dup_t90 / q21 / q20 / q2 / q11 rotated in as r6's
+    # block; the r4 incremental-index block rotated in as part of r7's.)
+    # Rotated OUT of the window at r7 (driver-green r1-r6):
+    QuerySpec("docs_deduplicated", docs_deduplicated, _oracle_dedup_corpus_sql()),
+    QuerySpec("knn_bruteforce", knn_bruteforce, OE.knn_bruteforce_sql(5, 5, 64)),
+    QuerySpec("knn_ann_ivf", knn_ann_ivf, OE.ivf_ann_sql(5, 5, 16, 4, 64)),
+    QuerySpec("knn_ann_srp", knn_ann_srp, OE.knn_ann_srp_sql(5, 5, 4, 2, 64)),
+    QuerySpec("embedding_near_dup", embedding_near_dup, OE.embedding_near_dup_sql(0.5, 64)),
     QuerySpec(
-        "dedup_incremental_simhash",
-        dedup_incremental_simhash,
-        OE.incremental_simhash_sql(10),
+        "embedding_near_dup_ann",
+        embedding_near_dup_ann,
+        OE.embedding_near_dup_ann_sql(0.5, 24, 5, 64),
     ),
-    # index-append ≡ full rebuild, so the oracle is the full-index SQL
-    QuerySpec("knn_ann_ivf_incremental", knn_ann_ivf_incremental, OE.ivf_ann_sql()),
-    QuerySpec("docs_repeated_spans", docs_repeated_spans, _ORACLE_REPEATED_SPANS),
-    QuerySpec("docs_tfidf_keywords", docs_tfidf_keywords, _ORACLE_TFIDF),
-    QuerySpec(
-        "dedup_clusters_incremental",
-        dedup_clusters_incremental,
-        _oracle_clusters_incremental_sql(10),
-    ),
+    QuerySpec("multimodal_features", multimodal_features_q, OE.multimodal_sql()),
+    QuerySpec("text_metrics", text_metrics, OE.text_metrics_sql()),
+    QuerySpec("text_langid", text_langid, OE.lang_id_sql()),
+    QuerySpec("text_sentiment", text_sentiment, _oracle_sentiment_sql()),
     QuerySpec("q8_market_share", q8_market_share_q, _ORACLE_Q8),
     QuerySpec("q9_product_profit", q9_product_profit_q, _ORACLE_Q9),
     QuerySpec("q12_priority_counts", q12_priority_q, _ORACLE_Q12),
@@ -527,9 +538,6 @@ SPECS: list[QuerySpec] = [
     QuerySpec("merge_scd2_asof", merge_scd2_asof, _ORACLE_SCD2_ASOF),
     QuerySpec("embedding_quantize", embedding_quantize, _ORACLE_QUANTIZE),
     QuerySpec("docs_split_assign", docs_split_assign, _ORACLE_SPLIT),
-    QuerySpec(
-        "docs_split_leakage_safe", docs_split_leakage_safe, _oracle_split_safe_sql()
-    ),
     # r5 block 4: cross-document curation (docs_boilerplate_strip holds
     # the r5 rotation slot inside the driver window above)
     QuerySpec("docs_source_cap", docs_source_cap, _ORACLE_SOURCE_CAP),
@@ -574,12 +582,6 @@ SPECS: list[QuerySpec] = [
         _ORACLE_SIG_EDGES_INCR,
     ),
     QuerySpec("sources_jsd_divergence", sources_jsd_divergence, _ORACLE_JSD),
-    QuerySpec("sources_jsd_hashed", sources_jsd_hashed, _ORACLE_JSD_HASHED),
-    QuerySpec("events_k_anonymity", events_k_anonymity, _ORACLE_K_ANONYMITY),
-    QuerySpec("events_zorder_layout", events_zorder_layout, _oracle_zorder_sql()),
-    QuerySpec(
-        "events_zorder_incremental", events_zorder_incremental, _oracle_zorder_incr_sql()
-    ),
     QuerySpec("users_communities", users_communities, _ORACLE_COMMUNITIES),
     QuerySpec(
         "users_pagerank_personalized", users_pagerank_personalized, _ORACLE_PPR
