@@ -15,6 +15,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from updating_datasets_data_engineering_spark import registry
+from updating_datasets_data_engineering_spark.queries import _base as QB
 from updating_datasets_data_engineering_spark.functions import text as TXT
 
 
@@ -36,7 +37,7 @@ def test_source_cap_selective_window_equals_plain(spark, sf_dir, monkeypatch):
     sf0.01 all-over)."""
     rows = [(i, "big") for i in range(40)] + [(100 + i, "small") for i in range(3)]
     docs = spark.createDataFrame(rows, "doc_id long, source string")
-    monkeypatch.setattr(registry, "_td", lambda s, d: docs)
+    monkeypatch.setattr(QB, "load_table", lambda s, d, n: docs)
     got = registry.docs_source_cap(spark, sf_dir, cap=20)
     want = _plain_cap(docs, 20)
     assert got.exceptAll(want).count() == 0
@@ -67,7 +68,7 @@ def test_boilerplate_strip_known_block(spark, sf_dir, monkeypatch):
         ],
         "doc_id long, text string",
     )
-    monkeypatch.setattr(registry, "_td", lambda s, d: docs)
+    monkeypatch.setattr(QB, "load_table", lambda s, d, n: docs)
     got = {
         r["doc_id"]: r
         for r in registry.docs_boilerplate_strip(spark, sf_dir).collect()
@@ -93,7 +94,7 @@ def test_cross_doc_dup_rate_counts_only_cross_doc(spark, sf_dir, monkeypatch):
         ],
         "doc_id long, text string",
     )
-    monkeypatch.setattr(registry, "_td", lambda s, d: docs)
+    monkeypatch.setattr(QB, "load_table", lambda s, d, n: docs)
     got = {r["doc_id"]: r for r in registry.docs_cross_doc_dup_rate(spark, sf_dir).collect()}
     assert got[1]["n_blocks"] == 3 and got[1]["n_shared"] == 1
     assert got[2]["n_blocks"] == 2 and got[2]["n_shared"] == 1
@@ -112,7 +113,7 @@ def test_sliding_windows_hand_counted(spark, sf_dir, monkeypatch):
     ev = spark.createDataFrame(rows, "event_id long, ts string, user_id long").select(
         "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id"
     )
-    monkeypatch.setattr(registry, "_t", lambda s, d, n: ev)
+    monkeypatch.setattr(QB, "load_table", lambda s, d, n: ev)
     got = {
         r["win_start_sec"]: r["active_users"]
         for r in registry.events_sliding_active_users(spark, sf_dir).collect()
@@ -168,7 +169,7 @@ def test_boilerplate_strip_conserves_tokens(spark, sf_dir, texts):
     )
     import unittest.mock as mock
 
-    with mock.patch.object(registry, "_td", lambda s, d: docs):
+    with mock.patch.object(QB, "load_table", lambda s, d, n: docs):
         out = {r["doc_id"]: r for r in registry.docs_boilerplate_strip(spark, sf_dir).collect()}
     for i, t in enumerate(texts):
         toks = [w for w in t.lower().split() if w]
@@ -193,7 +194,7 @@ def test_dup_rate_bounds_and_block_counts(spark, sf_dir, texts):
     )
     import unittest.mock as mock
 
-    with mock.patch.object(registry, "_td", lambda s, d: docs):
+    with mock.patch.object(QB, "load_table", lambda s, d, n: docs):
         rows = registry.docs_cross_doc_dup_rate(spark, sf_dir).collect()
     seen = set()
     for r in rows:
@@ -299,6 +300,33 @@ def test_jsd_hashed_rank_agreement(spark, sf_dir):
     assert top_e[0] == top_h[0]
 
 
+def test_parameterized_oracles_match_at_non_defaults(spark, sf_dir):
+    """ADVICE r6: the JSD-hashed and k-anonymity oracles are GENERATED
+    from the same parameters as their queries, so non-default calls
+    stay oracle-checked instead of silently diverging."""
+    from updating_datasets_data_engineering_spark.queries.graph import (
+        _oracle_jsd_hashed_sql,
+        sources_jsd_hashed,
+    )
+    from updating_datasets_data_engineering_spark.queries.layout import (
+        _oracle_k_anonymity_sql,
+        events_k_anonymity,
+    )
+
+    from .oracle_harness import compare_frames, run_oracle
+
+    compare_frames(
+        sources_jsd_hashed(spark, sf_dir, k_bits=6).toPandas(),
+        run_oracle(_oracle_jsd_hashed_sql(k_bits=6), sf_dir),
+        name="sources_jsd_hashed_k6",
+    )
+    compare_frames(
+        events_k_anonymity(spark, sf_dir, k=3).toPandas(),
+        run_oracle(_oracle_k_anonymity_sql(k=3), sf_dir),
+        name="events_k_anonymity_k3",
+    )
+
+
 def test_k_anonymity_ladder_and_suppression(spark):
     """k_anonymity_levels picks the FINEST level whose class holds >= k
     rows and marks rows unsatisfiable at the coarsest level for
@@ -321,6 +349,42 @@ def test_k_anonymity_ladder_and_suppression(spark):
     # v=2 and v=4: fine classes of 1, coarse (even) class of 2 < k
     assert got[5] == (None, None)
     assert got[6] == (None, None)
+
+
+def test_k_anonymity_null_keys_surface_not_vanish(spark):
+    """ADVICE r6: rows whose quasi-identifier expression is NULL must
+    come back from the decision join (eqNullSafe), classified as their
+    own equivalence class — a sub-k NULL class is SUPPRESSED, a >=k
+    NULL class is released at that level; either way no row vanishes."""
+    from updating_datasets_data_engineering_spark.operators import curation as CUR
+
+    # 2 NULL-keyed rows (sub-k) + 5 keyed rows (satisfy k at fine)
+    rows = [(i, "a") for i in range(5)] + [(5, None), (6, None)]
+    df = spark.createDataFrame(rows, "row_id long, v string")
+    out = CUR.k_anonymity_levels(
+        df,
+        [("fine", F.col("v")), ("coarse", F.lit("all"))],
+        k=5,
+    )
+    got = {r.row_id: (r.anon_level, r.class_size) for r in out.collect()}
+    assert len(got) == 7, "NULL-keyed rows must not vanish"
+    for i in range(5):
+        assert got[i] == ("fine", 5)
+    # the NULL class (2 rows) is < k at fine but the coarse class (7)
+    # satisfies k — NULL rows surface at the coarse level
+    assert got[5] == ("coarse", 7)
+    assert got[6] == ("coarse", 7)
+
+    # sub-k at every level → suppressed, but still present
+    out2 = CUR.k_anonymity_levels(
+        df,
+        [("fine", F.col("v")),
+         ("coarse", F.when(F.col("v").isNotNull(), "k").otherwise(None))],
+        k=5,
+    )
+    got2 = {r.row_id: r.anon_level for r in out2.collect()}
+    assert len(got2) == 7
+    assert got2[5] is None and got2[6] is None
 
 
 def test_events_k_anonymity_every_row_classified(spark, sf_dir):

@@ -351,6 +351,7 @@ def test_sig_edges_epoch_local_lift_scale_invariant(spark, monkeypatch, tmp_path
     grew — the densification measured at sf1.0 (11.0M edges vs 1.18M
     calibrated, users_triangles 555 s vs 15.8 s)."""
     from updating_datasets_data_engineering_spark import registry as R
+    from updating_datasets_data_engineering_spark.queries import _base as QB
 
     rows = []
     # January: 10 hourly windows 00..09 on day 1; user 1 in 4, user 2 in
@@ -370,7 +371,7 @@ def test_sig_edges_epoch_local_lift_scale_invariant(spark, monkeypatch, tmp_path
 
     import unittest.mock as mock
 
-    with mock.patch.object(R, "_t", lambda s, d, t: ev):
+    with mock.patch.object(QB, "load_table", lambda s, d, t: ev):
         edges = R._significant_edges(spark, "ignored", min_shared=2)
         got = edges.where(
             (F.col("user_a") == 1) & (F.col("user_b") == 2)

@@ -272,6 +272,45 @@ def test_persisted_index_warehouse_root_shared_across_sessions(
     assert calls["n"] == 1
 
 
+def test_persisted_index_warehouse_build_promotes_atomically(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r6 (medium): the shared-warehouse build must never write
+    directly into the final _SUCCESS-gated path — it stages into a
+    per-process dir and promotes via fs.swap_directory, so a crashed or
+    concurrent build can't leave a mixed directory that carries another
+    writer's _SUCCESS marker.  A stale staging dir from a crashed
+    sibling must not be trusted or block the rebuild."""
+    import os
+
+    from updating_datasets_data_engineering_spark import registry as R
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_ROOT", str(tmp_path))
+    sf_key = os.path.basename(sf_dir.rstrip("/"))
+    final = tmp_path / sf_key / "wh_atomic"
+    # simulate a sibling process that crashed mid-build: junk staging
+    stale = tmp_path / sf_key / "wh_atomic.build-99999"
+    stale.mkdir(parents=True)
+    (stale / "part-junk.parquet").write_bytes(b"not parquet")
+
+    df = R._persisted_index(
+        spark,
+        sf_dir,
+        "wh_atomic",
+        lambda: spark.range(0, 7).select(F.col("id"), (F.col("id") + 1).alias("v")),
+    )
+    assert df.count() == 7
+    assert (final / "_SUCCESS").is_file()
+    # this process's own staging dir was promoted (renamed away), and the
+    # final dir contains ONLY the promoted build — no interleaved files
+    own = tmp_path / sf_key / f"wh_atomic.build-{os.getpid()}"
+    assert not own.exists()
+    assert not (final / "part-junk.parquet").exists()
+    # the stale sibling staging is inert: never read, never promoted
+    assert sorted(map(tuple, df.collect())) == [(i, i + 1) for i in range(7)]
+    del R._PERSISTED_INDEX[(sf_dir.rstrip("/"), "wh_atomic")]
+
+
 def test_persisted_index_default_stays_process_local(spark, sf_dir, monkeypatch):
     """Unset root keeps the r5 behavior: tempfile state, memoized per
     process, rebuilt (deterministically) by other processes."""

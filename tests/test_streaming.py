@@ -9,6 +9,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from updating_datasets_data_engineering_spark.queries import _base as QB
 from updating_datasets_data_engineering_spark.operators import ingest as I
 from updating_datasets_data_engineering_spark.operators import merge as M
 from updating_datasets_data_engineering_spark.sources import shot_synth as SS
@@ -684,7 +685,7 @@ def test_streaming_sig_edges_maintenance(spark, tmp_path):
         run_increment(b)
         streamed = b if streamed is None else streamed.unionByName(b)
         got = spark.read.parquet(edges_path)
-        with mock.patch.object(R, "_t", lambda s, d, name: streamed):
+        with mock.patch.object(QB, "load_table", lambda s, d, name: streamed):
             want = R._significant_edges(spark, "")
         assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(
             want.select(*cols), cols
@@ -791,7 +792,7 @@ def test_sig_edges_state_compaction(spark, tmp_path):
     run_increment(batches[2])
     got = spark.read.parquet(edges_path)
     streamed = batches[0].unionByName(batches[1]).unionByName(batches[2])
-    with mock.patch.object(R, "_t", lambda s, d, name: streamed):
+    with mock.patch.object(QB, "load_table", lambda s, d, name: streamed):
         want = R._significant_edges(spark, "")
     assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(
         want.select(*cols), cols
@@ -999,7 +1000,7 @@ def test_streaming_k_anonymity_maintenance(spark, tmp_path):
     for b in batches:
         run_increment(b)
         streamed = b if streamed is None else streamed.unionByName(b)
-        with mock.patch.object(R, "_t", lambda s, d, t: streamed):
+        with mock.patch.object(QB, "load_table", lambda s, d, t: streamed):
             want = R.events_k_anonymity(spark, "ignored")
         got = spark.read.parquet(view_path)
         assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(

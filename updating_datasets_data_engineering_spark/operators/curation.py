@@ -108,9 +108,15 @@ def k_anonymity_levels(
     sketch-sized shuffles, not corpus passes.  The per-row pick is a
     broadcast join of the (finest key → level) decision table back
     onto the corpus: the corpus shuffles zero times.
+
+    NULL quasi-identifier keys are first-class (ADVICE r6): groupBy
+    already buckets NULL into its own equivalence class, and both join
+    steps use ``eqNullSafe``, so a NULL-keyed row is counted, matched
+    back, and surfaces with its class's decision (suppressed when the
+    NULL class is < k) instead of silently vanishing through an inner
+    join that NULL keys can never satisfy.
     """
     names = [n for n, _ in qi_exprs]
-    finest = qi_exprs[0][1].alias(f"_q_{names[0]}")
     keyed = df.select(
         "*",
         *[e.alias(f"_q_{n}") for n, e in qi_exprs],
@@ -130,9 +136,14 @@ def k_anonymity_levels(
     # decision table: finest key -> chosen level + class size
     dec = sketch.select(f"_q_{names[0]}", *[f"_q_{n}" for n in names[1:]], "_n0")
     for n in names[1:]:
-        dec = dec.join(
-            sizes[n].withColumnRenamed("_n", f"_n_{n}"), f"_q_{n}"
+        sz = (
+            sizes[n]
+            .withColumnRenamed(f"_q_{n}", f"_k_{n}")
+            .withColumnRenamed("_n", f"_n_{n}")
         )
+        dec = dec.join(
+            sz, F.col(f"_q_{n}").eqNullSafe(F.col(f"_k_{n}"))
+        ).drop(f"_k_{n}")
     level = F.lit(None).cast("string")
     size = F.lit(None).cast("long")
     # coarsest-first fold so the finest satisfying level wins last
@@ -142,11 +153,13 @@ def k_anonymity_levels(
     level = F.when(F.col("_n0") >= k, F.lit(names[0])).otherwise(level)
     size = F.when(F.col("_n0") >= k, F.col("_n0")).otherwise(size)
     dec = dec.select(
-        f"_q_{names[0]}",
+        F.col(f"_q_{names[0]}").alias("_k0"),
         level.alias("anon_level"),
         size.alias("class_size"),
     )
-    return keyed.join(F.broadcast(dec), f"_q_{names[0]}").select(
+    return keyed.join(
+        F.broadcast(dec), F.col(f"_q_{names[0]}").eqNullSafe(F.col("_k0"))
+    ).select(
         *df.columns,
         "anon_level",
         "class_size",

@@ -287,46 +287,21 @@ def bloom_probe(
     callers must exact-verify survivors; false negatives impossible,
     so the prune is safe.
 
-    Plan shape: candidates explode to k rows each, inner-join the
-    broadcast ≤ m_bits position table on an int key, count hits per
-    row, keep hits == k.  The candidate side never shuffles on data
-    keys and the archive side is the bounded bit table — the whole
-    probe is map-side at any archive size.
-
-    Rows are probed INDIVIDUALLY (a per-row handle is attached before
-    the explode), so duplicate candidate rows survive with their
-    multiplicity intact: grouping by the candidate columns alone would
-    collapse two identical member rows into one group with 2k hits and
-    drop both — a false negative the no-false-negative contract forbids
-    (ADVICE r5 item 1).  The handle is only a grouping key and is
-    dropped before return, so its partition-dependent values never
-    reach the result.
+    Plan shape: one broadcast LEFT-SEMI join per hash seed, each on the
+    seed's position expression against the bounded bit table — k
+    map-side joins, the candidate side never shuffles and never
+    aggregates.  Semi joins preserve left-side multiplicity, so
+    duplicate candidate rows survive with their multiplicity intact
+    (the no-false-negative contract, ADVICE r5 item 1) WITHOUT any
+    per-row handle: the previous explode→count formulation needed a
+    ``monotonically_increasing_id`` grouping key whose values depend on
+    partition layout — a latent fragility under nondeterministic
+    upstreams with stage recomputation (ADVICE r6) — whereas the join
+    chain is a pure function of the row's own key column.
     """
-    seeds = F.array(*[F.lit(i) for i in range(k_hashes)])
-    probed = candidates.withColumn(
-        "_bloom_row", F.monotonically_increasing_id()
-    ).withColumn(
-        "_bloom_bit",
-        F.explode(
-            F.transform(
-                seeds,
-                lambda s: F.pmod(F.xxhash64(F.col(key), s), F.lit(m_bits)),
-            )
-        ),
-    )
-    # `bits` holds DISTINCT positions, so each exploded row matches at
-    # most one bit row; seed collisions (two seeds -> same position)
-    # produce two exploded rows that each match, keeping count == k for
-    # true members even under hash collisions.
-    hits = (
-        probed.join(
-            F.broadcast(bits.withColumnRenamed("bit", "_bloom_bit")),
-            "_bloom_bit",
-        )
-        .groupBy("_bloom_row", *candidates.columns)
-        .agg(F.count(F.lit(1)).alias("_bloom_hits"))
-    )
-    return (
-        hits.where(F.col("_bloom_hits") == k_hashes)
-        .drop("_bloom_hits", "_bloom_row")
-    )
+    bit_tbl = F.broadcast(bits.select(F.col("bit").alias("_bloom_bit")))
+    probed = candidates
+    for i in range(k_hashes):
+        pos = F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
+        probed = probed.join(bit_tbl, pos == F.col("_bloom_bit"), "left_semi")
+    return probed

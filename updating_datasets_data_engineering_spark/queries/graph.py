@@ -601,13 +601,19 @@ def sources_jsd_hashed(spark, sf_dir, k_bits: int = 10):
     )
 
 
-_ORACLE_JSD_HASHED = f"""
+def _oracle_jsd_hashed_sql(k_bits: int = 10) -> str:
+    """Oracle generated from the SAME k_bits parameter as
+    ``sources_jsd_hashed`` (ADVICE r6: a hardcoded bucket modulus would
+    silently diverge the moment the query is called with a non-default
+    k_bits)."""
+    n_buckets = 1 << k_bits
+    return f"""
 WITH toks AS (
     SELECT source, unnest({OE.WORDS}) AS term FROM documents
 ),
 bucketed AS (
     SELECT source,
-           (('0x' || substr(md5(term), 1, 15))::BIGINT % 1024 + 1024) % 1024 AS bucket
+           (('0x' || substr(md5(term), 1, 15))::BIGINT % {n_buckets} + {n_buckets}) % {n_buckets} AS bucket
     FROM toks
 ),
 c_sb AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS c FROM bucketed GROUP BY source, bucket),
@@ -635,6 +641,9 @@ SELECT source, ts AS n_tokens,
 FROM terms
 GROUP BY source, ts
 """
+
+
+_ORACLE_JSD_HASHED = _oracle_jsd_hashed_sql()
 
 
 def users_pagerank(spark, sf_dir):

@@ -75,10 +75,21 @@ def _persisted_index(
     half-written build is rebuilt, never read).  Unset, state falls
     back to a process-local ``tempfile.mkdtemp`` — correct for a
     single graded session, with concurrent sessions rebuilding
-    deterministically identical content rather than sharing."""
+    deterministically identical content rather than sharing.
+
+    Shared-warehouse builds are stage-and-swap (ADVICE r6): the build
+    writes into a per-process staging dir and is promoted with
+    ``fs.swap_directory``, so the ``_SUCCESS``-gated final path only
+    ever appears atomically via rename.  Two sessions that both see a
+    missing marker each build in their OWN staging dir (pid-suffixed)
+    and race only on the final rename — safe, because index content is
+    deterministic per (sf_dir, kind), so last-rename-wins installs
+    byte-equivalent state instead of the interleaved mixed directory a
+    direct overwrite could leave."""
     import os
     import tempfile
 
+    from .. import fs
     from ..operators import maintenance as MNT
 
     key = (sf_dir.rstrip("/"), kind)
@@ -90,8 +101,11 @@ def _persisted_index(
         sf_key = os.path.basename(sf_dir.rstrip("/")) or "root"
         path = os.path.join(root, sf_key, kind)
         if not os.path.isfile(os.path.join(path, "_SUCCESS")):
-            build().write.mode("overwrite").parquet(path)
-            MNT.compact(spark, path)
+            staging = f"{path}.build-{os.getpid()}"
+            fs.delete(spark, staging)
+            build().write.mode("overwrite").parquet(staging)
+            MNT.compact(spark, staging)
+            fs.swap_directory(spark, staging, path)
     else:
         path = tempfile.mkdtemp(prefix=f"graft_idx_{kind}_")
         build().write.mode("overwrite").parquet(path)

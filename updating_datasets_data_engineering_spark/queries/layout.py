@@ -69,7 +69,11 @@ def events_k_anonymity(spark, sf_dir, k: int = 5):
     )
 
 
-_ORACLE_K_ANONYMITY = """
+def _oracle_k_anonymity_sql(k: int = 5) -> str:
+    """Oracle generated from the SAME k as ``events_k_anonymity``
+    (ADVICE r6: a hardcoded threshold would silently diverge for
+    non-default k)."""
+    return f"""
 WITH e AS (
     SELECT event_id, event_type,
            strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS qh,
@@ -81,17 +85,20 @@ ch AS (SELECT event_type, qh, count(*) AS c FROM e GROUP BY event_type, qh),
 cd AS (SELECT event_type, qd, count(*) AS c FROM e GROUP BY event_type, qd),
 cm AS (SELECT event_type, qm, count(*) AS c FROM e GROUP BY event_type, qm)
 SELECT e.event_id,
-       CASE WHEN ch.c >= 5 THEN 'hour'
-            WHEN cd.c >= 5 THEN 'day'
-            WHEN cm.c >= 5 THEN 'month' END AS anon_level,
-       CAST(CASE WHEN ch.c >= 5 THEN ch.c
-                 WHEN cd.c >= 5 THEN cd.c
-                 WHEN cm.c >= 5 THEN cm.c END AS BIGINT) AS class_size
+       CASE WHEN ch.c >= {k} THEN 'hour'
+            WHEN cd.c >= {k} THEN 'day'
+            WHEN cm.c >= {k} THEN 'month' END AS anon_level,
+       CAST(CASE WHEN ch.c >= {k} THEN ch.c
+                 WHEN cd.c >= {k} THEN cd.c
+                 WHEN cm.c >= {k} THEN cm.c END AS BIGINT) AS class_size
 FROM e
 JOIN ch ON ch.event_type = e.event_type AND ch.qh = e.qh
 JOIN cd ON cd.event_type = e.event_type AND cd.qd = e.qd
 JOIN cm ON cm.event_type = e.event_type AND cm.qm = e.qm
 """
+
+
+_ORACLE_K_ANONYMITY = _oracle_k_anonymity_sql()
 
 
 def events_zorder_layout(spark, sf_dir, bits: int = 8, shard_bits: int = 6):

@@ -638,6 +638,7 @@ def maintain_k_anonymity_each_batch(
     events_path: str,
     view_path: str,
     k: int = 5,
+    counts_path: str | None = None,
 ):
     """foreachBatch function: STREAMING k-anonymity view maintenance —
     the streaming twin of ``registry.events_k_anonymity``.
@@ -649,11 +650,22 @@ def maintain_k_anonymity_each_batch(
     events and (b) archived events whose hour-class gained members this
     batch or whose day/month-class crossed the k threshold.  The
     maintainer re-classifies batch ∪ affected and upserts those rows
-    into the view; untouched classes are never re-read.
+    into the view.
+
+    Class sizes come from a PERSISTED MERGEABLE COUNT SKETCH (ADVICE
+    r6): counts are additive under inserts, so per-batch class sizes
+    are sketch ⊕ batch — one aggregate over a table bounded by distinct
+    (event_type, hour) classes, never a re-aggregation of the event
+    history.  The per-batch archive work is therefore (a) merging the
+    sketch and (b) a key-column projection of the archive to SELECT the
+    affected rows (semi join on the batch's month keys); the event
+    history is never re-counted.
 
     State: the keyed event archive (``_batch_id``-partitioned
     idempotent appends; the quasi-identifier keys are stored so the
-    archive is never re-derived from timestamps) and the materialized
+    archive is never re-derived from timestamps), the hour-class count
+    sketch (same idempotent-append discipline; day/month counts
+    re-aggregate from it by the ladder property), and the materialized
     (event_id, anon_level, class_size) view, swapped crash-safely.
     After ANY prefix of batches the view equals the batch query on
     everything streamed so far (asserted in tests/test_streaming.py).
@@ -680,10 +692,12 @@ def maintain_k_anonymity_each_batch(
             ).alias("qm"),
         )
 
-    def _classify(keyed: DataFrame, full: DataFrame) -> DataFrame:
-        ch = full.groupBy("qh").agg(F.count(F.lit(1)).cast("long").alias("nh"))
-        cd = full.groupBy("qd").agg(F.count(F.lit(1)).cast("long").alias("nd"))
-        cm = full.groupBy("qm").agg(F.count(F.lit(1)).cast("long").alias("nm"))
+    def _classify(keyed: DataFrame, counts: DataFrame) -> DataFrame:
+        # `counts` is the merged hour-class sketch (qh, qd, qm, n);
+        # coarser class sizes re-aggregate from it (ladder property)
+        ch = counts.groupBy("qh").agg(F.sum("n").cast("long").alias("nh"))
+        cd = counts.groupBy("qd").agg(F.sum("n").cast("long").alias("nd"))
+        cm = counts.groupBy("qm").agg(F.sum("n").cast("long").alias("nm"))
         j = keyed.join(ch, "qh").join(cd, "qd").join(cm, "qm")
         level = (
             F.when(F.col("nh") >= k, F.lit("hour"))
@@ -701,12 +715,30 @@ def maintain_k_anonymity_each_batch(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        cpath = counts_path or (view_path.rstrip("/") + "_counts")
         for p in (events_path, view_path):
             fs.recover_swap(spark, p)
         if batch_df.isEmpty():
             return
         with caching.scope():
             b_keyed = caching.tracked_persist(_keys(batch_df))
+            b_counts = b_keyed.groupBy("qh", "qd", "qm").agg(
+                F.count(F.lit(1)).cast("long").alias("n")
+            )
+            if fs.has_parquet(spark, cpath):
+                prev_counts = (
+                    spark.read.parquet(cpath)
+                    .where(F.col("_batch_id") < batch_id)
+                    .select("qh", "qd", "qm", "n")
+                )
+            else:
+                prev_counts = spark.createDataFrame([], b_counts.schema)
+            # sketch ⊕ batch: class sizes WITHOUT re-counting history
+            counts = caching.tracked_persist(
+                prev_counts.unionByName(b_counts)
+                .groupBy("qh", "qd", "qm")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
             if fs.has_parquet(spark, events_path):
                 archive = (
                     spark.read.parquet(events_path)
@@ -715,15 +747,13 @@ def maintain_k_anonymity_each_batch(
                 )
             else:
                 archive = spark.createDataFrame([], b_keyed.schema)
-            archive = caching.tracked_persist(archive)
-            full = archive.unionByName(b_keyed)
             # affected archive rows: any event sharing a MONTH class with
             # the batch (month ⊇ day ⊇ hour by the ladder property, so
             # the month key over-approximates every class whose count —
             # and therefore any member's level — could have changed)
             touched_m = b_keyed.select("qm").distinct()
             affected = archive.join(F.broadcast(touched_m), "qm", "left_semi")
-            out = _classify(affected.unionByName(b_keyed), full)
+            out = _classify(affected.unionByName(b_keyed), counts)
             # upsert into the view
             if fs.has_parquet(spark, view_path):
                 prev = spark.read.parquet(view_path)
@@ -735,13 +765,14 @@ def maintain_k_anonymity_each_batch(
             merged.write.mode("overwrite").parquet(staging)
             spark.read.parquet(staging).count()
             fs.swap_directory(spark, staging, view_path)
-            (
-                b_keyed.withColumn("_batch_id", F.lit(batch_id).cast("long"))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_batch_id")
-                .parquet(events_path)
-            )
+            for state_df, state_path in ((b_keyed, events_path), (b_counts, cpath)):
+                (
+                    state_df.withColumn("_batch_id", F.lit(batch_id).cast("long"))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_batch_id")
+                    .parquet(state_path)
+                )
 
     return _apply
 
