@@ -3,16 +3,23 @@
 #   make verify   - oracle parity (sf0.01) -> plan audit -> bench (sf0.1)
 #
 # Individual stages:
-#   make parity   - every registered query vs its DuckDB oracle
-#   make plans    - regenerate PLANS.md (exchange/broadcast/codegen audit)
-#   make bench    - min-of-2 headline benchmark, one JSON line
-#   make test     - full pytest suite
+#   make parity    - every registered query vs its DuckDB oracle
+#   make plans     - regenerate PLANS.md (exchange/broadcast/codegen audit)
+#   make bench     - min-of-2 headline benchmark, one JSON line
+#   make bench-sf1 - 10x-scale benchmark (VERDICT r6 item 5): builds the
+#                    /tmp/graft_sf1 replication fixture if absent, runs the
+#                    SF1_HEADLINE subset (top cost + per-family anchors +
+#                    current-round additions) with the untimed state-build
+#                    pass, writes BENCH_SF1.json — re-run every round so
+#                    the scaling table never goes stale
+#   make test      - full pytest suite
 
 SF_PARITY ?= /root/testdata/sf0.01
 SF_PLANS  ?= /root/testdata/sf0.01
 SF_BENCH  ?= /root/testdata/sf0.1
+SF1_DIR   ?= /tmp/graft_sf1
 
-.PHONY: verify parity plans bench test
+.PHONY: verify parity plans bench bench-sf1 test
 
 verify: parity plans bench
 
@@ -24,6 +31,11 @@ plans:
 
 bench:
 	SPARK_GRAFT_SF_DIR=$(SF_BENCH) python bench.py
+
+bench-sf1:
+	@test -d $(SF1_DIR)/lineitem.parquet || python make_sf1.py $(SF1_DIR)
+	SPARK_GRAFT_SF_DIR=$(SF1_DIR) SPARK_GRAFT_BENCH_OUT=BENCH_SF1.json \
+	SPARK_GRAFT_BENCH_QUERIES=@sf1 python bench.py
 
 test:
 	python -m pytest tests/ -x -q

@@ -191,6 +191,41 @@ HEADLINE = [
     "incremental_type_quantiles",
     "docs_weighted_sample",
     "docs_weighted_sample_per_source",
+    # r7: zonemap delete maintenance
+    "events_zonemap_retract",
+]
+
+
+# sf1 scale-bench subset (VERDICT r6 item 5, `make bench-sf1`): the
+# most expensive queries + per-family anchors + everything added in the
+# current round.  Selected with SPARK_GRAFT_BENCH_QUERIES=@sf1.
+SF1_HEADLINE = [
+    "users_cooccurrence",
+    "streaming_dedup_archive",
+    "embedding_near_dup_ann",
+    "embedding_near_dup_t90",
+    "shot_team_summary",
+    "shot_team_summary_bucketed",
+    "orders_profile",
+    "dedup_semantic",
+    "dedup_clusters_incremental",
+    "shot_ingest_json",
+    "dedup_ngram_jaccard",
+    "docs_deduplicated",
+    "users_pagerank_personalized",
+    "users_pagerank",
+    "dedup_clusters",
+    "price_quantiles",
+    "docs_boilerplate_incremental",
+    "users_triangles",
+    "dedup_minhash_lsh_salted",
+    "q2_min_cost_supplier",
+    "dedup_simhash",
+    "q1_pricing_summary",
+    "dedup_incremental",
+    "users_sig_edges_incremental",
+    # current-round additions (keep this block fresh per round)
+    "events_zonemap_retract",
 ]
 
 
@@ -224,7 +259,10 @@ def main() -> None:
     # detail-file override so BENCH_SF1.json can live beside
     # BENCH_FULL.json without clobbering it.
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
-    headline = subset.split(",") if subset else HEADLINE
+    if subset == "@sf1":
+        headline = SF1_HEADLINE
+    else:
+        headline = subset.split(",") if subset else HEADLINE
     out_file = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
 
     force(qs[headline[0]](spark, sf_dir))  # warmup: JVM + codegen + IO path
@@ -249,6 +287,21 @@ def main() -> None:
     # loaded driver machine shifts the whole-session floor, so compare
     # common-subset TOTALS across rounds, not single queries.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # State pre-build pass (VERDICT r6 item 4): every query runs ONCE
+    # untimed before the timed region, so (a) `_persisted_index` state —
+    # "yesterday's state" in the production framing — is materialized
+    # outside the measurement, and (b) per-query codegen/broadcast
+    # warmup never leaks into min-of-N even at RUNS=1 (the r6 sf1
+    # artifact recorded users_triangles at 73.6 s where the steady-state
+    # probe plan runs 0.8 s — the difference was the one-time state
+    # build).  The pass total is reported as `state_build_s`, a real
+    # number worth tracking (it is the nightly index-build cost), just
+    # not part of any query's steady-state figure.
+    t_pre = time.perf_counter()
+    for name in headline:
+        force(qs[name](spark, sf_dir))
+    state_build_s = round(time.perf_counter() - t_pre, 3)
+
     timings: dict[str, float] = {}
     shuffle_mb: dict[str, float] = {}
     for name in headline:
@@ -272,6 +325,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "shuffle_mb": shuffle_mb,
+        "state_build_s": state_build_s,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full per-query detail: one JSON line (the documented contract) plus

@@ -92,3 +92,53 @@ def test_zonemap_merge_equals_frozen_bounds_recompute(spark, sf_dir):
     )
     full = L.zorder_shards(archive.unionByName(delta), "x", "y", bounds=bounds)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_zonemap_retraction_contract(spark, sf_dir):
+    """The delete contract (VERDICT r6 item 6): counts subtract, boxes
+    KEEP (pruning stays correct but weakens), and the staleness flag
+    trips on delete-heavy shards — the re-layout signal."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_millis("ts").alias("x"), F.col("value").alias("y")
+    )
+    bounds = L.zorder_bounds(ev, "x", "y")
+    zm = L.zorder_shards(ev, "x", "y", bounds=bounds)
+    # tombstone the top value decile: these rows define y_max for the
+    # shards they live in, so retraction CANNOT shrink those boxes
+    y90 = ev.agg(F.expr("percentile(y, 0.9)")).first()[0]
+    dead = ev.where(F.col("y") >= y90)
+    dead_zm = L.zorder_shards(dead, "x", "y", bounds=bounds)
+    out = L.retract_zonemaps(zm, dead_zm, stale_fraction=0.5)
+
+    # counts: live rows per shard == recompute over the live subset
+    live_zm = {r["shard"]: r["n_rows"] for r in
+               L.zorder_shards(ev.where(F.col("y") < y90), "x", "y", bounds=bounds).collect()}
+    for r in out.collect():
+        assert r["n_rows"] == live_zm.get(r["shard"], 0), r
+    # boxes: unchanged from the pre-delete state (keep, never shrink)
+    pre = {r["shard"]: (r["x_min"], r["x_max"], r["y_min"], r["y_max"]) for r in zm.collect()}
+    for r in out.collect():
+        assert (r["x_min"], r["x_max"], r["y_min"], r["y_max"]) == pre[r["shard"]]
+    # pruning CORRECTNESS on the delete-heavy region: every shard that
+    # still holds a live row in the probed box must be touched
+    probe = L.pruning_fraction(out.drop("n_deleted", "stale"), 0, 2**62, y90, 2**62).first()
+    live_rows_in_box = ev.where((F.col("y") >= y90) & F.lit(False)).count()  # all deleted
+    assert probe.rows_touched >= live_rows_in_box  # over-approximation allowed, misses not
+    # staleness: a shard made of >= 50% deleted rows trips; a shard
+    # untouched by deletes does not
+    rows = {r["shard"]: r for r in out.collect()}
+    tripped = [r for r in rows.values() if r["stale"]]
+    untouched = [r for r in rows.values() if r["n_deleted"] == 0]
+    assert all(not r["stale"] for r in untouched)
+    heavy = [r for r in rows.values()
+             if r["n_deleted"] >= 0.5 * (r["n_rows"] + r["n_deleted"]) and r["n_deleted"] > 0]
+    assert heavy, "fixture must contain at least one delete-heavy shard"
+    assert all(r["stale"] for r in heavy)
+    assert set(id(r) for r in tripped) == set(id(r) for r in heavy)
+    # composition: two-step retraction == one-shot on counts
+    d1 = L.zorder_shards(dead.where(F.col("x") % 2 == 0), "x", "y", bounds=bounds)
+    d2 = L.zorder_shards(dead.where(F.col("x") % 2 != 0), "x", "y", bounds=bounds)
+    two = L.retract_zonemaps(L.retract_zonemaps(zm, d1), d2)
+    got = {r["shard"]: (r["n_rows"], r["n_deleted"]) for r in two.collect()}
+    want = {r["shard"]: (r["n_rows"], r["n_deleted"]) for r in out.collect()}
+    assert got == want

@@ -207,6 +207,91 @@ GROUP BY shard
 """
 
 
+def events_zonemap_retract(
+    spark, sf_dir, bits: int = 8, shard_bits: int = 6, dead_mod: int = 10,
+    dead_lt: int = 3, stale_fraction: float = 0.25,
+):
+    """Zonemap DELETE maintenance (VERDICT r6 item 6 made a graded
+    query): tombstone a deterministic 30% of the event log (event_id %
+    10 < 3 — value-independent, so deletes spread across shards) and
+    apply ``layout.retract_zonemaps`` to the full-corpus zonemap.
+
+    The contract under test: counts SUBTRACT (clamped at 0), bounding
+    boxes KEEP their pre-delete extents (a box shrinks only by
+    re-scanning the shard — pruning stays CORRECT, selectivity decays),
+    and the ``stale`` flag trips when a shard's deleted fraction
+    reaches ``stale_fraction`` of its lifetime rows — the re-layout
+    signal.  Tombstones carry their column values, so their shard is
+    the same map-side quantize+interleave under the SAME frozen bounds
+    — no archive read; the whole retraction is two sketch-sized frames
+    joined on the shard key."""
+    from ..operators import layout as L
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.unix_millis("ts").alias("x"), F.col("value").alias("y"), "event_id"
+    )
+    bounds = L.zorder_bounds(ev, "x", "y")
+    zm = L.zorder_shards(ev, "x", "y", bits=bits, shard_bits=shard_bits, bounds=bounds)
+    dead = ev.where(F.col("event_id") % dead_mod < dead_lt)
+    dzm = L.zorder_shards(
+        dead, "x", "y", bits=bits, shard_bits=shard_bits, bounds=bounds
+    )
+    return L.retract_zonemaps(zm, dzm, stale_fraction=stale_fraction)
+
+
+def _oracle_zonemap_retract_sql(
+    bits: int = 8, shard_bits: int = 6, dead_mod: int = 10, dead_lt: int = 3,
+    stale_fraction: float = 0.25,
+) -> str:
+    """Replay of ``events_zonemap_retract``: full-corpus zonemap minus
+    per-shard tombstone counts, boxes kept, staleness vs lifetime rows.
+    Generated from the SAME parameters as the query (the ADVICE r6
+    oracle-parameter-coupling rule)."""
+    top = (1 << bits) - 1
+    inter = " + ".join(
+        f"(((bx >> {i}) & 1) << {2 * i}) + (((by >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    return f"""
+WITH stats AS (
+    SELECT CAST(min(epoch_ms(ts)) AS DOUBLE) AS xmin,
+           CAST(max(epoch_ms(ts)) AS DOUBLE) AS xmax,
+           CAST(min(value) AS DOUBLE) AS ymin,
+           CAST(max(value) AS DOUBLE) AS ymax
+    FROM events
+),
+q AS (
+    SELECT event_id, epoch_ms(ts) AS x, value AS y,
+           least(greatest(CAST(floor(((CAST(epoch_ms(ts) AS DOUBLE) - xmin)
+               / (CASE WHEN xmax > xmin THEN xmax - xmin ELSE 1.0 END)) * {top}.0) AS BIGINT), 0), {top}) AS bx,
+           least(greatest(CAST(floor(((CAST(value AS DOUBLE) - ymin)
+               / (CASE WHEN ymax > ymin THEN ymax - ymin ELSE 1.0 END)) * {top}.0) AS BIGINT), 0), {top}) AS by
+    FROM events CROSS JOIN stats
+),
+z AS (
+    SELECT event_id, x, y, ({inter}) >> {2 * bits - shard_bits} AS shard FROM q
+),
+s AS (
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_total,
+           min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+    FROM z GROUP BY shard
+),
+d AS (
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_dead
+    FROM z WHERE event_id % {dead_mod} < {dead_lt} GROUP BY shard
+)
+SELECT s.shard,
+       CAST(greatest(s.n_total - coalesce(d.n_dead, 0), 0) AS BIGINT) AS n_rows,
+       s.x_min, s.x_max, s.y_min, s.y_max,
+       CAST(coalesce(d.n_dead, 0) AS BIGINT) AS n_deleted,
+       coalesce(d.n_dead, 0) >= {stale_fraction} * s.n_total AS stale
+FROM s LEFT JOIN d ON d.shard = s.shard
+"""
+
+
+_ORACLE_ZONEMAP_RETRACT = _oracle_zonemap_retract_sql()
+
+
 def _oracle_zorder_sql(bits: int = 8, shard_bits: int = 6) -> str:
     top = (1 << bits) - 1
     inter = " + ".join(

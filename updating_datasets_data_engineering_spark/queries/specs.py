@@ -280,9 +280,11 @@ from .curation import (
 )
 from .layout import (
     _ORACLE_K_ANONYMITY,
+    _ORACLE_ZONEMAP_RETRACT,
     _oracle_zorder_incr_sql,
     _oracle_zorder_sql,
     events_k_anonymity,
+    events_zonemap_retract,
     events_zorder_incremental,
     events_zorder_layout,
 )
@@ -351,6 +353,11 @@ SPECS: list[QuerySpec] = [
     # tests/test_oracle_parity.py): docs_deduplicated, knn_bruteforce,
     # knn_ann_ivf, knn_ann_srp, embedding_near_dup, embedding_near_dup_ann,
     # multimodal_features, text_metrics, text_langid, text_sentiment.
+    # r7 additions enter the window in their birth round (item 3's
+    # front-of-queue rule); each evicts the next longest resident.
+    QuerySpec(
+        "events_zonemap_retract", events_zonemap_retract, _ORACLE_ZONEMAP_RETRACT
+    ),
     QuerySpec("sources_jsd_hashed", sources_jsd_hashed, _ORACLE_JSD_HASHED),
     QuerySpec("events_k_anonymity", events_k_anonymity, _ORACLE_K_ANONYMITY),
     QuerySpec("events_zorder_layout", events_zorder_layout, _oracle_zorder_sql()),
@@ -391,7 +398,8 @@ SPECS: list[QuerySpec] = [
         OE.incremental_minhash_sql(16, 4, 0.4, ngram=3, delta_mod=10),
     ),
     # --- text analysis / corpus curation --------------------------------
-    QuerySpec("text_redact", text_redact, OE.redact_sql()),
+    # (text_redact evicted at r7 — one slot per r7 addition above;
+    # driver-green r1-r6, oracle-pinned in the tail below.)
     QuerySpec("doc_fingerprints", doc_fingerprints, OE.fingerprint_sql()),
     QuerySpec("doc_chunks", doc_chunks, _ORACLE_CHUNKS),
     QuerySpec("docs_sample_stratified", docs_sample_stratified, _ORACLE_SAMPLE),
@@ -484,6 +492,7 @@ SPECS: list[QuerySpec] = [
     # (embedding_near_dup_t90 / q21 / q20 / q2 / q11 rotated in as r6's
     # block; the r4 incremental-index block rotated in as part of r7's.)
     # Rotated OUT of the window at r7 (driver-green r1-r6):
+    QuerySpec("text_redact", text_redact, OE.redact_sql()),
     QuerySpec("docs_deduplicated", docs_deduplicated, _oracle_dedup_corpus_sql()),
     QuerySpec("knn_bruteforce", knn_bruteforce, OE.knn_bruteforce_sql(5, 5, 64)),
     QuerySpec("knn_ann_ivf", knn_ann_ivf, OE.ivf_ann_sql(5, 5, 16, 4, 64)),

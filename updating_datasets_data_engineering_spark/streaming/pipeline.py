@@ -800,6 +800,13 @@ def maintain_zonemap_each_batch(
     merge with ``layout.merge_zonemaps`` (counts add, boxes union), so
     the live zonemap equals the frozen-bounds full recompute after any
     prefix of batches (asserted in tests/test_streaming.py).
+
+    Delete scope: this maintainer is INSERT-ONLY, like the append
+    stream it consumes.  Tombstones go through
+    ``layout.retract_zonemaps`` on the merged view (counts subtract,
+    boxes keep, staleness flag trips re-layout) — see its docstring for
+    the full contract; a re-layout resets both boxes and the deleted
+    counter.
     """
     from pyspark.sql import functions as F
 
