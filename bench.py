@@ -191,8 +191,9 @@ HEADLINE = [
     "incremental_type_quantiles",
     "docs_weighted_sample",
     "docs_weighted_sample_per_source",
-    # r7: zonemap delete maintenance
+    # r7: zonemap delete maintenance + incremental semantic dedup
     "events_zonemap_retract",
+    "dedup_semantic_incremental",
 ]
 
 
@@ -226,6 +227,7 @@ SF1_HEADLINE = [
     "users_sig_edges_incremental",
     # current-round additions (keep this block fresh per round)
     "events_zonemap_retract",
+    "dedup_semantic_incremental",
 ]
 
 

@@ -750,3 +750,63 @@ def semantic_dedup(
             F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def semantic_dedup_delta(
+    corpus: DataFrame,
+    archive_flags: DataFrame,
+    archive_cells: DataFrame,
+    delta_cells: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental :func:`semantic_dedup` — the archive ∪ daily-delta
+    loop applied to the SEMANTIC dedup tier: archive flags and cell
+    assignment are PERSISTED state; only the delta is scored.
+
+    Why archive flags FREEZE under inserts (the monotonicity that makes
+    this exact, not approximate): ``is_dup(b)`` holds iff some
+    same-cell vector with a SMALLER id matches ``b``.  Delta ids are
+    larger than every archive id by construction (new corpus members),
+    so a delta row can never become an archive row's absorber — archive
+    flags are immutable, exactly like the k-anonymity ladder only
+    refining under inserts.  Delta rows compare against all same-cell
+    members with smaller ids (archive AND earlier delta), so
+    archive-flags ∪ delta-flags ≡ the full recompute — the registered
+    query shares the batch oracle, and that equality IS the claim.
+
+    Plan shape: the within-cell pair join — the only super-linear term
+    — has the DELTA on its probe side, so per-call work is
+    |delta| × expected-cell-size, not |corpus|²/k; cell assignment of
+    the delta is one broadcast centroid scoring pass against the FROZEN
+    archive centroids (same freeze as the IVF/ANN maintainers)."""
+    cells = archive_cells.unionByName(delta_cells).select(
+        F.col(id_col).alias("id"), "cell"
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        V.norm(F.col(vec_col)).alias("nrm"),
+    )
+    member = cells.join(vecs, "id")
+    d_member = delta_cells.select(F.col(id_col).alias("id"), "cell").join(vecs, "id")
+    cos = V.dot(F.col("sa.vec"), F.col("sb.vec")) / (F.col("sa.nrm") * F.col("sb.nrm"))
+    absorbed = (
+        member.alias("sa")
+        .join(
+            d_member.alias("sb"),
+            (F.col("sa.cell") == F.col("sb.cell")) & (F.col("sa.id") < F.col("sb.id")),
+        )
+        .where(cos >= threshold)
+        .select(F.col("sb.id").alias("id"))
+        .distinct()
+    )
+    d_flags = (
+        delta_cells.select(F.col(id_col), "cell")
+        .join(absorbed.withColumn("_dup", F.lit(True)), F.col(id_col) == F.col("id"), "left")
+        .select(
+            id_col, "cell", F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup")
+        )
+    )
+    return archive_flags.unionByName(d_flags)

@@ -190,6 +190,45 @@ def dedup_semantic(spark, sf_dir):
     return SIM.semantic_dedup(corpus, n_cells=n_cells, threshold=0.92)
 
 
+def dedup_semantic_incremental(spark, sf_dir):
+    """Incremental semantic dedup (the archive ∪ daily-delta loop
+    applied to the SemDeDup tier — completing the incremental-index
+    family: LSH bands, SimHash, IVF cells, clusters, and now semantic
+    flags): the 500 original vectors are the archive whose cell
+    assignment AND duplicate flags are PERSISTED parquet state
+    (``_persisted_index``); the planted re-crawls (vec_id % 25 == 0,
+    re-entered under +1,000,000 — "today's delta") are the only rows
+    scored per call, against the frozen archive centroids.  Archive
+    flags freeze under inserts because delta ids are strictly larger —
+    a delta row can never absorb an archive row (the monotonicity
+    ``operators.similarity.semantic_dedup_delta`` documents).  Oracle =
+    the SAME full-recompute SQL the batch ``dedup_semantic`` grades
+    against — incremental ≡ batch is the correctness claim (the
+    knn_ann_ivf_incremental convention)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    n_cells = SIM.adaptive_cell_count(corpus.count())
+    a_cells = _persisted_index(
+        spark, sf_dir, "sem_cells", lambda: SIM.ivf_assign_cells(emb, n_cells)
+    )
+    a_flags = _persisted_index(
+        spark,
+        sf_dir,
+        "sem_flags",
+        lambda: SIM.semantic_dedup(emb, n_cells=n_cells, threshold=0.92),
+    )
+    cents = emb.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    d_cells = SIM.ivf_assign_cells(planted, n_cells, centroids=cents)
+    return SIM.semantic_dedup_delta(
+        corpus, a_flags, a_cells, d_cells, threshold=0.92
+    )
+
+
 def knn_ann_srp(spark, sf_dir):
     """Approximate (SRP-LSH, Hamming<=2 multi-probe) top-k.  Fully
     deterministic (md5-derived planes are plan literals), so the DuckDB

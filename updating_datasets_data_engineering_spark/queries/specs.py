@@ -199,6 +199,7 @@ from .indexes import (
     dedup_labels_after_delete,
     dedup_minhash_lsh_salted,
     dedup_semantic,
+    dedup_semantic_incremental,
     doc_chunks,
     docs_contamination,
     docs_pack_sequences,
@@ -358,6 +359,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "events_zonemap_retract", events_zonemap_retract, _ORACLE_ZONEMAP_RETRACT
     ),
+    # incremental ≡ batch, so the oracle is the batch full-recompute SQL
+    QuerySpec(
+        "dedup_semantic_incremental",
+        dedup_semantic_incremental,
+        OE.semantic_dedup_sql(16, 0.92, planted_mod=25),
+    ),
     QuerySpec("sources_jsd_hashed", sources_jsd_hashed, _ORACLE_JSD_HASHED),
     QuerySpec("events_k_anonymity", events_k_anonymity, _ORACLE_K_ANONYMITY),
     QuerySpec("events_zorder_layout", events_zorder_layout, _oracle_zorder_sql()),
@@ -400,7 +407,6 @@ SPECS: list[QuerySpec] = [
     # --- text analysis / corpus curation --------------------------------
     # (text_redact evicted at r7 — one slot per r7 addition above;
     # driver-green r1-r6, oracle-pinned in the tail below.)
-    QuerySpec("doc_fingerprints", doc_fingerprints, OE.fingerprint_sql()),
     QuerySpec("doc_chunks", doc_chunks, _ORACLE_CHUNKS),
     QuerySpec("docs_sample_stratified", docs_sample_stratified, _ORACLE_SAMPLE),
     QuerySpec("docs_quality_filter", docs_quality_filter, _oracle_quality_filter_sql()),
@@ -493,6 +499,7 @@ SPECS: list[QuerySpec] = [
     # block; the r4 incremental-index block rotated in as part of r7's.)
     # Rotated OUT of the window at r7 (driver-green r1-r6):
     QuerySpec("text_redact", text_redact, OE.redact_sql()),
+    QuerySpec("doc_fingerprints", doc_fingerprints, OE.fingerprint_sql()),
     QuerySpec("docs_deduplicated", docs_deduplicated, _oracle_dedup_corpus_sql()),
     QuerySpec("knn_bruteforce", knn_bruteforce, OE.knn_bruteforce_sql(5, 5, 64)),
     QuerySpec("knn_ann_ivf", knn_ann_ivf, OE.ivf_ann_sql(5, 5, 16, 4, 64)),
