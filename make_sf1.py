@@ -12,16 +12,20 @@ keep the corpus structure linear:
     discipline scale_probe.replicate uses);
   * embeddings: per-replica circular shift (replicas sit far apart in
     cosine);
-  * events: user_id/event_id offsets AND a 31-day time shift per
+  * events: user_id/event_id offsets AND a one-YEAR time shift per
     replica (the base spans 2024-01-01..01-30).  Without the shift,
     every user gets 9 CLONES active in exactly the same hours — the
     co-activity graph densifies quadratically from clone pairs, a
     replication ARTIFACT (measured: users_triangles 571 s at sf1, 372×
     sf0.1), not a workload property; 10× traffic in production grows
-    users AND history together.  With disjoint months, windows ×10 and
-    per-hour occupancy stays fixture-level — pair-counting work scales
-    linearly, which is the honest shape.  (The flash-event density case
-    is covered separately by the salt-grid guard's adversarial test.);
+    users AND history together.  With each replica its own January,
+    windows ×10, per-hour occupancy stays fixture-level, AND every
+    replica is a whole calendar epoch — pair-counting work and the
+    epoch-local significant-edge graph both scale exactly linearly,
+    which is the honest shape (a 31-day shift straddled month
+    boundaries and inflated boundary-pair lift 2×, see the events
+    comment below).  (The flash-event density case is covered
+    separately by the salt-grid guard's adversarial test.);
   * dims/facts: key offsets only — value distributions identical.
 
 Row counts at sf1: lineitem 6M, orders 1.5M, events 1M, customer 150k,
@@ -86,10 +90,19 @@ def main() -> None:
         .withColumn("l_partkey", F.col("l_partkey") + F.lit(i * N["part"]))
         .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(i * N["supplier"]))
     ))
+    # YEAR shift, not 31 days (r7): a 31-day shift straddles calendar
+    # month boundaries, splitting each replica's windows across two
+    # epochs — users anti-correlated across the artificial boundary get
+    # INFLATED epoch-local lift, densifying the significant-edge graph
+    # 19.6× instead of 10× (measured).  A whole-year shift makes every
+    # replica a bit-identical calendar copy (base spans January only):
+    # disjoint windows, month-aligned epochs, no day-of-month clamping
+    # — per-month counts are identical per replica, so the sig graph is
+    # EXACTLY 10× and scaling ratios measure the plans, not the fixture.
     reps("events", lambda df, i: (
         df.withColumn("event_id", F.col("event_id") + F.lit(i * N["events"]))
         .withColumn("user_id", F.col("user_id") + F.lit(i * N["users"]))
-        .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {31 * i} DAYS"))
+        .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i} YEARS"))
     ))
     reps("documents", lambda df, i: df.select(
         (F.col("doc_id") + F.lit(i * N["docs"])).alias("doc_id"),

@@ -212,11 +212,30 @@ def triangle_stats(
     )
     kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
     kw = F.struct(F.col("dw").alias("d"), F.col("w").alias("n"))
+    # Pin the wedge self-join's partitioning explicitly (the same
+    # AQE-uncoalescible repartition `skew.guarded_self_pairs` pins,
+    # found at sf1.0): AQE sizes post-shuffle partitions from the
+    # map-output bytes of o1/o2 — small edge frames — but the join's
+    # OUTPUT is quadratic per endpoint (Σ outdeg² wedges), so AQE
+    # coalesced wedge production to a handful of tasks.
+    n_part = edges.sparkSession.sparkContext.defaultParallelism
+    o1 = o1.repartition(n_part, "u")
     wedges = o1.join(o2, "u").where(kv < kw).select(
         "u", F.col("v").alias("lo2"), F.col("w").alias("hi2")
     )
     closing = oriented.select(F.col("lo").alias("lo2"), F.col("hi").alias("hi2"))
-    tris = wedges.join(closing, ["lo2", "hi2"])
+    # Broadcast the closing-edge side: the wedge set is the quadratic
+    # intermediate (Σ outdeg² rows), so shuffling IT into a sort-merge
+    # join is the scale killer — measured at sf1.0 the 2.3M-edge
+    # closing frame crossed the 10MB auto-broadcast threshold and the
+    # plan flipped to SMJ, sorting ~170M wedge rows (~75 s vs ~8 s).
+    # An edge list broadcasts far beyond that threshold safely (two
+    # longs per row: 10M edges ≈ 160 MB), and keeping the wedge side
+    # shuffle-free is exactly the Suri-Vassilvitskii MapReduce plan.
+    # At edge counts past executor memory, partition BOTH sides on
+    # (lo2, hi2) instead — that regime needs graph partitioning, not a
+    # bigger broadcast, and is beyond this operator's contract.
+    tris = wedges.join(F.broadcast(closing), ["lo2", "hi2"])
     per_node = (
         tris.select(
             F.explode(F.array(F.col("u"), F.col("lo2"), F.col("hi2"))).alias("u")
