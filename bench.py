@@ -228,6 +228,23 @@ SF1_HEADLINE = [
     # current-round additions (keep this block fresh per round)
     "events_zonemap_retract",
     "dedup_semantic_incremental",
+    # mid-registry anchors (VERDICT r6 "missing" 3: the middle of the
+    # registry had never run above sf0.1) — one per untested family
+    "events_k_anonymity",
+    "events_zorder_layout",
+    "events_zorder_incremental",
+    "docs_split_leakage_safe",
+    "sources_jsd_hashed",
+    "docs_contamination",
+    "events_sessionize",
+    "events_funnel",
+    "docs_tfidf_keywords",
+    "q9_product_profit",
+    "events_retention_cohorts",
+    "merge_scd2_customers",
+    "docs_pack_sequences",
+    "multimodal_features",
+    "incremental_value_quantiles",
 ]
 
 

@@ -80,6 +80,16 @@ def plan_report(spark, sf_dir: str) -> str:
         '`.explain("formatted")` for every registered query: shuffles,',
         "join strategies, codegen stages, scan pushdown, Python exchange.",
         "",
+        "Known blind spots of plan-text extraction (cross-checked by the",
+        "`shuffle_mb` executor counters in BENCH_FULL — see COVERAGE.md):",
+        "lineage truncated by `localCheckpoint` does not appear in the final",
+        "explain, which hides (a) pagerank's per-round shuffles, (b) work",
+        "inside `foreachBatch` micro-batches, and (c) since r7 the Arrow",
+        "`mapInPandas` SRP-banding stage of `embedding_near_dup_ann` /",
+        "`embedding_near_dup_t90` — those two rows read `none` below but DO",
+        "run one sanctioned Arrow stage (bit-exactness and plan shape",
+        "asserted in tests/test_recall.py).",
+        "",
         "| query | exchanges | key shuffles | bcast joins | SMJ | codegen stages | pushed filters | python |",
         "|---|---|---|---|---|---|---|---|",
     ]
