@@ -191,9 +191,11 @@ HEADLINE = [
     "incremental_type_quantiles",
     "docs_weighted_sample",
     "docs_weighted_sample_per_source",
-    # r7: zonemap delete maintenance + incremental semantic dedup
+    # r7: zonemap delete maintenance + incremental semantic dedup +
+    # asymmetric containment dedup
     "events_zonemap_retract",
     "dedup_semantic_incremental",
+    "dedup_containment",
 ]
 
 
@@ -228,6 +230,7 @@ SF1_HEADLINE = [
     # current-round additions (keep this block fresh per round)
     "events_zonemap_retract",
     "dedup_semantic_incremental",
+    "dedup_containment",
     # mid-registry anchors (VERDICT r6 "missing" 3: the middle of the
     # registry had never run above sf0.1) — one per untested family
     "events_k_anonymity",

@@ -130,6 +130,37 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
 """
 
 
+def containment_sql(threshold: float = 0.8, n: int = 3, max_df: int = 100) -> str:
+    """Replays ``dedup.containment_pairs``: distinct shingle posting
+    lists, df-window stop filter (2 ≤ df ≤ max_df — generated from the
+    SAME parameters as the query), shared-shingle pair counts over the
+    kept shingles, containment against UNFILTERED min sizes."""
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {_shingles_sql(n)} AS s
+    FROM (SELECT doc_id, {WORDS} AS w FROM documents)
+),
+shex AS (SELECT DISTINCT doc_id, unnest(s) AS sh FROM toks),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shex GROUP BY doc_id),
+kept AS (
+    SELECT sh FROM (SELECT sh, count(*) AS df FROM shex GROUP BY sh)
+    WHERE df >= 2 AND df <= {max_df}
+),
+post AS (SELECT s.doc_id, s.sh FROM shex s JOIN kept k ON k.sh = s.sh),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+    FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(shared AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment
+FROM shared i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE round(CAST(shared AS DOUBLE) / least(sa.sz, sb.sz), 6) >= {threshold}
+"""
+
+
 def minhash_lsh_sql(
     num_hashes: int = 16, band_size: int = 4, threshold: float = 0.4, ngram: int | None = None
 ) -> str:

@@ -89,6 +89,17 @@ def dedup_ngram_jaccard_q(spark, sf_dir):
     return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), ngram=3, threshold=0.5)
 
 
+def dedup_containment(spark, sf_dir):
+    """Asymmetric doc-in-doc dedup by shingle containment (r7 — the
+    case every symmetric tier misses: a document quoted whole inside a
+    much larger one has Jaccard ≈ |small|/|large| but containment ≈ 1).
+    Posting-list plan with the df-window stop filter; see
+    ``operators/dedup.containment_pairs`` for the scale argument."""
+    return D.containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8, ngram=3, max_df=100
+    )
+
+
 def dedup_minhash_lsh_q(spark, sf_dir):
     """Shingle-based MinHash+LSH (3-gram shingles → 16 md5 permutations
     → 4-hash bands → bucket join → exact-Jaccard verify ≥ 0.4)."""

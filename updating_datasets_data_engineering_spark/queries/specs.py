@@ -163,6 +163,7 @@ from .extension import (
     _oracle_clusters_sql,
     _oracle_dedup_corpus_sql,
     dedup_clusters,
+    dedup_containment,
     dedup_exact_q,
     dedup_minhash_lsh_q,
     dedup_ngram_jaccard_q,
@@ -359,6 +360,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "events_zonemap_retract", events_zonemap_retract, _ORACLE_ZONEMAP_RETRACT
     ),
+    QuerySpec(
+        "dedup_containment", dedup_containment, OE.containment_sql(0.8, 3, 100)
+    ),
     # incremental ≡ batch, so the oracle is the batch full-recompute SQL
     QuerySpec(
         "dedup_semantic_incremental",
@@ -407,7 +411,6 @@ SPECS: list[QuerySpec] = [
     # --- text analysis / corpus curation --------------------------------
     # (text_redact evicted at r7 — one slot per r7 addition above;
     # driver-green r1-r6, oracle-pinned in the tail below.)
-    QuerySpec("doc_chunks", doc_chunks, _ORACLE_CHUNKS),
     QuerySpec("docs_sample_stratified", docs_sample_stratified, _ORACLE_SAMPLE),
     QuerySpec("docs_quality_filter", docs_quality_filter, _oracle_quality_filter_sql()),
     QuerySpec("docs_pack_sequences", docs_pack_sequences, _oracle_pack_sql(2048)),
@@ -500,6 +503,7 @@ SPECS: list[QuerySpec] = [
     # Rotated OUT of the window at r7 (driver-green r1-r6):
     QuerySpec("text_redact", text_redact, OE.redact_sql()),
     QuerySpec("doc_fingerprints", doc_fingerprints, OE.fingerprint_sql()),
+    QuerySpec("doc_chunks", doc_chunks, _ORACLE_CHUNKS),
     QuerySpec("docs_deduplicated", docs_deduplicated, _oracle_dedup_corpus_sql()),
     QuerySpec("knn_bruteforce", knn_bruteforce, OE.knn_bruteforce_sql(5, 5, 64)),
     QuerySpec("knn_ann_ivf", knn_ann_ivf, OE.ivf_ann_sql(5, 5, 16, 4, 64)),
