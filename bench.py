@@ -327,6 +327,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     shuffle_mb: dict[str, float] = {}
     for name in headline:
+        # Drive the ContextCleaner BEFORE each query's timed region:
+        # localCheckpoint block cleanup is reference-triggered (the JVM
+        # frees a checkpoint's blocks only after driver GC collects the
+        # RDD handle), so a long bench session accumulates dead blocks
+        # until ambient GC happens to run — measured at sf1 over a
+        # 42-query session the late queries degraded ~2× from the
+        # resulting memory pressure.  An explicit System.gc() between
+        # queries (never inside the timed region) makes per-query
+        # numbers session-order-independent.
+        spark.sparkContext._jvm.System.gc()
         best = float("inf")
         r0, w0 = shuffle_totals(spark)
         for _ in range(runs):

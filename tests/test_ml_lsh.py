@@ -143,3 +143,39 @@ def test_fuzzy_pairs_salt_grid_preserves_results(spark):
         for r in fuzzy_pairs(df, max_dist=2, bucket_cap=5, n_salts=4).collect()
     }
     assert plain == salted and len(plain) > 0
+
+
+def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
+    """The operator's reason to exist: a small doc quoted WHOLE inside a
+    much larger one has near-zero Jaccard (symmetric tiers skip it) but
+    containment 1.0.  Also checks the df stop filter only lowers the
+    measure and that df=1 pruning is result-free."""
+    from updating_datasets_data_engineering_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(20))          # 20 words, 18 3-shingles
+    host = quote + " " + " ".join(f"h{i}" for i in range(400))
+    other = " ".join(f"z{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, quote), (2, host), (3, other)], ["doc_id", "text"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, threshold=0.8, ngram=3).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 0.9
+    assert len(got) == 1  # `other` pairs with nobody
+    # the symmetric measure on the same pair is tiny — Jaccard ≈ 18/419
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, ngram=3, threshold=0.5).collect()
+    }
+    assert (1, 2) not in jac
+    # stop filter monotonicity: a tighter df cap can only shrink output
+    tight = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(df, threshold=0.8, ngram=3, max_df=1).collect()
+    }
+    assert tight <= set(got)
