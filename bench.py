@@ -196,6 +196,7 @@ HEADLINE = [
     "events_zonemap_retract",
     "dedup_semantic_incremental",
     "dedup_containment",
+    "docs_repeated_spans_unaligned",
 ]
 
 
@@ -231,6 +232,7 @@ SF1_HEADLINE = [
     "events_zonemap_retract",
     "dedup_semantic_incremental",
     "dedup_containment",
+    "docs_repeated_spans_unaligned",
     # mid-registry anchors (VERDICT r6 "missing" 3: the middle of the
     # registry had never run above sf0.1) — one per untested family
     "events_k_anonymity",

@@ -179,3 +179,66 @@ def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
         for r in containment_pairs(df, threshold=0.8, ngram=3, max_df=1).collect()
     }
     assert tight <= set(got)
+
+
+def test_unaligned_spans_catch_shifted_duplicate_aligned_misses(spark):
+    """The operator's reason to exist: the same 12-word passage pasted
+    into two documents at offsets 3 and 7 (different mod-10 residues)
+    is invisible to the aligned 10-word-grid detector but must surface
+    as one maximal interval per doc here — with exact start/end."""
+    from updating_datasets_data_engineering_spark.operators.dedup import (
+        repeated_span_intervals,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(12))
+    doc_a = " ".join(f"a{i}" for i in range(3)) + " " + passage + " " + " ".join(
+        f"x{i}" for i in range(15)
+    )
+    doc_b = " ".join(f"b{i}" for i in range(7)) + " " + passage + " " + " ".join(
+        f"y{i}" for i in range(15)
+    )
+    docs = spark.createDataFrame([(1, doc_a), (2, doc_b)], ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in repeated_span_intervals(docs, k=10).collect()
+    }
+    # passage occupies tokens [3, 14] in doc 1 and [7, 18] in doc 2:
+    # k=10 grams at starts 3..5 / 7..9 merge into one island each
+    assert got == {(1, 3, 14, 12), (2, 7, 18, 12)}
+    # the aligned detector sees nothing: no shared 10-word grid chunk
+    from updating_datasets_data_engineering_spark.registry import queries as _q  # noqa: F401
+    from updating_datasets_data_engineering_spark.functions import text as TXT
+
+    aligned = (
+        docs.select("doc_id", F.explode(TXT.fixed_chunks(F.col("text"), 10)).alias("span"))
+        .groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )
+    assert aligned.count() == 0
+
+
+def test_unaligned_spans_merge_adjacent_runs_and_ignore_within_doc_repeats(spark):
+    """(a) A duplicated run longer than k merges into ONE maximal
+    interval (grams at every offset chain through the <=k gap rule);
+    (b) a phrase repeated twice WITHIN one doc but nowhere else is NOT
+    cross-document duplication and must not surface."""
+    from updating_datasets_data_engineering_spark.operators.dedup import (
+        repeated_span_intervals,
+    )
+
+    run = " ".join(f"r{i}" for i in range(25))  # 25-token shared run
+    inner = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, run),
+            (2, run + " " + " ".join(f"z{i}" for i in range(5))),
+            (3, inner + " sep " + inner),  # within-doc repeat only
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in repeated_span_intervals(docs, k=10).collect()
+    }
+    assert got == {(1, 0, 24), (2, 0, 24)}

@@ -226,6 +226,35 @@ def fixed_chunks(text: Column, n: int = 10) -> Column:
     return F.element_at(F.transform(F.array(words(text)), _chunks), 1)
 
 
+def kgrams(text: Column, n: int = 10) -> Column:
+    """OVERLAPPING ``n``-word grams in position order, NON-distinct:
+    element ``i`` (0-based) is words ``i..i+n-1`` space-joined — one
+    gram per token position, so ``posexplode`` recovers the gram's
+    start offset.  Empty array when the doc has fewer than ``n`` words.
+
+    This is the alignment-ROBUST unit of the repeated-span detector
+    (``dedup.repeated_span_intervals``): unlike :func:`fixed_chunks`, a
+    duplicated passage is caught at ANY offset, not only when both
+    copies land on the same ``n``-word grid.  Cost: ~1 gram per token
+    instead of 1 per ``n`` tokens — still linear in corpus size.
+
+    Same lambda-binding discipline as :func:`shingles`: the token array
+    is bound once via ``transform(array(words), w -> ...)`` so Catalyst
+    doesn't re-tokenize per gram.
+    """
+
+    def _grams(w: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+        )
+        return F.when(F.size(w) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(words(text)), _grams), 1)
+
+
 def chunk_tail(text: Column, n: int = 10) -> Column:
     """The trailing remainder (< n words) left over after
     ``fixed_chunks(text, n)``, space-joined; empty string when the

@@ -112,6 +112,76 @@ def containment_pairs(
     )
 
 
+def repeated_span_intervals(
+    docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Alignment-robust exact repeated-span detection (the span-granular
+    dedup of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better", public) — per-document MAXIMAL token
+    intervals covered by any ``k``-gram that also occurs in another
+    document.  Returns (doc_id, span_start, span_end, span_tokens),
+    token offsets 0-based inclusive.
+
+    Why this exists next to the aligned detector (queries
+    ``docs_repeated_spans``, reference-free extension tier): fixed
+    non-overlapping chunk hashing misses a duplicated passage whenever
+    the two copies sit at different offsets mod k — an edit ANYWHERE
+    before the passage shifts the grid.  Overlapping positional k-grams
+    catch the repeat at any offset; merging overlapping/adjacent hits
+    into islands recovers the maximal duplicated run, which is the unit
+    Lee et al. cut.  This is the distributed stand-in for their
+    single-node suffix array: same ≥k-token exact-match semantics,
+    expressed as hash joins a 1000-executor cluster can run.
+
+    Plan shape — LINEAR, pair-free: unlike every pair-producing dedup
+    tier there is NO candidate join and therefore no df² fan-out to
+    cap.  (1) one posexplode of ~n_tokens gram rows, md5-keyed;
+    (2) ONE hash-aggregate per gram counting distinct docs (uniform
+    128-bit key); (3) semi-join positions against the ≥2-doc gram set
+    (broadcast-sized in real corpora: duplicated grams are the rare
+    tail); (4) per-doc island merge — one window partitioned by doc_id,
+    where because gram end = pos + k - 1 is monotone in pos, islands
+    split exactly where ``pos - lag(pos) > k`` (a new hit past the
+    previous gram's reach).  Shuffles: gram aggregate, semi-join
+    (or zero if broadcast), doc window.  All keys uniform.
+    """
+    pos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(TXT.kgrams(F.col(text_col), k)).alias("pos", "gram"),
+    ).select("doc_id", "pos", F.md5(F.col("gram")).alias("gh"))
+    pos = tracked_persist(pos)  # the aggregate and the probe both consume it
+    dup = (
+        pos.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("gh")
+    )
+    hits = pos.join(dup, "gh", "left_semi")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    island = F.sum(
+        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        hits.select("doc_id", "pos", island.alias("island"))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (k - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

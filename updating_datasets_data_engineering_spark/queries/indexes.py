@@ -860,6 +860,65 @@ FROM spans GROUP BY span HAVING count(DISTINCT doc_id) > 1
 """
 
 
+def docs_repeated_spans_unaligned(spark, sf_dir, k: int = 10):
+    """Alignment-ROBUST exact repeated-span intervals (the companion to
+    ``docs_repeated_spans``): per-document maximal token intervals
+    covered by any overlapping ``k``-gram occurring in ≥2 documents —
+    the distributed form of Lee et al. 2021's ≥k-token exact-substring
+    dedup.  The aligned detector misses a duplicated passage whenever
+    an edit before it shifts the 10-word grid; this one catches the
+    repeat at any offset (tests plant exactly that case).
+
+    Plan: linear and pair-free — posexplode of positional grams, one
+    md5-keyed distinct-doc aggregate, a semi-join back, one per-doc
+    window for the island merge.  No candidate pair join exists to go
+    quadratic.  See ``operators.dedup.repeated_span_intervals``."""
+    return D.repeated_span_intervals(_td(spark, sf_dir), k=k)
+
+
+def _oracle_repeated_spans_unaligned_sql(k: int = 10) -> str:
+    """Oracle generated from the SAME k parameter as the query
+    (ADVICE r6: parameterized queries must derive their oracle from the
+    same parameters, never a hardcoded twin)."""
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, i AS pos, md5(array_to_string(w[i + 1 : i + {k}], ' ')) AS gh
+    FROM toks,
+         UNNEST(CASE WHEN len(w) >= {k}
+                     THEN generate_series(0, CAST(len(w) - {k} AS INT))
+                     ELSE [] END) AS t(i)
+),
+dup AS (SELECT gh FROM pos GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup d ON d.gh = p.gh),
+brk AS (
+    -- two CTEs: DuckDB rejects a window call nested inside another
+    SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {k}
+                THEN 1 ELSE 0 END AS is_break
+    FROM hits
+),
+isl AS (
+    SELECT doc_id, pos,
+           sum(is_break) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM brk
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {k - 1} AS BIGINT) AS span_end,
+       CAST(max(pos) + {k - 1} - min(pos) + 1 AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_id, island
+"""
+
+
+_ORACLE_REPEATED_SPANS_UNALIGNED = _oracle_repeated_spans_unaligned_sql()
+
+
 def docs_tfidf_keywords(spark, sf_dir):
     """Per-document top-3 TF-IDF keywords (classic salience scoring —
     tf/doclen × ln(N/df)).  The tfidf is ROUNDED before ranking (with
