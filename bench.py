@@ -197,6 +197,7 @@ HEADLINE = [
     "dedup_semantic_incremental",
     "dedup_containment",
     "docs_repeated_spans_unaligned",
+    "docs_repeated_spans_incremental",
 ]
 
 
@@ -233,6 +234,7 @@ SF1_HEADLINE = [
     "dedup_semantic_incremental",
     "dedup_containment",
     "docs_repeated_spans_unaligned",
+    "docs_repeated_spans_incremental",
     # mid-registry anchors (VERDICT r6 "missing" 3: the middle of the
     # registry had never run above sf0.1) — one per untested family
     "events_k_anonymity",

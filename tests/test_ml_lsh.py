@@ -242,3 +242,36 @@ def test_unaligned_spans_merge_adjacent_runs_and_ignore_within_doc_repeats(spark
         for r in repeated_span_intervals(docs, k=10).collect()
     }
     assert got == {(1, 0, 24), (2, 0, 24)}
+
+
+def test_incremental_spans_fuse_islands_and_skip_untouched_docs(spark):
+    """The incremental contract's two hard cases: (a) a delta-flipped
+    gram run ADJACENT to a pre-existing duplicated island must fuse
+    into one maximal interval (the probe re-merges the touched doc's
+    full posting, not just the new grams); (b) archive docs whose dup
+    grams all pre-exist (nothing flipped) are yesterday's output and
+    must NOT reappear."""
+    from updating_datasets_data_engineering_spark.operators.dedup import (
+        incremental_repeated_spans,
+        span_gram_df,
+        span_posting_index,
+    )
+
+    p1 = " ".join(f"s{i}" for i in range(8))   # shared by archive 1,2,3
+    p2 = " ".join(f"t{i}" for i in range(8))   # doc 1 + delta 30 only
+    fill = lambda c: " ".join(f"{c}{i}" for i in range(8))
+    archive = spark.createDataFrame(
+        [(1, p1 + " " + p2), (2, p1 + " " + fill("f")), (3, p1 + " " + fill("g"))],
+        ["doc_id", "text"],
+    )
+    delta = spark.createDataFrame([(30, p2 + " " + fill("h"))], ["doc_id", "text"])
+    posting = span_posting_index(archive, k=5)
+    got = {
+        tuple(r)
+        for r in incremental_repeated_spans(
+            delta, posting, span_gram_df(posting), k=5
+        ).collect()
+    }
+    # doc 1: P1-island [0,7] (pre-existing) fuses with the flipped
+    # P2-island [8,15] into ONE maximal interval; docs 2/3 untouched
+    assert got == {(1, 0, 15, 16), (30, 0, 7, 8)}

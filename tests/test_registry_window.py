@@ -142,7 +142,8 @@ NEW_SPECS_BY_ROUND: dict[int, list[str]] = {
     6: ["sources_jsd_hashed", "events_k_anonymity", "events_zorder_layout",
         "events_zorder_incremental", "docs_split_leakage_safe"],
     7: ["events_zonemap_retract", "dedup_semantic_incremental",
-        "dedup_containment", "docs_repeated_spans_unaligned"],
+        "dedup_containment", "docs_repeated_spans_unaligned",
+        "docs_repeated_spans_incremental"],
 }
 
 

@@ -182,6 +182,112 @@ def repeated_span_intervals(
     )
 
 
+def span_posting_index(
+    docs: DataFrame, k: int = 10, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The persisted positional-gram posting table for the repeated-span
+    family: one (doc_id, pos, gh) row per token position — the state
+    :func:`incremental_repeated_spans` probes instead of re-exploding
+    the archive.  md5-keyed so any engine can replay it."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(TXT.kgrams(F.col(text_col), k)).alias("pos", "gram"),
+    ).select("doc_id", "pos", F.md5(F.col("gram")).alias("gh"))
+
+
+def span_gram_df(posting: DataFrame) -> DataFrame:
+    """Per-gram distinct-document count over a posting table — the
+    small mergeable sketch that makes the incremental probe delta-sized
+    (new duplication is decided by ``archive_df + delta_df``, never by
+    re-aggregating the archive)."""
+    return posting.groupBy("gh").agg(F.countDistinct("doc_id").alias("n_docs"))
+
+
+def incremental_repeated_spans(
+    delta: DataFrame,
+    posting_state: DataFrame,
+    gram_df_state: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental maintenance for :func:`repeated_span_intervals` (the
+    archive ∪ daily-delta loop applied to the exact-substring tier).
+
+    Output contract — exactly the full-recompute intervals for the docs
+    the delta can change: (a) every DELTA doc, and (b) every archive
+    doc holding ≥1 gram whose cross-document duplication is NEWLY
+    created by the delta (archive df == 1 and the delta brings a second
+    document).  Archive docs none of whose grams flip keep yesterday's
+    intervals, which are already in yesterday's output — emitting them
+    again would make the probe archive-sized.
+
+    Plan shape (work ∝ delta + touched, never ∝ archive):
+      1. delta posting + per-gram delta df — delta-sized explode.
+      2. duplication after the merge = ``archive_df + delta_df >= 2``
+         via ONE broadcast-able join of the delta gram set against the
+         persisted ``gram_df`` sketch — the archive posting is NOT
+         re-aggregated.
+      3. newly-flipped grams (archive_df == 1, delta_df >= 1) semi-join
+         the posting STATE to find touched archive docs; their full
+         posting rows come back by one more semi-join on doc_id —
+         a pruned state read, no re-tokenization.
+      4. the union of delta + touched posting rows re-runs the same
+         dup-filter + island merge as the batch operator, so merged
+         interval extents are exact even where new duplication fuses
+         with pre-existing islands.
+    """
+    d_post = span_posting_index(delta, k, id_col, text_col)
+    d_post = tracked_persist(d_post)  # df sketch + hits both consume it
+    d_df = span_gram_df(d_post)
+    # merged duplication status for every gram the delta touches; grams
+    # NOT in the delta keep their archive status (>= 2 means still dup)
+    merged = d_df.alias("d").join(
+        gram_df_state.alias("a"), "gh", "left_outer"
+    ).select(
+        "gh",
+        (F.coalesce(F.col("a.n_docs"), F.lit(0)) + F.col("d.n_docs")).alias("n_total"),
+        F.coalesce(F.col("a.n_docs"), F.lit(0)).alias("n_archive"),
+    )
+    flipped = merged.where(
+        (F.col("n_archive") == 1) & (F.col("n_total") >= 2)
+    ).select("gh")
+    # no distinct on either semi-join right side: left-semi semantics
+    # ignore right-side multiplicity, and the dedup shuffle would be
+    # the probe's largest
+    touched_docs = posting_state.join(flipped, "gh", "left_semi").select("doc_id")
+    touched_post = posting_state.join(touched_docs, "doc_id", "left_semi")
+    scope = d_post.unionByName(touched_post)
+    # dup status inside the scope: delta-touched grams use the merged
+    # count; archive-only grams fall back to the persisted sketch
+    dup = (
+        merged.where(F.col("n_total") >= 2)
+        .select("gh")
+        .unionByName(gram_df_state.where(F.col("n_docs") >= 2).select("gh"))
+    )
+    hits = scope.join(dup, "gh", "left_semi")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    island = F.sum(
+        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        hits.select("doc_id", "pos", island.alias("island"))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (k - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

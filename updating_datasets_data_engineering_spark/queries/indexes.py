@@ -919,6 +919,90 @@ FROM isl GROUP BY doc_id, island
 _ORACLE_REPEATED_SPANS_UNALIGNED = _oracle_repeated_spans_unaligned_sql()
 
 
+def docs_repeated_spans_incremental(spark, sf_dir, k: int = 10):
+    """Incremental maintenance for the alignment-robust repeated-span
+    detector (the archive ∪ daily-delta loop applied to the exact-
+    substring tier, completing the incremental-index family for the new
+    operator): docs with doc_id % 10 == 0 are "today's delta"; the
+    archive's positional-gram posting table AND its per-gram
+    distinct-doc sketch are PERSISTED parquet state, so the probe's
+    work is ∝ delta grams + touched-doc posting rows — the archive is
+    never re-tokenized and never re-aggregated.  Output = the full-
+    recompute intervals for exactly the docs the delta can change
+    (delta docs + archive docs holding a gram the delta newly makes
+    cross-document); unchanged archive docs keep yesterday's output.
+    See ``operators.dedup.incremental_repeated_spans``."""
+    docs = _td(spark, sf_dir)
+    archive = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    posting = _persisted_index(
+        spark, sf_dir, "span_posting", lambda: D.span_posting_index(archive, k=k)
+    )
+    gram_df = _persisted_index(
+        spark, sf_dir, "span_gram_df", lambda: D.span_gram_df(posting)
+    )
+    return D.incremental_repeated_spans(delta, posting, gram_df, k=k)
+
+
+def _oracle_repeated_spans_incremental_sql(k: int = 10) -> str:
+    """Oracle = full recompute over archive ∪ delta, restricted to the
+    contract's output docs (delta docs + archive docs holding a
+    newly-flipped gram), generated from the SAME k as the query."""
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, i AS pos, md5(array_to_string(w[i + 1 : i + {k}], ' ')) AS gh
+    FROM toks,
+         UNNEST(CASE WHEN len(w) >= {k}
+                     THEN generate_series(0, CAST(len(w) - {k} AS INT))
+                     ELSE [] END) AS t(i)
+),
+agg AS (
+    SELECT gh,
+           count(DISTINCT CASE WHEN doc_id % 10 <> 0 THEN doc_id END) AS a_df,
+           count(DISTINCT CASE WHEN doc_id % 10 = 0 THEN doc_id END) AS d_df,
+           count(DISTINCT doc_id) AS n_docs
+    FROM pos GROUP BY gh
+),
+dup AS (SELECT gh FROM agg WHERE n_docs >= 2),
+flip AS (SELECT gh FROM agg WHERE a_df = 1 AND d_df >= 1),
+out_docs AS (
+    SELECT DISTINCT doc_id FROM pos WHERE doc_id % 10 = 0
+    UNION
+    SELECT DISTINCT p.doc_id FROM pos p JOIN flip f ON f.gh = p.gh
+    WHERE p.doc_id % 10 <> 0
+),
+hits AS (
+    SELECT p.doc_id, p.pos
+    FROM pos p JOIN dup d ON d.gh = p.gh JOIN out_docs o ON o.doc_id = p.doc_id
+),
+brk AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {k}
+                THEN 1 ELSE 0 END AS is_break
+    FROM hits
+),
+isl AS (
+    SELECT doc_id, pos,
+           sum(is_break) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM brk
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {k - 1} AS BIGINT) AS span_end,
+       CAST(max(pos) + {k - 1} - min(pos) + 1 AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_id, island
+"""
+
+
+_ORACLE_REPEATED_SPANS_INCREMENTAL = _oracle_repeated_spans_incremental_sql()
+
+
 def docs_tfidf_keywords(spark, sf_dir):
     """Per-document top-3 TF-IDF keywords (classic salience scoring —
     tf/doclen × ln(N/df)).  The tfidf is ROUNDED before ranking (with

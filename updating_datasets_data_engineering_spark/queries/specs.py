@@ -186,6 +186,7 @@ from .indexes import (
     _ORACLE_Q8,
     _ORACLE_Q9,
     _ORACLE_REPEATED_SPANS,
+    _ORACLE_REPEATED_SPANS_INCREMENTAL,
     _ORACLE_REPEATED_SPANS_UNALIGNED,
     _ORACLE_SAMPLE,
     _ORACLE_TFIDF,
@@ -207,6 +208,7 @@ from .indexes import (
     docs_pack_sequences,
     docs_quality_filter,
     docs_repeated_spans,
+    docs_repeated_spans_incremental,
     docs_repeated_spans_unaligned,
     docs_repetition,
     docs_sample_stratified,
@@ -376,6 +378,13 @@ SPECS: list[QuerySpec] = [
         docs_repeated_spans_unaligned,
         _ORACLE_REPEATED_SPANS_UNALIGNED,
     ),
+    # probe ≡ full recompute restricted to delta-changeable docs, so the
+    # oracle is the full-recompute SQL with the same restriction
+    QuerySpec(
+        "docs_repeated_spans_incremental",
+        docs_repeated_spans_incremental,
+        _ORACLE_REPEATED_SPANS_INCREMENTAL,
+    ),
     QuerySpec("sources_jsd_hashed", sources_jsd_hashed, _ORACLE_JSD_HASHED),
     QuerySpec("events_k_anonymity", events_k_anonymity, _ORACLE_K_ANONYMITY),
     QuerySpec("events_zorder_layout", events_zorder_layout, _oracle_zorder_sql()),
@@ -416,10 +425,9 @@ SPECS: list[QuerySpec] = [
         OE.incremental_minhash_sql(16, 4, 0.4, ngram=3, delta_mod=10),
     ),
     # --- text analysis / corpus curation --------------------------------
-    # (text_redact + docs_sample_stratified evicted at r7 — one slot per
-    # r7 addition above; driver-green r1-r6, oracle-pinned in the tail
-    # below.)
-    QuerySpec("docs_quality_filter", docs_quality_filter, _oracle_quality_filter_sql()),
+    # (text_redact + docs_sample_stratified + docs_quality_filter evicted
+    # at r7 — one slot per r7 addition above; driver-green r1-r6,
+    # oracle-pinned in the tail below.)
     QuerySpec("docs_pack_sequences", docs_pack_sequences, _oracle_pack_sql(2048)),
     QuerySpec("docs_quality_deciles", docs_quality_deciles, _oracle_deciles_sql()),
     QuerySpec("docs_repetition", docs_repetition, OE.repetition_sql(0.05)),
@@ -510,6 +518,7 @@ SPECS: list[QuerySpec] = [
     # Rotated OUT of the window at r7 (driver-green r1-r6):
     QuerySpec("text_redact", text_redact, OE.redact_sql()),
     QuerySpec("docs_sample_stratified", docs_sample_stratified, _ORACLE_SAMPLE),
+    QuerySpec("docs_quality_filter", docs_quality_filter, _oracle_quality_filter_sql()),
     QuerySpec("doc_fingerprints", doc_fingerprints, OE.fingerprint_sql()),
     QuerySpec("doc_chunks", doc_chunks, _ORACLE_CHUNKS),
     QuerySpec("docs_deduplicated", docs_deduplicated, _oracle_dedup_corpus_sql()),
