@@ -198,6 +198,7 @@ HEADLINE = [
     "dedup_containment",
     "docs_repeated_spans_unaligned",
     "docs_repeated_spans_incremental",
+    "docs_novelty_scored",
 ]
 
 
@@ -235,6 +236,7 @@ SF1_HEADLINE = [
     "dedup_containment",
     "docs_repeated_spans_unaligned",
     "docs_repeated_spans_incremental",
+    "docs_novelty_scored",
     # mid-registry anchors (VERDICT r6 "missing" 3: the middle of the
     # registry had never run above sf0.1) — one per untested family
     "events_k_anonymity",

@@ -275,3 +275,35 @@ def test_incremental_spans_fuse_islands_and_skip_untouched_docs(spark):
     # doc 1: P1-island [0,7] (pre-existing) fuses with the flipped
     # P2-island [8,15] into ONE maximal interval; docs 2/3 untouched
     assert got == {(1, 0, 15, 16), (30, 0, 7, 8)}
+
+
+def test_novelty_fraction_counts_unseen_distinct_grams(spark):
+    """Novelty contract: distinct-gram denominator (within-doc repeats
+    count once), archive-covered grams score 0 contribution, docs
+    shorter than k produce no row."""
+    from updating_datasets_data_engineering_spark.operators.dedup import (
+        novel_gram_fraction,
+        span_gram_df,
+        span_posting_index,
+    )
+
+    p1 = " ".join(f"s{i}" for i in range(5))          # archive passage
+    fresh = " ".join(f"n{i}" for i in range(5))        # never archived
+    archive = spark.createDataFrame([(1, p1)], ["doc_id", "text"])
+    delta = spark.createDataFrame(
+        [
+            (10, p1),                   # fully covered -> novelty 0.0
+            (20, fresh),                # fully novel   -> novelty 1.0
+            (30, p1 + " " + p1),        # covered grams + 5 bridge grams
+            (40, "too short"),          # < k tokens -> no row
+        ],
+        ["doc_id", "text"],
+    )
+    state = span_gram_df(span_posting_index(archive, k=5))
+    got = {r["doc_id"]: r for r in novel_gram_fraction(delta, state, k=5).collect()}
+    assert set(got) == {10, 20, 30}
+    assert (got[10]["n_grams"], got[10]["n_novel"], got[10]["novelty"]) == (1, 0, 0.0)
+    assert (got[20]["n_grams"], got[20]["n_novel"], got[20]["novelty"]) == (1, 1, 1.0)
+    # doc 30: 10 tokens -> positions 0..5; pos 0 and 5 are the archived
+    # gram (distinct -> counts ONCE), pos 1-4 bridge the seam (novel)
+    assert (got[30]["n_grams"], got[30]["n_novel"], got[30]["novelty"]) == (5, 4, 0.8)

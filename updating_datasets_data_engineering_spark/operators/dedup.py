@@ -288,6 +288,47 @@ def incremental_repeated_spans(
     )
 
 
+def novel_gram_fraction(
+    delta: DataFrame,
+    gram_df_state: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document NOVELTY against the archive: the fraction of a
+    delta doc's distinct k-grams never seen in any archive document —
+    the snapshot-curation score that decides whether a re-crawled page
+    adds anything (a page whose text is entirely archive-covered scores
+    0.0 and is skippable; Lee et al. 2021 §5 measure the same overlap
+    corpus-wide to motivate dedup).
+
+    Probes the SAME persisted per-gram sketch the incremental
+    repeated-span detector maintains (:func:`span_gram_df`) — one state
+    table serves both exact-substring duplication and novelty scoring.
+
+    Plan shape (work ∝ delta): delta-sized explode → within-doc
+    distinct → ONE left join against the sketch keys (hash join on the
+    uniform md5 gram key — the archive sketch is large at scale but
+    never re-aggregated) → one per-doc aggregate computing total and
+    unseen counts together.  Docs shorter than ``k`` tokens have no
+    grams and produce no row (same contract as the span family).
+    """
+    d_grams = (
+        span_posting_index(delta, k, id_col, text_col)
+        .select("doc_id", "gh")
+        .distinct()
+    )
+    marked = d_grams.join(
+        gram_df_state.select("gh", F.lit(1).alias("_seen")), "gh", "left_outer"
+    )
+    n_novel = F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        n_novel.cast("long").alias("n_novel"),
+        F.round(n_novel / F.count(F.lit(1)), 6).alias("novelty"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1003,6 +1003,63 @@ FROM isl GROUP BY doc_id, island
 _ORACLE_REPEATED_SPANS_INCREMENTAL = _oracle_repeated_spans_incremental_sql()
 
 
+def docs_novelty_scored(spark, sf_dir, k: int = 10):
+    """Per-delta-doc novelty against the archive (fraction of the doc's
+    distinct k-grams never seen in any archive document — the
+    re-crawl triage score: 0.0 means the page adds nothing the archive
+    lacks).  Probes the SAME persisted ``span_gram_df`` sketch the
+    incremental repeated-span detector maintains — one nightly state
+    build serves both queries, so novelty costs one delta-sized explode
+    plus one hash join against stored keys.  See
+    ``operators.dedup.novel_gram_fraction``."""
+    docs = _td(spark, sf_dir)
+    archive = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    posting = _persisted_index(
+        spark, sf_dir, "span_posting", lambda: D.span_posting_index(archive, k=k)
+    )
+    gram_df = _persisted_index(
+        spark, sf_dir, "span_gram_df", lambda: D.span_gram_df(posting)
+    )
+    return D.novel_gram_fraction(delta, gram_df, k=k)
+
+
+def _oracle_novelty_sql(k: int = 10) -> str:
+    """Oracle from the same k: archive gram set = distinct grams of
+    doc_id % 10 != 0; novelty = unseen-fraction over each delta doc's
+    distinct grams (integer/integer division — bit-identical doubles in
+    both engines before the shared round-to-6)."""
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+    FROM documents
+),
+pos AS (
+    SELECT DISTINCT doc_id,
+           md5(array_to_string(w[i + 1 : i + {k}], ' ')) AS gh
+    FROM toks,
+         UNNEST(CASE WHEN len(w) >= {k}
+                     THEN generate_series(0, CAST(len(w) - {k} AS INT))
+                     ELSE [] END) AS t(i)
+),
+archive_grams AS (
+    SELECT DISTINCT gh FROM pos WHERE doc_id % 10 <> 0
+)
+SELECT p.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN a.gh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN a.gh IS NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM pos p LEFT JOIN archive_grams a ON a.gh = p.gh
+WHERE p.doc_id % 10 = 0
+GROUP BY p.doc_id
+"""
+
+
+_ORACLE_NOVELTY = _oracle_novelty_sql()
+
+
 def docs_tfidf_keywords(spark, sf_dir):
     """Per-document top-3 TF-IDF keywords (classic salience scoring —
     tf/doclen × ln(N/df)).  The tfidf is ROUNDED before ranking (with
