@@ -1014,3 +1014,59 @@ def test_streaming_k_anonymity_maintenance(spark, tmp_path):
                 refined_seen = True
         prev_levels = levels
     assert refined_seen, "fixture batches should refine some archived event"
+
+
+def test_streaming_span_index_maintenance(spark, tmp_path):
+    """Streaming twin of docs_repeated_spans_incremental: three document
+    micro-batches maintain the posting state, the additive per-gram df
+    sketch, and the materialized span view.  After EVERY prefix the
+    view must equal the full batch recompute on everything streamed so
+    far (the hard case being batch N creating duplication that fuses
+    with intervals batch N-1 already stored), and the merged sketch
+    must equal the from-scratch per-gram distinct-doc counts."""
+    from updating_datasets_data_engineering_spark.operators import dedup as D
+
+    src = str(tmp_path / "sp_src")
+    posting_path = str(tmp_path / "sp_posting")
+    sketch_path = str(tmp_path / "sp_sketch")
+    spans_path = str(tmp_path / "sp_spans")
+    ckpt = str(tmp_path / "sp_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batches = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    def run_increment(batch_df):
+        batch_df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                SP.maintain_span_index_each_batch(
+                    posting_path, sketch_path, spans_path, k=10
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+
+    streamed = None
+    cols = ["doc_id", "span_start", "span_end", "span_tokens"]
+    for b in batches:
+        run_increment(b)
+        streamed = b if streamed is None else streamed.unionByName(b)
+        got = spark.read.parquet(spans_path).select(*cols)
+        want = D.repeated_span_intervals(streamed, k=10)
+        assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+        merged_sketch = (
+            spark.read.parquet(sketch_path)
+            .groupBy("gh")
+            .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+        )
+        want_sketch = D.span_gram_df(D.span_posting_index(streamed, k=10))
+        assert _sorted_rows(merged_sketch, ["gh", "n_docs"]) == _sorted_rows(
+            want_sketch, ["gh", "n_docs"]
+        )

@@ -973,6 +973,110 @@ def maintain_boilerplate_each_batch(
     return _apply
 
 
+def maintain_span_index_each_batch(
+    posting_path: str,
+    sketch_path: str,
+    spans_path: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """foreachBatch function: STREAMING maintenance of the positional-
+    gram posting state, the per-gram document-frequency sketch, and the
+    materialized repeated-span view — the streaming twin of
+    ``registry.docs_repeated_spans_incremental`` (and the state feeder
+    for novelty scoring: the sketch this maintains is exactly what
+    ``dedup.novel_gram_fraction`` probes).
+
+    Persisted state:
+
+      * ``posting_path`` — (doc_id, pos, gh) rows, ``_batch_id``-
+        partitioned idempotent appends (crash-replayed batches are
+        invisible to readers filtering ``_batch_id < batch_id``);
+      * ``sketch_path`` — PER-BATCH (gh, n_docs) partials, same
+        partitioning.  The merge is an exact sum, not an estimate: the
+        corpus is append-only and a document arrives in exactly one
+        micro-batch, so per-batch distinct-doc counts are disjoint and
+        additive.  Both states compact between runs with
+        ``maintenance.compact_batch_index``;
+      * ``spans_path`` — the materialized duplicated-span view,
+        upserted through the crash-safe stage-and-swap.
+
+    Each micro-batch calls :func:`dedup.incremental_repeated_spans`
+    against the state (work ∝ batch grams + touched-doc posting rows —
+    the archive is never re-tokenized or re-aggregated) and replaces
+    the view rows of exactly the docs that probe re-derives: batch docs
+    plus archive docs holding a gram the batch newly made cross-
+    document.  Duplication is insertion-monotone, so untouched docs'
+    stored intervals stay exact.  After ANY prefix of batches the view
+    equals the full batch recompute on the streamed prefix — asserted
+    in tests/test_streaming.py.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup as D
+
+    def _apply(batch_docs: DataFrame, batch_id: int) -> None:
+        spark = batch_docs.sparkSession
+        for p in (posting_path, sketch_path, spans_path):
+            fs.recover_swap(spark, p)
+        delta = batch_docs.select(id_col, text_col)
+        if delta.isEmpty():
+            return
+        with caching.scope():
+            delta = caching.tracked_persist(delta)
+            d_post = caching.tracked_persist(
+                D.span_posting_index(delta, k, id_col, text_col)
+            )
+            if fs.has_parquet(spark, posting_path):
+                posting_state = (
+                    spark.read.parquet(posting_path)
+                    .where(F.col("_batch_id") < batch_id)
+                    .select("doc_id", "pos", "gh")
+                )
+                gram_state = (
+                    spark.read.parquet(sketch_path)
+                    .where(F.col("_batch_id") < batch_id)
+                    .groupBy("gh")
+                    .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+                )
+            else:
+                posting_state = spark.createDataFrame(
+                    [], "doc_id long, pos int, gh string"
+                )
+                gram_state = spark.createDataFrame([], "gh string, n_docs long")
+            intervals = caching.tracked_persist(
+                D.incremental_repeated_spans(
+                    delta, posting_state, gram_state, k, id_col, text_col
+                )
+            )
+            touched_ids = intervals.select("doc_id").distinct()
+            if fs.has_parquet(spark, spans_path):
+                prev = spark.read.parquet(spans_path)
+                store = prev.join(touched_ids, "doc_id", "left_anti").unionByName(
+                    intervals
+                )
+            else:
+                store = intervals
+            staging = fs.staging_path(spans_path)
+            fs.delete(spark, staging)
+            store.write.mode("overwrite").parquet(staging)
+            spark.read.parquet(staging).count()  # materialize before swap
+            fs.swap_directory(spark, staging, spans_path)
+            batch_lit = F.lit(batch_id).cast("long").alias("_batch_id")
+            batch_sketch = D.span_gram_df(d_post)
+            for df, path in ((d_post, posting_path), (batch_sketch, sketch_path)):
+                (
+                    df.withColumn("_batch_id", batch_lit)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_batch_id")
+                    .parquet(path)
+                )
+
+    return _apply
+
+
 def run_index_maintenance_available_now(
     stream_docs: DataFrame,
     docs_path: str,
