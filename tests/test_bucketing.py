@@ -64,3 +64,21 @@ def test_bucketed_join_correct(spark, sf_dir, bucketed_tables):
     lineitem = load_table(spark, sf_dir, "lineitem")
     want = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey).count()
     assert got == want
+
+
+def test_bucketed_write_emits_one_file_per_bucket(spark, sf_dir):
+    """Layout hygiene: without the pre-write repartition every task
+    writes a file per bucket it sees (t×b files — measured 512 for a
+    6 MB table), taxing every later scan with t× the footer cost."""
+    import glob
+    import posixpath
+
+    orders = load_table(spark, sf_dir, "orders")
+    B.write_bucketed(orders, "orders_fc", ["o_orderkey"], n_buckets=8)
+    try:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = posixpath.join(warehouse.removeprefix("file:"), "orders_fc")
+        data_files = [f for f in glob.glob(loc + "/*") if "_SUCCESS" not in f]
+        assert len(data_files) <= 8, data_files
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_fc")

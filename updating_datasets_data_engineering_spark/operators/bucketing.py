@@ -30,6 +30,18 @@ def write_bucketed(
 
     Sorting within buckets additionally enables merge-join without a
     sort step and better scan locality for range predicates.
+
+    The input is repartitioned on the bucket columns to ``n_buckets``
+    tasks first: without it every write task emits a file per bucket it
+    sees (t tasks × b buckets files — measured 512 files for a 6 MB
+    table), and every subsequent scan pays t× the footer/open cost.
+    Spark's bucket assignment and ``repartition``'s hash partitioner
+    share the Murmur3 hash, so each task holds exactly one bucket and
+    writes exactly one file.  The extra exchange is the layout-time
+    shuffle this module's contract already prices (it happens once,
+    instead of per query).  At real scale pass a larger ``n_buckets``
+    so each bucket file stays ~128 MB — the same sizing rule
+    ``maintenance.compact`` applies.
     """
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
@@ -39,7 +51,11 @@ def write_bucketed(
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     loc = posixpath.join(warehouse, table_name)
     fs.delete(spark, loc)
-    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    writer = (
+        df.repartition(n_buckets, *bucket_cols)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
