@@ -199,6 +199,7 @@ HEADLINE = [
     "docs_repeated_spans_unaligned",
     "docs_repeated_spans_incremental",
     "docs_novelty_scored",
+    "docs_repeated_spans_retract",
 ]
 
 
@@ -237,6 +238,7 @@ SF1_HEADLINE = [
     "docs_repeated_spans_unaligned",
     "docs_repeated_spans_incremental",
     "docs_novelty_scored",
+    "docs_repeated_spans_retract",
     # mid-registry anchors (VERDICT r6 "missing" 3: the middle of the
     # registry had never run above sf0.1) — one per untested family
     "events_k_anonymity",

@@ -307,3 +307,49 @@ def test_novelty_fraction_counts_unseen_distinct_grams(spark):
     # doc 30: 10 tokens -> positions 0..5; pos 0 and 5 are the archived
     # gram (distinct -> counts ONCE), pos 1-4 bridge the seam (novel)
     assert (got[30]["n_grams"], got[30]["n_novel"], got[30]["novelty"]) == (5, 4, 0.8)
+
+
+def test_retract_spans_splits_intervals_and_silences_untouched(spark):
+    """Delete contract's three hard cases: (a) removing the only other
+    holder of a BRIDGE gram must SPLIT the survivor's fused interval;
+    (b) a survivor whose every dup gram is revoked vanishes from the
+    output (no remaining spans); (c) survivors holding no revoked gram
+    are yesterday's output and stay silent."""
+    from updating_datasets_data_engineering_spark.operators.dedup import (
+        retract_repeated_spans,
+        span_gram_df,
+        span_posting_index,
+    )
+
+    blk = lambda c: " ".join(f"{c}{i}" for i in range(5))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{blk('a')} {blk('b')} {blk('c')}"),   # A + bridge B + C
+            (2, f"{blk('a')} {blk('x')} {blk('c')}"),   # A + filler + C
+            (3, blk("b")),                              # sole B partner
+            (4, f"{blk('d')} {blk('e')}"),              # D shared with 5 only
+            (5, f"{blk('d')} {blk('f')}"),
+        ],
+        ["doc_id", "text"],
+    )
+    posting = span_posting_index(docs, k=5)
+    sketch = span_gram_df(posting)
+    tombs = spark.createDataFrame([(3,), (5,)], ["doc_id"])
+    got = {
+        tuple(r) for r in retract_repeated_spans(tombs, posting, sketch, k=5).collect()
+    }
+    # doc 1: the fused [0,14] island splits into [0,4] + [10,14] once
+    # doc 3's bridge gram is revoked; doc 4 is touched but span-less
+    # (absent); doc 2 holds no revoked gram (silent, keeps yesterday's)
+    assert got == {(1, 0, 4, 5), (1, 10, 14, 5)}
+    # the affected-doc report expresses the clear the interval frame
+    # can't: doc 4 appears with zeros, doc 2 stays silent
+    from updating_datasets_data_engineering_spark.operators.dedup import (
+        retract_spans_summary,
+    )
+
+    report = {
+        tuple(r)
+        for r in retract_spans_summary(tombs, posting, sketch, k=5).collect()
+    }
+    assert report == {(1, 2, 10), (4, 0, 0)}

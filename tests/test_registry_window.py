@@ -143,7 +143,8 @@ NEW_SPECS_BY_ROUND: dict[int, list[str]] = {
         "events_zorder_incremental", "docs_split_leakage_safe"],
     7: ["events_zonemap_retract", "dedup_semantic_incremental",
         "dedup_containment", "docs_repeated_spans_unaligned",
-        "docs_repeated_spans_incremental", "docs_novelty_scored"],
+        "docs_repeated_spans_incremental", "docs_novelty_scored",
+        "docs_repeated_spans_retract"],
 }
 
 

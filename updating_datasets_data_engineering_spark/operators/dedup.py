@@ -160,6 +160,15 @@ def repeated_span_intervals(
         .select("gh")
     )
     hits = pos.join(dup, "gh", "left_semi")
+    return _merge_islands(hits, k)
+
+
+def _merge_islands(hits: DataFrame, k: int) -> DataFrame:
+    """Shared island merge for the repeated-span family: fold
+    duplicated-gram hit positions (doc_id, pos) into maximal intervals.
+    Because gram end = pos + k - 1 is monotone in pos, islands split
+    exactly where ``pos - lag(pos) > k`` (a new hit past the previous
+    gram's reach).  One window per doc — the only per-doc stage."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -266,26 +275,110 @@ def incremental_repeated_spans(
         .unionByName(gram_df_state.where(F.col("n_docs") >= 2).select("gh"))
     )
     hits = scope.join(dup, "gh", "left_semi")
-    from pyspark.sql import Window
+    return _merge_islands(hits, k)
 
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    island = F.sum(
-        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0)
-    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (
-        hits.select("doc_id", "pos", island.alias("island"))
-        .groupBy("doc_id", "island")
-        .agg(
-            F.min("pos").cast("long").alias("span_start"),
-            (F.max("pos") + (k - 1)).cast("long").alias("span_end"),
-        )
-        .select(
-            "doc_id",
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
-        )
+
+def retract_repeated_spans(
+    tombstones: DataFrame,
+    posting_state: DataFrame,
+    gram_df_state: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """DELETE maintenance for the repeated-span family — the inverse of
+    :func:`incremental_repeated_spans` and the contract the other
+    persisted indexes already define (LSH tombstones, zonemap
+    retraction): removing documents can UN-duplicate a gram (df 2 → 1),
+    which must shrink, split, or erase the remaining holder's
+    intervals — the interval-SPLIT case (a bridge gram shared only with
+    a deleted doc) is what makes deletes harder than inserts here.
+
+    ``tombstones`` carries the deleted doc ids (column ``doc_id``).
+    Returns the post-delete intervals for exactly the SURVIVOR docs the
+    deletion can change: docs holding ≥1 gram whose duplication the
+    tombstones revoke (old df ≥ 2, surviving df < 2).  A changed doc
+    absent from the output has no remaining duplicated span; survivors
+    holding no revoked gram keep yesterday's intervals, and the
+    tombstoned docs' own rows are dropped by the caller's upsert.
+
+    Plan shape (work ∝ deleted rows + touched-doc posting rows —
+    the archive is never re-tokenized or re-aggregated):
+      1. the tombstoned docs' posting rows come out of the STATE by one
+         semi-join; their per-gram distinct-doc counts are the only new
+         aggregate (deleted-sized).
+      2. surviving df = stored sketch MINUS removed counts — revoked
+         grams are ``n_docs >= 2 AND n_docs - removed < 2``.
+      3. revoked grams semi-join the state for survivor docs touched;
+         those docs' full posting rows come back by one more semi-join.
+      4. hits = touched rows whose gram SURVIVES as dup (stored df
+         minus removal still ≥ 2), re-merged by the shared island fold.
+
+    State updates (both delta-shaped, for the caller to persist):
+    posting minus tombstoned rows; sketch with removed counts
+    subtracted and zero-count grams dropped.
+    """
+    _, intervals = _retract_span_parts(tombstones, posting_state, gram_df_state, k)
+    return intervals
+
+
+def retract_spans_summary(
+    tombstones: DataFrame,
+    posting_state: DataFrame,
+    gram_df_state: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Affected-doc report for :func:`retract_repeated_spans` — one row
+    per survivor the deletion touches: ``(doc_id, n_spans_after,
+    dup_tokens_after)``, zeros when every duplicated span vanished.
+    This is the shape the upsert consumer needs (which docs to rewrite,
+    INCLUDING the clears the interval frame can't express: in real
+    corpora most dup groups are pairs, so deleting one member usually
+    erases the survivor's spans outright)."""
+    touched, intervals = _retract_span_parts(
+        tombstones, posting_state, gram_df_state, k
     )
+    per_doc = intervals.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans_after"),
+        F.sum("span_tokens").alias("dup_tokens_after"),
+    )
+    return touched.join(per_doc, "doc_id", "left_outer").select(
+        "doc_id",
+        F.coalesce(F.col("n_spans_after"), F.lit(0)).cast("long").alias("n_spans_after"),
+        F.coalesce(F.col("dup_tokens_after"), F.lit(0))
+        .cast("long")
+        .alias("dup_tokens_after"),
+    )
+
+
+def _retract_span_parts(
+    tombstones: DataFrame,
+    posting_state: DataFrame,
+    gram_df_state: DataFrame,
+    k: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(touched survivor docs, their post-delete intervals)."""
+    tomb_ids = tombstones.select("doc_id")
+    removed_post = posting_state.join(tomb_ids, "doc_id", "left_semi")
+    removed_df = removed_post.groupBy("gh").agg(
+        F.countDistinct("doc_id").alias("n_removed")
+    )
+    surviving = gram_df_state.join(removed_df, "gh", "left_outer").select(
+        "gh",
+        F.col("n_docs"),
+        (F.col("n_docs") - F.coalesce(F.col("n_removed"), F.lit(0))).alias("n_left"),
+    )
+    revoked = surviving.where(
+        (F.col("n_docs") >= 2) & (F.col("n_left") < 2)
+    ).select("gh")
+    touched_docs = (
+        posting_state.join(revoked, "gh", "left_semi")
+        .join(tomb_ids, "doc_id", "left_anti")
+        .select("doc_id")
+        .distinct()
+    )
+    touched_post = posting_state.join(touched_docs, "doc_id", "left_semi")
+    still_dup = surviving.where(F.col("n_left") >= 2).select("gh")
+    hits = touched_post.join(still_dup, "gh", "left_semi")
+    return touched_docs, _merge_islands(hits, k)
 
 
 def novel_gram_fraction(

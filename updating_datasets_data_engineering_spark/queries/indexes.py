@@ -1060,6 +1060,100 @@ GROUP BY p.doc_id
 _ORACLE_NOVELTY = _oracle_novelty_sql()
 
 
+def docs_repeated_spans_retract(spark, sf_dir, k: int = 10):
+    """DELETE maintenance for the repeated-span family: archive docs
+    with doc_id % 7 == 3 are tombstoned; the persisted posting table
+    and per-gram df sketch answer which grams the deletion un-
+    duplicates (df ≥ 2 → surviving < 2) and which survivor docs must
+    re-merge — including the interval-SPLIT case a bridge gram's
+    revocation causes.  Work ∝ deleted posting rows + touched-doc
+    posting rows; the archive is never re-tokenized or re-aggregated.
+    Graded output is the affected-doc report (doc_id, n_spans_after,
+    dup_tokens_after) — in real corpora most dup groups are PAIRS, so
+    the dominant delete effect is a survivor's spans clearing outright,
+    which an interval-only frame cannot express (zeros here).
+    Completes the insert (``docs_repeated_spans_incremental``) /
+    delete / streaming lifecycle over ONE shared state.  See
+    ``operators.dedup.retract_spans_summary``."""
+    docs = _td(spark, sf_dir)
+    archive = docs.where(F.col("doc_id") % 10 != 0)
+    tombstones = archive.where(F.col("doc_id") % 7 == 3).select("doc_id")
+    posting = _persisted_index(
+        spark, sf_dir, "span_posting", lambda: D.span_posting_index(archive, k=k)
+    )
+    gram_df = _persisted_index(
+        spark, sf_dir, "span_gram_df", lambda: D.span_gram_df(posting)
+    )
+    return D.retract_spans_summary(tombstones, posting, gram_df, k=k)
+
+
+def _oracle_spans_retract_sql(k: int = 10) -> str:
+    """Oracle = full recompute over the SURVIVING archive, summarized
+    per affected doc (survivors holding ≥1 revoked gram — zeros when
+    all spans vanish), generated from the same k and tombstone
+    predicate."""
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+    FROM documents WHERE doc_id % 10 <> 0
+),
+pos AS (
+    SELECT doc_id, i AS pos, md5(array_to_string(w[i + 1 : i + {k}], ' ')) AS gh,
+           (doc_id % 7 = 3) AS tomb
+    FROM toks,
+         UNNEST(CASE WHEN len(w) >= {k}
+                     THEN generate_series(0, CAST(len(w) - {k} AS INT))
+                     ELSE [] END) AS t(i)
+),
+agg AS (
+    SELECT gh,
+           count(DISTINCT doc_id) AS a_df,
+           count(DISTINCT CASE WHEN NOT tomb THEN doc_id END) AS s_df
+    FROM pos GROUP BY gh
+),
+revoked AS (SELECT gh FROM agg WHERE a_df >= 2 AND s_df < 2),
+dup_surv AS (SELECT gh FROM agg WHERE s_df >= 2),
+out_docs AS (
+    SELECT DISTINCT p.doc_id FROM pos p JOIN revoked r ON r.gh = p.gh
+    WHERE NOT p.tomb
+),
+hits AS (
+    SELECT p.doc_id, p.pos
+    FROM pos p JOIN dup_surv d ON d.gh = p.gh JOIN out_docs o ON o.doc_id = p.doc_id
+    WHERE NOT p.tomb
+),
+brk AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {k}
+                THEN 1 ELSE 0 END AS is_break
+    FROM hits
+),
+isl AS (
+    SELECT doc_id, pos,
+           sum(is_break) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM brk
+),
+spans AS (
+    SELECT doc_id, min(pos) AS span_start,
+           max(pos) + {k - 1} - min(pos) + 1 AS span_tokens
+    FROM isl GROUP BY doc_id, island
+),
+per_doc AS (
+    SELECT doc_id, count(*) AS n_spans_after, sum(span_tokens) AS dup_tokens_after
+    FROM spans GROUP BY doc_id
+)
+SELECT o.doc_id,
+       CAST(coalesce(p.n_spans_after, 0) AS BIGINT) AS n_spans_after,
+       CAST(coalesce(p.dup_tokens_after, 0) AS BIGINT) AS dup_tokens_after
+FROM out_docs o LEFT JOIN per_doc p ON p.doc_id = o.doc_id
+"""
+
+
+_ORACLE_SPANS_RETRACT = _oracle_spans_retract_sql()
+
+
 def docs_tfidf_keywords(spark, sf_dir):
     """Per-document top-3 TF-IDF keywords (classic salience scoring —
     tf/doclen × ln(N/df)).  The tfidf is ROUNDED before ranking (with

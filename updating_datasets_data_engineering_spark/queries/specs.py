@@ -187,6 +187,7 @@ from .indexes import (
     _ORACLE_Q9,
     _ORACLE_NOVELTY,
     _ORACLE_REPEATED_SPANS,
+    _ORACLE_SPANS_RETRACT,
     _ORACLE_REPEATED_SPANS_INCREMENTAL,
     _ORACLE_REPEATED_SPANS_UNALIGNED,
     _ORACLE_SAMPLE,
@@ -211,6 +212,7 @@ from .indexes import (
     docs_quality_filter,
     docs_repeated_spans,
     docs_repeated_spans_incremental,
+    docs_repeated_spans_retract,
     docs_repeated_spans_unaligned,
     docs_repetition,
     docs_sample_stratified,
@@ -390,6 +392,12 @@ SPECS: list[QuerySpec] = [
     # novelty probes the same persisted gram sketch the incremental
     # span detector maintains — one state build, two consumers
     QuerySpec("docs_novelty_scored", docs_novelty_scored, _ORACLE_NOVELTY),
+    # the delete leg of the same persisted state
+    QuerySpec(
+        "docs_repeated_spans_retract",
+        docs_repeated_spans_retract,
+        _ORACLE_SPANS_RETRACT,
+    ),
     QuerySpec("sources_jsd_hashed", sources_jsd_hashed, _ORACLE_JSD_HASHED),
     QuerySpec("events_k_anonymity", events_k_anonymity, _ORACLE_K_ANONYMITY),
     QuerySpec("events_zorder_layout", events_zorder_layout, _oracle_zorder_sql()),
@@ -431,9 +439,9 @@ SPECS: list[QuerySpec] = [
     ),
     # --- text analysis / corpus curation --------------------------------
     # (text_redact + docs_sample_stratified + docs_quality_filter +
-    # docs_pack_sequences evicted at r7 — one slot per r7 addition
-    # above; driver-green r1-r6, oracle-pinned in the tail below.)
-    QuerySpec("docs_quality_deciles", docs_quality_deciles, _oracle_deciles_sql()),
+    # docs_pack_sequences + docs_quality_deciles evicted at r7 — one
+    # slot per r7 addition above; driver-green r1-r6, oracle-pinned in
+    # the tail below.)
     QuerySpec("docs_repetition", docs_repetition, OE.repetition_sql(0.05)),
     QuerySpec("docs_contamination", docs_contamination, OE.contamination_sql(17, 5, 3)),
     # --- time-series family ---------------------------------------------
@@ -524,6 +532,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("docs_sample_stratified", docs_sample_stratified, _ORACLE_SAMPLE),
     QuerySpec("docs_quality_filter", docs_quality_filter, _oracle_quality_filter_sql()),
     QuerySpec("docs_pack_sequences", docs_pack_sequences, _oracle_pack_sql(2048)),
+    QuerySpec("docs_quality_deciles", docs_quality_deciles, _oracle_deciles_sql()),
     QuerySpec("doc_fingerprints", doc_fingerprints, OE.fingerprint_sql()),
     QuerySpec("doc_chunks", doc_chunks, _ORACLE_CHUNKS),
     QuerySpec("docs_deduplicated", docs_deduplicated, _oracle_dedup_corpus_sql()),
