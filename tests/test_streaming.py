@@ -1070,3 +1070,77 @@ def test_streaming_span_index_maintenance(spark, tmp_path):
         assert _sorted_rows(merged_sketch, ["gh", "n_docs"]) == _sorted_rows(
             want_sketch, ["gh", "n_docs"]
         )
+
+
+def test_streaming_span_state_retraction_and_resume(spark, tmp_path):
+    """Between-runs delete maintenance for the streaming span state:
+    after two streamed batches, retract a doc subset — the view must
+    equal the batch recompute on the SURVIVORS (tombstoned rows gone,
+    touched survivors re-merged, including clears) and the sketch must
+    equal the from-scratch survivor df counts.  Then stream a THIRD
+    batch: the maintainer probes the corrected state, so a gram whose
+    df the deletion dropped to 1 and the new batch re-duplicates must
+    flip back in — prefix equivalence on survivors ∪ batch 3."""
+    from updating_datasets_data_engineering_spark.operators import dedup as D
+
+    src = str(tmp_path / "rt_src")
+    posting_path = str(tmp_path / "rt_posting")
+    sketch_path = str(tmp_path / "rt_sketch")
+    spans_path = str(tmp_path / "rt_spans")
+    ckpt = str(tmp_path / "rt_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batches = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    def run_increment(batch_df):
+        batch_df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                SP.maintain_span_index_each_batch(
+                    posting_path, sketch_path, spans_path, k=10
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+
+    run_increment(batches[0])
+    run_increment(batches[1])
+    streamed = batches[0].unionByName(batches[1])
+    tombs = streamed.where(F.col("doc_id") % 5 == 2).select("doc_id")
+    survivors = streamed.join(tombs, "doc_id", "left_anti")
+
+    SP.retract_span_state(spark, posting_path, sketch_path, spans_path, tombs, k=10)
+
+    cols = ["doc_id", "span_start", "span_end", "span_tokens"]
+    got = spark.read.parquet(spans_path).select(*cols)
+    want = D.repeated_span_intervals(survivors, k=10)
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    merged_sketch = (
+        spark.read.parquet(sketch_path)
+        .groupBy("gh")
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+    )
+    want_sketch = D.span_gram_df(D.span_posting_index(survivors, k=10))
+    assert _sorted_rows(merged_sketch, ["gh", "n_docs"]) == _sorted_rows(
+        want_sketch, ["gh", "n_docs"]
+    )
+
+    # idempotence: re-running the SAME retraction converges to the
+    # same state (the crash-recovery contract)
+    SP.retract_span_state(spark, posting_path, sketch_path, spans_path, tombs, k=10)
+    got2 = spark.read.parquet(spans_path).select(*cols)
+    assert _sorted_rows(got2, cols) == _sorted_rows(want, cols)
+
+    # resume streaming on the corrected state
+    run_increment(batches[2])
+    after = survivors.unionByName(batches[2])
+    got3 = spark.read.parquet(spans_path).select(*cols)
+    want3 = D.repeated_span_intervals(after, k=10)
+    assert _sorted_rows(got3, cols) == _sorted_rows(want3, cols)

@@ -1077,6 +1077,96 @@ def maintain_span_index_each_batch(
     return _apply
 
 
+def retract_span_state(
+    spark,
+    posting_path: str,
+    sketch_path: str,
+    spans_path: str,
+    tombstones: DataFrame,
+    k: int = 10,
+) -> None:
+    """Between-runs DELETE maintenance for the streaming span state —
+    the lifecycle leg :func:`maintain_span_index_each_batch` scopes out
+    (micro-batches are insert-only; deletes are batch-windowed, same
+    schedule contract as ``maintenance.compact_batch_index``).
+
+    Applies ``tombstones`` (column ``doc_id``) to all three stores:
+    the span VIEW drops the tombstoned docs' rows and upserts the
+    touched survivors (including interval splits and clears —
+    ``dedup.retract_repeated_spans`` semantics); the df SKETCH is
+    re-derived from the post-delete posting (one aggregate — this is
+    deliberately NOT a delta-sized negative-correction partial: a
+    correction appended twice double-subtracts, while a sketch that is
+    a pure function of the posting makes the whole operation
+    idempotent); the POSTING drops the tombstoned rows.  Both rewritten
+    states land re-tagged to the compaction watermark — a retraction
+    doubles as a ``compact_batch_index`` pass, and future batches keep
+    appending their own partitions above it.
+
+    Crash contract: each store moves by one atomic ``fs`` swap, in the
+    order view → sketch → posting.  Re-running with the SAME tombstone
+    list after a crash at ANY point converges: while the posting still
+    holds the tombstoned rows, every recompute is identical; once the
+    posting swap lands, the removal set is empty and the view/sketch
+    recomputes are no-ops on already-clean state.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup as D
+    from ..operators.dedup import _retract_span_parts
+
+    for p in (posting_path, sketch_path, spans_path):
+        fs.recover_swap(spark, p)
+    if not fs.has_parquet(spark, posting_path):
+        return
+    tomb_ids = tombstones.select("doc_id")
+    posting = spark.read.parquet(posting_path)
+    watermark = posting.agg(F.max("_batch_id")).collect()[0][0]
+    posting = posting.select("doc_id", "pos", "gh")
+    gram_state = (
+        spark.read.parquet(sketch_path)
+        .groupBy("gh")
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+    )
+    with caching.scope():
+        touched, intervals = _retract_span_parts(tomb_ids, posting, gram_state, k)
+        touched = caching.tracked_persist(touched)
+        if fs.has_parquet(spark, spans_path):
+            prev = spark.read.parquet(spans_path)
+            view = (
+                prev.join(tomb_ids, "doc_id", "left_anti")
+                .join(touched, "doc_id", "left_anti")
+                .unionByName(intervals)
+            )
+            _swap_in(spark, view, spans_path)
+        posting_new = caching.tracked_persist(
+            posting.join(tomb_ids, "doc_id", "left_anti")
+        )
+        sketch_new = D.span_gram_df(posting_new).withColumn(
+            "_batch_id", F.lit(watermark).cast("long")
+        )
+        _swap_in(spark, sketch_new, sketch_path, partition_by="_batch_id")
+        _swap_in(
+            spark,
+            posting_new.withColumn("_batch_id", F.lit(watermark).cast("long")),
+            posting_path,
+            partition_by="_batch_id",
+        )
+
+
+def _swap_in(spark, df: DataFrame, path: str, partition_by: str | None = None) -> None:
+    """Write ``df`` to a staging dir and promote it over ``path`` with
+    the crash-safe rename the maintainers share."""
+    staging = fs.staging_path(path)
+    fs.delete(spark, staging)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(staging)
+    spark.read.parquet(staging).count()  # materialize before swap
+    fs.swap_directory(spark, staging, path)
+
+
 def run_index_maintenance_available_now(
     stream_docs: DataFrame,
     docs_path: str,
