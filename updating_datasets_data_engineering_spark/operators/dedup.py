@@ -248,11 +248,17 @@ def incremental_repeated_spans(
     """
     d_post = span_posting_index(delta, k, id_col, text_col)
     d_post = tracked_persist(d_post)  # df sketch + hits both consume it
-    d_df = span_gram_df(d_post)
+    d_df = tracked_persist(span_gram_df(d_post))
     # merged duplication status for every gram the delta touches; grams
-    # NOT in the delta keep their archive status (>= 2 means still dup)
+    # NOT in the delta keep their archive status (>= 2 means still dup).
+    # The state side is semi-join-restricted to the delta's gram keys
+    # FIRST: a bare left_outer against the full sketch would shuffle
+    # the whole archive-sized state, where the pruned slice is
+    # delta-sized and the semi-join itself goes map-side once AQE
+    # broadcasts the (small) delta key set.
+    state_slice = gram_df_state.join(d_df.select("gh"), "gh", "left_semi")
     merged = d_df.alias("d").join(
-        gram_df_state.alias("a"), "gh", "left_outer"
+        state_slice.alias("a"), "gh", "left_outer"
     ).select(
         "gh",
         (F.coalesce(F.col("a.n_docs"), F.lit(0)) + F.col("d.n_docs")).alias("n_total"),
@@ -268,7 +274,12 @@ def incremental_repeated_spans(
     touched_post = posting_state.join(touched_docs, "doc_id", "left_semi")
     scope = d_post.unionByName(touched_post)
     # dup status inside the scope: delta-touched grams use the merged
-    # count; archive-only grams fall back to the persisted sketch
+    # count; archive-only grams fall back to the persisted sketch.  The
+    # sketch branch is pre-filtered to df >= 2 — the duplicated-gram
+    # TAIL, not the full sketch: the same rare-tail bet the batch
+    # operator's semi-join makes (duplicated grams are a small fraction
+    # of distinct grams in real corpora, so this side broadcasts or
+    # shuffles cheaply while the df = 1 bulk never moves)
     dup = (
         merged.where(F.col("n_total") >= 2)
         .select("gh")
