@@ -417,13 +417,18 @@ def novel_gram_fraction(
     unseen counts together.  Docs shorter than ``k`` tokens have no
     grams and produce no row (same contract as the span family).
     """
-    d_grams = (
+    d_grams = tracked_persist(
         span_posting_index(delta, k, id_col, text_col)
         .select("doc_id", "gh")
         .distinct()
     )
+    # restrict the sketch to the delta's gram keys BEFORE the outer
+    # join: the bare left_outer would shuffle the full archive-sized
+    # sketch, where the semi-pruned slice is delta-sized and the prune
+    # goes map-side once AQE broadcasts the delta key set
+    seen = gram_df_state.join(d_grams.select("gh"), "gh", "left_semi")
     marked = d_grams.join(
-        gram_df_state.select("gh", F.lit(1).alias("_seen")), "gh", "left_outer"
+        seen.select("gh", F.lit(1).alias("_seen")), "gh", "left_outer"
     )
     n_novel = F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
     return marked.groupBy("doc_id").agg(
