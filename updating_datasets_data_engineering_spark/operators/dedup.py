@@ -387,6 +387,11 @@ def _retract_span_parts(
         .distinct()
     )
     touched_post = posting_state.join(touched_docs, "doc_id", "left_semi")
+    # n_left >= 2 is the duplicated-gram TAIL (rare in real corpora),
+    # not the full sketch — the same tail bet the batch operator and
+    # the incremental probe make, so this semi-join's right side stays
+    # broadcast-or-cheap while the df = 1 bulk never moves; `surviving`
+    # itself is map-side (the removed_df build side broadcasts)
     still_dup = surviving.where(F.col("n_left") >= 2).select("gh")
     hits = touched_post.join(still_dup, "gh", "left_semi")
     return touched_docs, _merge_islands(hits, k)
