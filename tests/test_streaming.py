@@ -1144,3 +1144,51 @@ def test_streaming_span_state_retraction_and_resume(spark, tmp_path):
     got3 = spark.read.parquet(spans_path).select(*cols)
     want3 = D.repeated_span_intervals(after, k=10)
     assert _sorted_rows(got3, cols) == _sorted_rows(want3, cols)
+
+
+def test_streaming_span_state_survives_full_deletion(spark, tmp_path):
+    """Degenerate delete: tombstoning EVERY streamed doc leaves states
+    holding only _SUCCESS markers (no parquet data files) — the
+    has_parquet guards must route every reader through the no-state
+    path, and a subsequent batch must rebuild cleanly (prefix
+    equivalence = recompute on the new batch alone)."""
+    from updating_datasets_data_engineering_spark.operators import dedup as D
+
+    src = str(tmp_path / "fd_src")
+    posting_path = str(tmp_path / "fd_posting")
+    sketch_path = str(tmp_path / "fd_sketch")
+    spans_path = str(tmp_path / "fd_spans")
+    ckpt = str(tmp_path / "fd_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+
+    def run_increment(batch_df):
+        batch_df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                SP.maintain_span_index_each_batch(
+                    posting_path, sketch_path, spans_path, k=10
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+
+    run_increment(b1)
+    SP.retract_span_state(
+        spark, posting_path, sketch_path, spans_path, b1.select("doc_id"), k=10
+    )
+    assert spark.read.parquet(spans_path).count() == 0
+    run_increment(b2)
+    cols = ["doc_id", "span_start", "span_end", "span_tokens"]
+    got = spark.read.parquet(spans_path).select(*cols)
+    want = D.repeated_span_intervals(b2, k=10)
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)

@@ -1142,6 +1142,15 @@ def retract_span_state(
         posting_new = caching.tracked_persist(
             posting.join(tomb_ids, "doc_id", "left_anti")
         )
+        if posting_new.isEmpty():
+            # full deletion: an empty PARTITIONED write leaves a dir
+            # with no data files (unreadable schema) — the engine's
+            # no-state representation is NO directory, which every
+            # reader already guards with fs.has_parquet; re-running
+            # then takes the early has_parquet return (idempotent)
+            for p in (sketch_path, posting_path):
+                fs.delete(spark, p)
+            return
         sketch_new = D.span_gram_df(posting_new).withColumn(
             "_batch_id", F.lit(watermark).cast("long")
         )
@@ -1159,6 +1168,12 @@ def _swap_in(spark, df: DataFrame, path: str, partition_by: str | None = None) -
     the crash-safe rename the maintainers share."""
     staging = fs.staging_path(path)
     fs.delete(spark, staging)
+    if df.isEmpty():
+        # a single write task emits a schema-bearing empty file, so an
+        # emptied-out store stays READABLE (a multi-partition or
+        # partitioned empty write leaves only _SUCCESS and breaks
+        # schema inference for any unguarded consumer)
+        df, partition_by = df.coalesce(1), None
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(partition_by)
