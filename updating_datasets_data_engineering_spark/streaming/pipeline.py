@@ -385,16 +385,11 @@ def maintain_minhash_index_each_batch(
         deletion rewrite touches every partition, so the partition-
         scoped idempotent overwrite doesn't apply; at real scale this
         becomes a rewrite of only the partitions holding the deleted
-        ids)."""
-        spark = df.sparkSession
-        staging = fs.staging_path(path)
-        fs.delete(spark, staging)
-        w = df.write.mode("overwrite")
-        if partition_col is not None and partition_col in df.columns:
-            w = w.partitionBy(partition_col)
-        w.parquet(staging)
-        spark.read.parquet(staging).count()  # materialize before swap
-        fs.swap_directory(spark, staging, path)
+        ids).  Delegates to the shared empty-safe swap: a delete that
+        drains the store must not leave an unreadable data-file-less
+        directory."""
+        keep = partition_col if (partition_col and partition_col in df.columns) else None
+        _swap_in(df.sparkSession, df, path, partition_by=keep)
 
     def _apply(batch_docs: DataFrame, batch_id: int) -> None:
         spark = batch_docs.sparkSession
@@ -566,15 +561,8 @@ def maintain_ann_index_each_batch(
     from ..operators import similarity as SIM
 
     def _swap_overwrite(df: DataFrame, path: str, partition_col: str | None) -> None:
-        spark = df.sparkSession
-        staging = fs.staging_path(path)
-        fs.delete(spark, staging)
-        w = df.write.mode("overwrite")
-        if partition_col is not None and partition_col in df.columns:
-            w = w.partitionBy(partition_col)
-        w.parquet(staging)
-        spark.read.parquet(staging).count()  # materialize before swap
-        fs.swap_directory(spark, staging, path)
+        keep = partition_col if (partition_col and partition_col in df.columns) else None
+        _swap_in(df.sparkSession, df, path, partition_by=keep)
 
     def _apply(batch_vecs: DataFrame, batch_id: int) -> None:
         spark = batch_vecs.sparkSession
@@ -813,12 +801,7 @@ def maintain_zonemap_each_batch(
     from ..operators import layout as L
 
     def _swap_overwrite(df: DataFrame, path: str) -> None:
-        spark = df.sparkSession
-        staging = fs.staging_path(path)
-        fs.delete(spark, staging)
-        df.write.mode("overwrite").parquet(staging)
-        spark.read.parquet(staging).count()
-        fs.swap_directory(spark, staging, path)
+        _swap_in(df.sparkSession, df, path)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
