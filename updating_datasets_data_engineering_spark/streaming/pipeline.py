@@ -124,11 +124,9 @@ def upsert_each_batch(
                 )
             else:
                 merged = M.merge_anti_join(archive, delta, key=list(key))
-            staging = fs.staging_path(archive_path)
-            fs.delete(spark, staging)
-            merged.write.mode("overwrite").parquet(staging)
-            spark.read.parquet(staging).count()  # materialize before swap
-            fs.swap_directory(spark, staging, archive_path)
+            # shared empty-safe swap: a CDC batch that tombstones the
+            # whole archive must leave a readable empty store
+            _swap_in(spark, merged, archive_path)
 
     return _apply
 
@@ -748,11 +746,7 @@ def maintain_k_anonymity_each_batch(
                 merged = prev.join(out, "event_id", "left_anti").unionByName(out)
             else:
                 merged = out
-            staging = fs.staging_path(view_path)
-            fs.delete(spark, staging)
-            merged.write.mode("overwrite").parquet(staging)
-            spark.read.parquet(staging).count()
-            fs.swap_directory(spark, staging, view_path)
+            _swap_in(spark, merged, view_path)
             for state_df, state_path in ((b_keyed, events_path), (b_counts, cpath)):
                 (
                     state_df.withColumn("_batch_id", F.lit(batch_id).cast("long"))
@@ -938,11 +932,7 @@ def maintain_boilerplate_each_batch(
                 ).unionByName(restripped)
             else:
                 store = restripped
-            staging = fs.staging_path(clean_path)
-            fs.delete(spark, staging)
-            store.write.mode("overwrite").parquet(staging)
-            spark.read.parquet(staging).count()  # materialize before swap
-            fs.swap_directory(spark, staging, clean_path)
+            _swap_in(spark, store, clean_path)
             batch_lit = F.lit(batch_id).cast("long").alias("_batch_id")
             for df, path in ((delta_chunks, span_index_path), (delta, docs_path)):
                 (
@@ -1041,11 +1031,7 @@ def maintain_span_index_each_batch(
                 )
             else:
                 store = intervals
-            staging = fs.staging_path(spans_path)
-            fs.delete(spark, staging)
-            store.write.mode("overwrite").parquet(staging)
-            spark.read.parquet(staging).count()  # materialize before swap
-            fs.swap_directory(spark, staging, spans_path)
+            _swap_in(spark, store, spans_path)
             batch_lit = F.lit(batch_id).cast("long").alias("_batch_id")
             batch_sketch = D.span_gram_df(d_post)
             for df, path in ((d_post, posting_path), (batch_sketch, sketch_path)):
@@ -1242,11 +1228,7 @@ def maintain_value_histogram_each_batch(
             else:
                 merged = batch_hist
             view = INC.quantiles_from_histogram(merged, width, qs, keys=keys)
-            staging = fs.staging_path(quantiles_path)
-            fs.delete(spark, staging)
-            view.write.mode("overwrite").parquet(staging)
-            spark.read.parquet(staging).count()  # materialize before swap
-            fs.swap_directory(spark, staging, quantiles_path)
+            _swap_in(spark, view, quantiles_path)
             (
                 batch_hist.withColumn(
                     "_batch_id", F.lit(batch_id).cast("long")
@@ -1404,11 +1386,7 @@ def maintain_sig_edges_each_batch(
                 .where(F.col("lift") >= min_lift)
                 .select("user_a", "user_b", "shared_windows", "lift")
             )
-            staging = fs.staging_path(edges_path)
-            fs.delete(spark, staging)
-            edges.write.mode("overwrite").parquet(staging)
-            spark.read.parquet(staging).count()  # materialize before swap
-            fs.swap_directory(spark, staging, edges_path)
+            _swap_in(spark, edges, edges_path)
             batch_lit = F.lit(batch_id).cast("long").alias("_batch_id")
             for df, path in ((new_active, active_path), (contrib, pairs_path)):
                 (
