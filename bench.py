@@ -18,6 +18,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from updating_datasets_data_engineering_spark.registry import queries  # noqa: E402
 from updating_datasets_data_engineering_spark.session import get_spark  # noqa: E402
 
@@ -332,6 +334,25 @@ def main() -> None:
         force(qs[name](spark, sf_dir))
     state_build_s = round(time.perf_counter() - t_pre, 3)
 
+    # Machine-floor calibration probe: a FIXED-size CPU+shuffle job
+    # independent of SF and of the registry, min-of-2.  Session-to-
+    # session ambient floor shifted 20-40% within round 7 with plans
+    # and code identical (single-core probes normal — host-level
+    # variance), so cross-round total comparisons need a denominator:
+    # divide headline totals by floor_probe_s before judging a
+    # regression real.
+    def _floor_probe() -> float:
+        t0 = time.perf_counter()
+        force(
+            spark.range(50_000_000)
+            .withColumn("k", F.pmod(F.hash(F.md5(F.col("id").cast("string"))), F.lit(1024)))
+            .groupBy("k")
+            .count()
+        )
+        return time.perf_counter() - t0
+
+    floor_probe_s = round(min(_floor_probe(), _floor_probe()), 3)
+
     timings: dict[str, float] = {}
     shuffle_mb: dict[str, float] = {}
     for name in headline:
@@ -366,6 +387,7 @@ def main() -> None:
         "queries": timings,
         "shuffle_mb": shuffle_mb,
         "state_build_s": state_build_s,
+        "floor_probe_s": floor_probe_s,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full per-query detail: one JSON line (the documented contract) plus
@@ -384,6 +406,7 @@ def main() -> None:
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
+        "floor_probe_s": floor_probe_s,
         "queries": {},
         "n_queries": len(timings),
         "detail": out_file,
