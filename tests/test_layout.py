@@ -142,3 +142,33 @@ def test_zonemap_retraction_contract(spark, sf_dir):
     got = {r["shard"]: (r["n_rows"], r["n_deleted"]) for r in two.collect()}
     want = {r["shard"]: (r["n_rows"], r["n_deleted"]) for r in out.collect()}
     assert got == want
+
+
+def test_zonemap_retraction_replay_caps_at_lifetime(spark, sf_dir):
+    """ADVICE r7: the applied delete is capped at the shard's remaining
+    rows, so REPLAYED tombstones keep the lifetime denominator
+    n_rows + n_deleted invariant and the composition law holds even
+    once the clamp fires (replay ⊕ replay ≡ one double-sized
+    retraction, both deleting min(Σd, n_rows))."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_millis("ts").alias("x"), F.col("value").alias("y")
+    )
+    bounds = L.zorder_bounds(ev, "x", "y")
+    zm = L.zorder_shards(ev, "x", "y", bounds=bounds)
+    dead_zm = L.zorder_shards(ev, "x", "y", bounds=bounds)  # delete EVERY row
+
+    once = L.retract_zonemaps(zm, dead_zm, stale_fraction=0.5)
+    twice = L.retract_zonemaps(once, dead_zm, stale_fraction=0.5)
+    doubled = dead_zm.withColumn("n_rows", F.col("n_rows") * 2)
+    oneshot = L.retract_zonemaps(zm, doubled, stale_fraction=0.5)
+
+    lifetime = {r["shard"]: r["n_rows"] for r in zm.collect()}
+    for out in (once, twice, oneshot):
+        for r in out.collect():
+            # clamp: never negative, lifetime denominator invariant
+            assert r["n_rows"] == 0
+            assert r["n_deleted"] == lifetime[r["shard"]], r
+            assert r["stale"]
+    got = {r["shard"]: (r["n_rows"], r["n_deleted"]) for r in twice.collect()}
+    want = {r["shard"]: (r["n_rows"], r["n_deleted"]) for r in oneshot.collect()}
+    assert got == want

@@ -401,3 +401,34 @@ def test_semantic_dedup_graded_query_absorbs_planted_duplicates(spark):
     dups = set(out[out["is_dup"]]["vec_id"])
     assert len(out) == 520
     assert dups == {1_000_000 + v for v in range(0, 500, 25)}
+
+
+def test_adaptive_geometry_degenerate_threshold_clamps():
+    """ADVICE r7: threshold → -1 drives the per-band hit probability p
+    to 0; the derivation must degrade to the L cap, not raise
+    ZeroDivisionError."""
+    for t in (-1.0, -5.0):  # -5 exercises the [-1, 1] clamp too
+        n_bands, r = SIM.adaptive_band_geometry(5_000, t)
+        assert n_bands == 64 and 5 <= r <= 12
+    # and an untruncated near-degenerate value stays finite
+    n_bands, r = SIM.adaptive_band_geometry(5_000, -0.999999)
+    assert 1 <= n_bands <= 64
+
+
+def test_banded_srp_index_preserves_string_id_type(spark):
+    """ADVICE r7: the Arrow path's output schema must carry the INPUT
+    id type (the JVM path always did) — a string-id corpus must agree
+    across both paths instead of failing or silently diverging."""
+    corpus = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        F.concat(F.lit("v"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    a = (
+        SIM.banded_srp_index(corpus, 8, 5, use_arrow=True)
+        .toPandas().sort_values(["id", "band_no"]).reset_index(drop=True)
+    )
+    j = (
+        SIM.banded_srp_index(corpus, 8, 5, use_arrow=False)
+        .toPandas().sort_values(["id", "band_no"]).reset_index(drop=True)
+    )
+    assert a.equals(j)
+    assert a["id"].iloc[0].startswith("v")

@@ -1192,3 +1192,101 @@ def test_streaming_span_state_survives_full_deletion(spark, tmp_path):
     got = spark.read.parquet(spans_path).select(*cols)
     want = D.repeated_span_intervals(b2, k=10)
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_retract_span_state_replay_after_partial_crash(spark, tmp_path):
+    """ADVICE r7 (medium): the crash contract between the three store
+    swaps.  retract_span_state promises convergence under replay with
+    the same tombstones after a crash at ANY point; the r7 code order
+    (sketch before posting) had a window — crash after the sketch swap
+    but before the posting swap — where the replay read the
+    already-decremented sketch against the still-tombstoned posting
+    and double-subtracted df.  The fixed order is view → posting →
+    sketch.  This test reconstructs each crash state explicitly from
+    before/after snapshots and asserts the replay converges to the
+    completed-run stores at every window."""
+    import shutil
+
+    from updating_datasets_data_engineering_spark.operators import dedup as D
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 400)
+    )
+    posting_path = str(tmp_path / "posting")
+    sketch_path = str(tmp_path / "sketch")
+    spans_path = str(tmp_path / "spans")
+
+    def write_state():
+        post = D.span_posting_index(docs, k=10).withColumn(
+            "_batch_id", F.lit(0).cast("long")
+        )
+        post.write.mode("overwrite").partitionBy("_batch_id").parquet(posting_path)
+        D.span_gram_df(post.select("doc_id", "pos", "gh")).withColumn(
+            "_batch_id", F.lit(0).cast("long")
+        ).write.mode("overwrite").partitionBy("_batch_id").parquet(sketch_path)
+        D.repeated_span_intervals(docs, k=10).write.mode("overwrite").parquet(
+            spans_path
+        )
+
+    def snap(tag):
+        d = tmp_path / tag
+        for p in (posting_path, sketch_path, spans_path):
+            shutil.copytree(p, d / os.path.basename(p))
+        return d
+
+    def restore(store_path, snap_dir):
+        shutil.rmtree(store_path, ignore_errors=True)
+        shutil.copytree(snap_dir / os.path.basename(store_path), store_path)
+
+    def read_all():
+        cols = ["doc_id", "span_start", "span_end", "span_tokens"]
+        spans = _sorted_rows(spark.read.parquet(spans_path).select(*cols), cols)
+        post = _sorted_rows(
+            spark.read.parquet(posting_path).select("doc_id", "pos", "gh"),
+            ["doc_id", "pos", "gh"],
+        )
+        sk = _sorted_rows(
+            spark.read.parquet(sketch_path)
+            .groupBy("gh")
+            .agg(F.sum("n_docs").cast("long").alias("n_docs")),
+            ["gh", "n_docs"],
+        )
+        return spans, post, sk
+
+    write_state()
+    tombs = docs.where(F.col("doc_id") % 5 == 2).select("doc_id")
+    old = snap("pre")
+    SP.retract_span_state(spark, posting_path, sketch_path, spans_path, tombs, k=10)
+    expected = read_all()
+    new = snap("post")
+
+    # crash window A: only the VIEW swap landed
+    restore(spans_path, new)
+    restore(posting_path, old)
+    restore(sketch_path, old)
+    SP.retract_span_state(spark, posting_path, sketch_path, spans_path, tombs, k=10)
+    assert read_all() == expected
+
+    # crash window B: view + POSTING landed, sketch still old — the
+    # exact r7 double-subtract window
+    restore(spans_path, new)
+    restore(posting_path, new)
+    restore(sketch_path, old)
+    SP.retract_span_state(spark, posting_path, sketch_path, spans_path, tombs, k=10)
+    assert read_all() == expected
+
+    # full-deletion crash: posting deleted, sketch orphaned — the
+    # replay must sweep the orphan and converge to no-state
+    restore(spans_path, new)
+    restore(sketch_path, old)
+    shutil.rmtree(posting_path, ignore_errors=True)
+    SP.retract_span_state(
+        spark, posting_path, sketch_path, spans_path, docs.select("doc_id"), k=10
+    )
+    from updating_datasets_data_engineering_spark import fs
+
+    assert not fs.has_parquet(spark, posting_path)
+    assert not fs.has_parquet(spark, sketch_path)

@@ -204,10 +204,16 @@ def retract_zonemaps(
         prev_deleted.alias("n_deleted"),
     )
     d = deleted.select("shard", F.col("n_rows").cast("long").alias("_del"))
-    live = F.greatest(
-        F.col("n_rows") - F.coalesce(F.col("_del"), F.lit(0)), F.lit(0)
-    ).cast("long")
-    gone = (F.col("n_deleted") + F.coalesce(F.col("_del"), F.lit(0))).cast("long")
+    # the applied delete is capped at the shard's REMAINING rows, the
+    # mirror of the n_rows clamp (ADVICE r7): n_rows + n_deleted — the
+    # lifetime denominator of the staleness test — is then invariant
+    # under retraction, so replayed tombstones can't inflate it and the
+    # composition law retract(retract(s,d1),d2) ≡ retract(s,d1⊕d2)
+    # holds even once the clamp fires (both sides delete exactly
+    # min(Σdᵢ, n_rows) in total).
+    eff = F.least(F.coalesce(F.col("_del"), F.lit(0)), F.col("n_rows"))
+    live = (F.col("n_rows") - eff).cast("long")
+    gone = (F.col("n_deleted") + eff).cast("long")
     return (
         s.join(d, "shard", "left")
         .select(

@@ -245,7 +245,11 @@ def adaptive_band_geometry(
     r = math.ceil(math.log2(max(n / target_occupancy, 2.0)))
     r = max(min_planes, min(max_planes, r))
     t = min(max(threshold, -1.0), 1.0)
-    p = 1.0 - math.acos(t) / math.pi
+    # p → 0 as t → -1 (antipodal threshold): clamp so the L derivation
+    # degrades to the max_bands cap instead of a ZeroDivisionError
+    # (ADVICE r7) — at such a threshold every geometry under-recalls
+    # anyway and the cap is the honest answer.
+    p = max(1.0 - math.acos(t) / math.pi, 1e-9)
     n_bands = math.ceil(math.log(1.0 / recall_delta) / (p**r))
     return max(1, min(max_bands, n_bands)), r
 
@@ -324,6 +328,12 @@ def banded_srp_index(
 
         planes = np.array(flat, dtype=np.float64)  # (L*r, dim)
         weights = 1 << np.arange(band_planes, dtype=np.int64)
+        # the id column keeps its INPUT type (ADVICE r7: the JVM path
+        # below preserves it, so a hardcoded `id long` would silently
+        # diverge for string/int id corpora on the path the bit-
+        # identity test asserts against)
+        id_type = spread.schema[id_col].dataType.simpleString()
+        out_schema = f"id {id_type}, band_no int, bucket long"
 
         def batches(it):
             for pdf in it:
@@ -348,7 +358,7 @@ def banded_srp_index(
                     }
                 )
 
-        return spread.mapInPandas(batches, schema="id long, band_no int, bucket long")
+        return spread.mapInPandas(batches, schema=out_schema)
 
     # JVM reference path: all L*r plane dots in ONE transform (same
     # per-dot left-assoc fold order), planes riding in as DATA via a

@@ -1073,11 +1073,19 @@ def retract_span_state(
     appending their own partitions above it.
 
     Crash contract: each store moves by one atomic ``fs`` swap, in the
-    order view → sketch → posting.  Re-running with the SAME tombstone
-    list after a crash at ANY point converges: while the posting still
-    holds the tombstoned rows, every recompute is identical; once the
-    posting swap lands, the removal set is empty and the view/sketch
-    recomputes are no-ops on already-clean state.
+    order view → POSTING → sketch (ADVICE r7: sketch-before-posting had
+    a window where a replay read the already-decremented sketch against
+    the still-tombstoned posting and double-subtracted df, wrongly
+    revoking grams with a surviving df ≥ 2 holder and corrupting the
+    view).  With the posting swapped first and the sketch re-derived
+    from the ON-DISK post-swap posting, a replay with the SAME
+    tombstone list after a crash at ANY point converges: before the
+    posting swap every input is identical (the view rewrite is a pure
+    function of old state); after it the removal set is empty — the
+    view rewrite is the identity and the sketch recompute is a pure
+    function of the already-clean posting.  The crash-window replay is
+    exercised store-by-store in
+    ``tests/test_streaming.py::test_retract_span_state_replay_after_partial_crash``.
     """
     from pyspark.sql import functions as F
 
@@ -1087,6 +1095,11 @@ def retract_span_state(
     for p in (posting_path, sketch_path, spans_path):
         fs.recover_swap(spark, p)
     if not fs.has_parquet(spark, posting_path):
+        # the posting is the root of the state: with it gone (no-state,
+        # or a crash after the full-deletion branch removed it), a
+        # sketch left behind is an orphan — drop it so the replay
+        # converges to the same no-state the completed run reaches
+        fs.delete(spark, sketch_path)
         return
     tomb_ids = tombstones.select("doc_id")
     posting = spark.read.parquet(posting_path)
@@ -1115,21 +1128,27 @@ def retract_span_state(
             # full deletion: an empty PARTITIONED write leaves a dir
             # with no data files (unreadable schema) — the engine's
             # no-state representation is NO directory, which every
-            # reader already guards with fs.has_parquet; re-running
-            # then takes the early has_parquet return (idempotent)
-            for p in (sketch_path, posting_path):
+            # reader already guards with fs.has_parquet.  Posting goes
+            # FIRST: a crash between the two deletes then replays into
+            # the early has_parquet return, which sweeps the orphan
+            # sketch (idempotent); sketch-first would leave a replay
+            # reading a missing sketch against a live posting.
+            for p in (posting_path, sketch_path):
                 fs.delete(spark, p)
             return
-        sketch_new = D.span_gram_df(posting_new).withColumn(
-            "_batch_id", F.lit(watermark).cast("long")
-        )
-        _swap_in(spark, sketch_new, sketch_path, partition_by="_batch_id")
         _swap_in(
             spark,
             posting_new.withColumn("_batch_id", F.lit(watermark).cast("long")),
             posting_path,
             partition_by="_batch_id",
         )
+        # sketch LAST, re-derived from the on-disk post-swap posting —
+        # a pure function of the clean posting, so a crash-replay at
+        # any point recomputes the identical sketch (ADVICE r7)
+        sketch_new = D.span_gram_df(
+            spark.read.parquet(posting_path).select("doc_id", "pos", "gh")
+        ).withColumn("_batch_id", F.lit(watermark).cast("long"))
+        _swap_in(spark, sketch_new, sketch_path, partition_by="_batch_id")
 
 
 def _swap_in(spark, df: DataFrame, path: str, partition_by: str | None = None) -> None:
