@@ -38,7 +38,7 @@ from collections import deque
 from updating_datasets_data_engineering_spark.registry import SPECS
 
 DRIVER_WINDOW = 50
-CURRENT_ROUND = 7
+CURRENT_ROUND = 8
 
 # The 20 reference-parity (§2) specs that never leave the window: every
 # shot_*/merge_* parity query, the streaming + incremental + salted
@@ -145,6 +145,7 @@ NEW_SPECS_BY_ROUND: dict[int, list[str]] = {
         "dedup_containment", "docs_repeated_spans_unaligned",
         "docs_repeated_spans_incremental", "docs_novelty_scored",
         "docs_repeated_spans_retract"],
+    8: ["dedup_containment_incremental"],
 }
 
 

@@ -112,6 +112,120 @@ def containment_pairs(
     )
 
 
+def containment_posting(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram: int = 3
+) -> DataFrame:
+    """The persisted (sh, id) distinct-shingle posting table for the
+    containment family — UNFILTERED (every shingle, df ≥ 1): the
+    incremental probe needs the single archive holder of a shingle
+    whose df the delta flips 1 → 2, so the df window cannot be baked
+    into the state (it is applied per probe over the MERGED counts).
+    Same state discipline as :func:`span_posting_index`."""
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(TXT.shingles(F.col(text_col), ngram)).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+def containment_df(posting: DataFrame) -> DataFrame:
+    """Per-shingle document frequency over a containment posting — the
+    small mergeable sketch that makes the incremental probe delta-sized
+    (merged df = archive_df + delta_df, never a re-aggregate of the
+    archive posting)."""
+    return posting.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("df"))
+
+
+def containment_sizes(posting: DataFrame) -> DataFrame:
+    """Per-doc UNFILTERED distinct-shingle counts — the containment
+    denominator.  Persisted alongside the posting so the probe never
+    re-tokenizes archive text."""
+    return posting.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+
+
+def incremental_containment_pairs(
+    delta: DataFrame,
+    posting_state: DataFrame,
+    df_state: DataFrame,
+    sizes_state: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    ngram: int = 3,
+    max_df: int = 100,
+) -> DataFrame:
+    """Incremental maintenance for :func:`containment_pairs` (VERDICT
+    r7 item 6 — the one dedup tier that still re-shingled the full
+    corpus each run).  Output contract: exactly the full-recompute
+    containment pairs over archive ∪ delta RESTRICTED to pairs with at
+    least one DELTA endpoint.  Archive–archive pairs are yesterday's
+    output (inserts can only LOWER their measured containment via
+    max_df evictions — the documented lower-bound semantics — and the
+    eviction re-verify is the streaming maintainer's job, where the
+    pairs view is persisted; see
+    ``streaming.pipeline.maintain_containment_index_each_batch``).
+
+    Why the restriction is exact, not approximate: a shingle newly
+    entering the df window (archive df 1, delta brings ≥ 2) has ALL its
+    archive holders ≤ 1, so every pair it creates has a delta endpoint;
+    a shingle already in the window contributed to archive–archive
+    pairs yesterday and its count there is unchanged by inserts.
+
+    Plan shape (work ∝ delta + bounded archive slice, never ∝ archive):
+      1. delta posting + per-shingle delta df — delta-sized explode.
+      2. merged df = persisted sketch SLICE (semi-join-restricted to
+         the delta's shingle keys first, the span-family state-slice
+         prune) + delta df; keep 2 ≤ df ≤ max_df.
+      3. archive posting semi-joined to the KEPT delta shingles — per
+         shingle at most max_df archive rows ride along, so the
+         delta×archive join fan-out is bounded max_df per shingle
+         regardless of archive size.
+      4. delta×archive + delta×delta shared-shingle counts, one
+         hash-aggregate; sizes from the persisted state (archive) and
+         the delta explode (delta) — no archive re-tokenization.
+    """
+    d_shex = containment_posting(delta, id_col, text_col, ngram)
+    d_shex = tracked_persist(d_shex)  # df, sizes, and both pair joins consume it
+    d_df = tracked_persist(containment_df(d_shex))
+    state_slice = df_state.join(d_df.select("sh"), "sh", "left_semi")
+    merged = d_df.alias("d").join(state_slice.alias("a"), "sh", "left_outer").select(
+        "sh",
+        (F.coalesce(F.col("a.df"), F.lit(0)) + F.col("d.df")).alias("m_df"),
+    )
+    kept = merged.where((F.col("m_df") >= 2) & (F.col("m_df") <= max_df)).select("sh")
+    d_kept = d_shex.join(kept, "sh", "left_semi")
+    arch_slice = posting_state.join(kept, "sh", "left_semi")
+    da = d_kept.alias("d").join(arch_slice.alias("a"), "sh").select(
+        F.least(F.col("d.id"), F.col("a.id")).alias("id_a"),
+        F.greatest(F.col("d.id"), F.col("a.id")).alias("id_b"),
+    )
+    dd = (
+        d_kept.alias("x")
+        .join(
+            d_kept.alias("y"),
+            (F.col("x.sh") == F.col("y.sh")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+    )
+    shared = (
+        da.unionByName(dd)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    sizes = containment_sizes(d_shex).unionByName(sizes_state)
+    cont = F.round(
+        F.col("shared").cast("double") / F.least(F.col("sa.sz"), F.col("sb.sz")), 6
+    )
+    return (
+        shared.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .select("id_a", "id_b", cont.alias("containment"))
+        .where(F.col("containment") >= threshold)
+    )
+
+
 def repeated_span_intervals(
     docs: DataFrame,
     k: int = 10,

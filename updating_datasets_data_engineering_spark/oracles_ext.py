@@ -161,6 +161,21 @@ WHERE round(CAST(shared AS DOUBLE) / least(sa.sz, sb.sz), 6) >= {threshold}
 """
 
 
+def containment_incremental_sql(
+    threshold: float = 0.8, n: int = 3, max_df: int = 100, delta_mod: int = 10
+) -> str:
+    """Replays ``dedup.incremental_containment_pairs``'s contract: the
+    FULL recompute over archive ∪ delta (identical to
+    :func:`containment_sql`), restricted to pairs with ≥ 1 delta
+    endpoint (doc_id % delta_mod == 0).  Generated from the SAME
+    parameters as the query."""
+    base = containment_sql(threshold, n, max_df).rstrip()
+    return (
+        base
+        + f"\n  AND (id_a % {delta_mod} = 0 OR id_b % {delta_mod} = 0)\n"
+    )
+
+
 def minhash_lsh_sql(
     num_hashes: int = 16, band_size: int = 4, threshold: float = 0.4, ngram: int | None = None
 ) -> str:

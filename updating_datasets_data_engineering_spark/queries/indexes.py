@@ -1003,6 +1003,39 @@ FROM isl GROUP BY doc_id, island
 _ORACLE_REPEATED_SPANS_INCREMENTAL = _oracle_repeated_spans_incremental_sql()
 
 
+def dedup_containment_incremental(
+    spark, sf_dir, threshold: float = 0.8, ngram: int = 3, max_df: int = 100
+):
+    """Incremental maintenance for the asymmetric containment tier
+    (VERDICT r7 item 6 — the last dedup family without a delta probe):
+    docs with doc_id % 10 == 0 are "today's delta"; the archive's
+    UNFILTERED shingle posting, its per-shingle df sketch, and its
+    per-doc size table are PERSISTED parquet state.  The probe's work
+    is ∝ delta shingles + a bounded archive slice (≤ max_df archive
+    rows per kept shingle) — the archive is never re-shingled and its
+    posting never re-aggregated.  Output = full-recompute containment
+    pairs restricted to pairs with ≥ 1 delta endpoint (exact, not
+    approximate: a newly-kept shingle's archive holders number ≤ 1, so
+    every pair it creates has a delta endpoint).
+    See ``operators.dedup.incremental_containment_pairs``."""
+    docs = _td(spark, sf_dir)
+    archive = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    posting = _persisted_index(
+        spark, sf_dir, "cont_posting", lambda: D.containment_posting(archive, ngram=ngram)
+    )
+    df_state = _persisted_index(
+        spark, sf_dir, "cont_df", lambda: D.containment_df(posting)
+    )
+    sizes = _persisted_index(
+        spark, sf_dir, "cont_sizes", lambda: D.containment_sizes(posting)
+    )
+    return D.incremental_containment_pairs(
+        delta, posting, df_state, sizes,
+        threshold=threshold, ngram=ngram, max_df=max_df,
+    )
+
+
 def docs_novelty_scored(spark, sf_dir, k: int = 10):
     """Per-delta-doc novelty against the archive (fraction of the doc's
     distinct k-grams never seen in any archive document — the

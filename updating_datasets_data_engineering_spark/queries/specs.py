@@ -198,6 +198,7 @@ from .indexes import (
     _oracle_quality_filter_sql,
     _oracle_sentiment_sql,
     dedup_clusters_incremental,
+    dedup_containment_incremental,
     dedup_fuzzy_titles,
     dedup_incremental,
     dedup_incremental_simhash,
@@ -421,14 +422,43 @@ SPECS: list[QuerySpec] = [
         dedup_clusters_incremental,
         _oracle_clusters_incremental_sql(10),
     ),
-    # --- r6 rotation block (VERDICT r5 item 2), still resident ------------
+    # --- r8 rotation block (queue drains 10 + birth-round additions) ------
+    # First-time graded this round: the next ten of the r5 pending tail
+    # (q8/q9/q12/q16, dedup_minhash_lsh_salted, dedup_labels_after_delete,
+    # merge_scd2_customers, snapshot_diff_orders, events_concurrency,
+    # events_funnel) plus the r8-new dedup_containment_incremental.
+    # Out (driver-green in earlier rounds, oracle-pinned in the tail):
+    # embedding_near_dup_t90, q21, q20, docs_repetition,
+    # docs_contamination, events_asof_join/_forward, events_range_join,
+    # events_time_rollup, events_range_frame, events_gaps.
     QuerySpec(
-        "embedding_near_dup_t90",
-        embedding_near_dup_t90,
-        OE.embedding_near_dup_ann_sql(0.9, 8, 8, 64),
+        "dedup_containment_incremental",
+        dedup_containment_incremental,
+        OE.containment_incremental_sql(0.8, 3, 100, delta_mod=10),
     ),
-    QuerySpec("q21_waiting_suppliers", q21_waiting, _ORACLE_Q21),
-    QuerySpec("q20_dominant_suppliers", q20_dominant, _ORACLE_Q20),
+    QuerySpec("q8_market_share", q8_market_share_q, _ORACLE_Q8),
+    QuerySpec("q9_product_profit", q9_product_profit_q, _ORACLE_Q9),
+    QuerySpec("q12_priority_counts", q12_priority_q, _ORACLE_Q12),
+    QuerySpec("q16_supplier_counts", q16_supplier_counts_q, _ORACLE_Q16),
+    # r5: skew guard proved result-preserving by sharing the plain
+    # join's oracle; retraction graded against the post-delete closure
+    QuerySpec(
+        "dedup_minhash_lsh_salted",
+        dedup_minhash_lsh_salted,
+        OE.minhash_lsh_sql(16, 4, 0.4, ngram=3),
+    ),
+    QuerySpec(
+        "dedup_labels_after_delete",
+        dedup_labels_after_delete,
+        _oracle_labels_after_delete_sql(),
+    ),
+    # r5 second wave: versioned-dimension maintenance and CDC recovery —
+    # the "updating datasets" model as first-class history, not overwrite
+    QuerySpec("merge_scd2_customers", merge_scd2_customers, _ORACLE_SCD2),
+    QuerySpec("snapshot_diff_orders", snapshot_diff_orders, _ORACLE_SNAPSHOT_DIFF),
+    QuerySpec("events_concurrency", events_concurrency, _ORACLE_CONCURRENCY),
+    QuerySpec("events_funnel", events_funnel, _ORACLE_FUNNEL),
+    # --- r6 rotation block, still resident --------------------------------
     QuerySpec("q2_min_cost_supplier", q2_min_cost, _ORACLE_Q2),
     QuerySpec("q11_important_stock", q11_important, _ORACLE_Q11),
     # --- LLM-data-pipeline tier: dedup -----------------------------------
@@ -437,25 +467,11 @@ SPECS: list[QuerySpec] = [
         dedup_incremental,
         OE.incremental_minhash_sql(16, 4, 0.4, ngram=3, delta_mod=10),
     ),
-    # --- text analysis / corpus curation --------------------------------
-    # (text_redact + docs_sample_stratified + docs_quality_filter +
-    # docs_pack_sequences + docs_quality_deciles evicted at r7 — one
-    # slot per r7 addition above; driver-green r1-r6, oracle-pinned in
-    # the tail below.)
-    QuerySpec("docs_repetition", docs_repetition, OE.repetition_sql(0.05)),
-    QuerySpec("docs_contamination", docs_contamination, OE.contamination_sql(17, 5, 3)),
-    # --- time-series family ---------------------------------------------
-    QuerySpec("events_asof_join", events_asof_join, _ORACLE_ASOF),
-    QuerySpec("events_asof_forward", events_asof_forward, _ORACLE_ASOF_FORWARD),
-    QuerySpec("events_range_join", events_range_join, _ORACLE_RANGE_JOIN),
-    QuerySpec("events_time_rollup", events_time_rollup, _ORACLE_TIME_ROLLUP),
     # r5 window rotation (one slot per round, the r3/r4 convention):
     # docs_boilerplate_strip in — the flagship of the cross-document
     # curation block; events_moving_avg out to the pytest-pinned tail
     # (driver-green r1-r4).
     QuerySpec("docs_boilerplate_strip", docs_boilerplate_strip, _ORACLE_BOILERPLATE),
-    QuerySpec("events_range_frame", events_range_frame, _ORACLE_RANGE_FRAME),
-    QuerySpec("events_gaps", events_gaps, _ORACLE_GAPS),
     # --- reference (§2) parity ------------------------------------------
     QuerySpec("shot_parse", shot_parse, _oracle_shot_parse_sql()),
     QuerySpec("shot_ingest_json", shot_ingest_json, _oracle_shot_ingest_sql()),
@@ -486,6 +502,23 @@ SPECS: list[QuerySpec] = [
     # per-round by tests/test_registry_window.py, which also pins the 20
     # forever-resident §2-parity specs and the deterministic 5-spec block
     # schedule.  Everything below is graded by tests/test_oracle_parity.py.
+    # --- r8 evictions (driver-green in earlier rounds) -------------------
+    QuerySpec(
+        "embedding_near_dup_t90",
+        embedding_near_dup_t90,
+        OE.embedding_near_dup_ann_sql(0.9, 8, 8, 64),
+    ),
+    QuerySpec("q21_waiting_suppliers", q21_waiting, _ORACLE_Q21),
+    QuerySpec("q20_dominant_suppliers", q20_dominant, _ORACLE_Q20),
+    QuerySpec("docs_repetition", docs_repetition, OE.repetition_sql(0.05)),
+    QuerySpec("docs_contamination", docs_contamination, OE.contamination_sql(17, 5, 3)),
+    QuerySpec("events_asof_join", events_asof_join, _ORACLE_ASOF),
+    QuerySpec("events_asof_forward", events_asof_forward, _ORACLE_ASOF_FORWARD),
+    QuerySpec("events_range_join", events_range_join, _ORACLE_RANGE_JOIN),
+    QuerySpec("events_time_rollup", events_time_rollup, _ORACLE_TIME_ROLLUP),
+    QuerySpec("events_range_frame", events_range_frame, _ORACLE_RANGE_FRAME),
+    QuerySpec("events_gaps", events_gaps, _ORACLE_GAPS),
+    # ---------------------------------------------------------------------
     QuerySpec("dedup_exact", dedup_exact_q, OE.dedup_exact_sql()),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard_q, OE.ngram_jaccard_sql(0.5, 3)),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh_q, OE.minhash_lsh_sql(16, 4, 0.4, ngram=3)),
@@ -549,28 +582,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("text_metrics", text_metrics, OE.text_metrics_sql()),
     QuerySpec("text_langid", text_langid, OE.lang_id_sql()),
     QuerySpec("text_sentiment", text_sentiment, _oracle_sentiment_sql()),
-    QuerySpec("q8_market_share", q8_market_share_q, _ORACLE_Q8),
-    QuerySpec("q9_product_profit", q9_product_profit_q, _ORACLE_Q9),
-    QuerySpec("q12_priority_counts", q12_priority_q, _ORACLE_Q12),
-    QuerySpec("q16_supplier_counts", q16_supplier_counts_q, _ORACLE_Q16),
-    # r5: skew guard proved result-preserving by sharing the plain
-    # join's oracle; retraction graded against the post-delete closure
-    QuerySpec(
-        "dedup_minhash_lsh_salted",
-        dedup_minhash_lsh_salted,
-        OE.minhash_lsh_sql(16, 4, 0.4, ngram=3),
-    ),
-    QuerySpec(
-        "dedup_labels_after_delete",
-        dedup_labels_after_delete,
-        _oracle_labels_after_delete_sql(),
-    ),
-    # r5 second wave: versioned-dimension maintenance and CDC recovery —
-    # the "updating datasets" model as first-class history, not overwrite
-    QuerySpec("merge_scd2_customers", merge_scd2_customers, _ORACLE_SCD2),
-    QuerySpec("snapshot_diff_orders", snapshot_diff_orders, _ORACLE_SNAPSHOT_DIFF),
-    QuerySpec("events_concurrency", events_concurrency, _ORACLE_CONCURRENCY),
-    QuerySpec("events_funnel", events_funnel, _ORACLE_FUNNEL),
+    # (q8/q9/q12/q16, dedup_minhash_lsh_salted, dedup_labels_after_delete,
+    # merge_scd2_customers, snapshot_diff_orders, events_concurrency,
+    # events_funnel drained INTO the window at r8 — see the rotation
+    # block above.)
     QuerySpec("events_trend", events_trend, _ORACLE_TREND),
     QuerySpec("dedup_fuzzy_titles", dedup_fuzzy_titles, _ORACLE_FUZZY),
     QuerySpec(
