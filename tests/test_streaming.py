@@ -1290,3 +1290,70 @@ def test_retract_span_state_replay_after_partial_crash(spark, tmp_path):
 
     assert not fs.has_parquet(spark, posting_path)
     assert not fs.has_parquet(spark, sketch_path)
+
+
+def test_streaming_containment_index_maintenance(spark, tmp_path):
+    """Streaming twin of dedup_containment_incremental (VERDICT r7
+    item 8): after ANY prefix of batches the pairs view equals the
+    batch ``containment_pairs`` over the streamed prefix.  max_df is
+    chosen small enough that later batches push shingles OVER the df
+    cap, exercising the eviction re-verify leg (existing pairs must
+    lose the evicted shingles' shared counts — the non-monotone case
+    the span family doesn't have)."""
+    from updating_datasets_data_engineering_spark.operators import dedup as D
+
+    src = str(tmp_path / "c_src")
+    posting_path = str(tmp_path / "c_posting")
+    df_path = str(tmp_path / "c_df")
+    sizes_path = str(tmp_path / "c_sizes")
+    pairs_path = str(tmp_path / "c_pairs")
+    ckpt = str(tmp_path / "c_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batches = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    threshold, max_df = 0.5, 8
+
+    def run_increment(batch_df):
+        batch_df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                SP.maintain_containment_index_each_batch(
+                    posting_path, df_path, sizes_path, pairs_path,
+                    threshold=threshold, max_df=max_df,
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+
+    cols = ["id_a", "id_b", "containment"]
+    prefix = None
+    crossings = 0
+    for i, b in enumerate(batches):
+        prev_prefix = prefix
+        prefix = b if prefix is None else prefix.unionByName(b)
+        if prev_prefix is not None:
+            # count shingles whose df crosses the cap with this batch —
+            # the eviction leg must have real work at least once
+            old_df = D.containment_df(D.containment_posting(prev_prefix))
+            new_df = D.containment_df(D.containment_posting(prefix))
+            crossings += (
+                old_df.alias("o")
+                .join(new_df.alias("n"), "sh")
+                .where(
+                    (F.col("o.df") >= 2) & (F.col("o.df") <= max_df)
+                    & (F.col("n.df") > max_df)
+                )
+                .count()
+            )
+        run_increment(b)
+        got = spark.read.parquet(pairs_path).select(*cols)
+        want = D.containment_pairs(prefix, threshold=threshold, max_df=max_df)
+        assert _sorted_rows(got, cols) == _sorted_rows(want, cols), f"prefix {i}"
+    assert crossings > 0, "fixture must exercise the df-cap eviction leg"
