@@ -202,12 +202,17 @@ HEADLINE = [
     "docs_repeated_spans_incremental",
     "docs_novelty_scored",
     "docs_repeated_spans_retract",
+    # r8: containment-tier incremental + delete maintenance
+    "dedup_containment_incremental",
+    "dedup_containment_retract",
 ]
 
 
-# sf1 scale-bench subset (VERDICT r6 item 5, `make bench-sf1`): the
-# most expensive queries + per-family anchors + everything added in the
-# current round.  Selected with SPARK_GRAFT_BENCH_QUERIES=@sf1.
+# sf1 scale bench (VERDICT r7 item 3): the FULL registry — `@sf1` now
+# resolves to HEADLINE, so every non-quarantined spec has an sf1
+# number.  The old curated subset below survives as `@sf1sub` for quick
+# iteration (it is also the solo-probe anchor list for the exponent
+# fits).
 SF1_HEADLINE = [
     "users_cooccurrence",
     "streaming_dedup_archive",
@@ -234,6 +239,8 @@ SF1_HEADLINE = [
     "dedup_incremental",
     "users_sig_edges_incremental",
     # current-round additions (keep this block fresh per round)
+    "dedup_containment_incremental",
+    "dedup_containment_retract",
     "events_zonemap_retract",
     "dedup_semantic_incremental",
     "dedup_containment",
@@ -292,6 +299,8 @@ def main() -> None:
     # BENCH_FULL.json without clobbering it.
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if subset == "@sf1":
+        headline = HEADLINE  # full registry at scale (VERDICT r7 item 3)
+    elif subset == "@sf1sub":
         headline = SF1_HEADLINE
     else:
         headline = subset.split(",") if subset else HEADLINE

@@ -353,3 +353,48 @@ def test_retract_spans_splits_intervals_and_silences_untouched(spark):
         for r in retract_spans_summary(tombs, posting, sketch, k=5).collect()
     }
     assert report == {(1, 2, 10), (4, 0, 0)}
+
+
+def test_containment_retraction_reentry_and_drop(spark):
+    """retract_containment_pairs (r8): deletion can only RAISE surviving
+    pairs' containment — the df-window re-entry case — while pairs with
+    a tombstoned endpoint drop and untouched pairs stay byte-identical.
+    Constructed corpus: shingle "x y z" held by A, B, C is stop-filtered
+    at max_df=2 (df=3); deleting C re-enters it and pair (A, B) — never
+    in the view before — appears at containment 1.0.  Pair (D, E) has a
+    tombstoned endpoint (E) and drops; pair (F, G) is untouched."""
+    from updating_datasets_data_engineering_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z"),      # A
+            (2, "x y z"),      # B
+            (3, "x y z"),      # C (tombstoned)
+            (4, "p q r"),      # D
+            (5, "p q r"),      # E (tombstoned)
+            (6, "m n o"),      # F
+            (7, "m n o"),      # G
+        ],
+        "doc_id long, text string",
+    )
+    posting = D.containment_posting(docs)
+    df_state = D.containment_df(posting)
+    sizes = D.containment_sizes(posting)
+    pairs = D.containment_pairs(docs, threshold=0.5, max_df=2)
+    before = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) not in before, "stop-filtered shingle must not pair yet"
+    assert {(4, 5), (6, 7)} <= before
+
+    tombs = spark.createDataFrame([(3,), (5,)], "doc_id long")
+    after = D.retract_containment_pairs(
+        tombs, posting, df_state, sizes, pairs, threshold=0.5, max_df=2
+    )
+    got = {(r.id_a, r.id_b): r.containment for r in after.collect()}
+    assert got == {(1, 2): 1.0, (6, 7): 1.0}, got
+    # and the contract: identical to the batch recompute over survivors
+    surv = docs.where(~F.col("doc_id").isin(3, 5))
+    want = {
+        (r.id_a, r.id_b): r.containment
+        for r in D.containment_pairs(surv, threshold=0.5, max_df=2).collect()
+    }
+    assert got == want

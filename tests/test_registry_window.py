@@ -145,7 +145,7 @@ NEW_SPECS_BY_ROUND: dict[int, list[str]] = {
         "dedup_containment", "docs_repeated_spans_unaligned",
         "docs_repeated_spans_incremental", "docs_novelty_scored",
         "docs_repeated_spans_retract"],
-    8: ["dedup_containment_incremental"],
+    8: ["dedup_containment_incremental", "dedup_containment_retract"],
 }
 
 

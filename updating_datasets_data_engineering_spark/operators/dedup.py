@@ -226,6 +226,125 @@ def incremental_containment_pairs(
     )
 
 
+def retract_containment_pairs(
+    tombstones: DataFrame,
+    posting_state: DataFrame,
+    df_state: DataFrame,
+    sizes_state: DataFrame,
+    pairs_state: DataFrame,
+    threshold: float = 0.8,
+    max_df: int = 100,
+) -> DataFrame:
+    """DELETE maintenance for the containment tier — the inverse of
+    :func:`incremental_containment_pairs`, completing the
+    batch / incremental / streaming / retract lifecycle the span
+    family already has.  Returns the post-delete pairs view, exactly
+    ``containment_pairs`` over the survivors.
+
+    Why deletes are TRACTABLE here (the asymmetry with inserts is the
+    interesting part): deletion only DECREASES document frequency, so
+    a shingle's window membership can change two ways —
+
+      * df falls below 2: it had < 2 SURVIVING holders, so no
+        survivor–survivor pair ever counted it twice — nothing to
+        re-verify (the only pairs it served had a tombstoned endpoint,
+        and those are dropped wholesale);
+      * df falls from above ``max_df`` back into [2, max_df]
+        (RE-ENTRY): the stop-filtered shingle starts counting again,
+        and every survivor pair holding it GAINS shared count —
+        containment moves monotonically UP, so existing view pairs
+        can't fall out, but pairs previously below threshold can now
+        qualify, including pairs never seen before.
+
+    The re-verify set is therefore: survivor pairs sharing ≥ 1
+    re-entered shingle — bounded fan-out ≤ post-delete-df² ≤ max_df²
+    per re-entered shingle by construction (that is WHY re-entry
+    happens at df ≤ max_df).  Those candidates are recomputed exactly
+    under the post-delete window and upserted; pairs with a tombstoned
+    endpoint are dropped; every other view row is byte-identical to
+    its survivor recompute and is kept as-is.
+
+    Work ∝ deleted posting rows + re-entered-shingle fan-out — the
+    archive is never re-shingled and the full posting never
+    re-aggregated.
+    """
+    tomb = tombstones.select(F.col(tombstones.columns[0]).alias("id"))
+    removed_post = posting_state.join(tomb, "id", "left_semi")
+    removed_df = removed_post.groupBy("sh").agg(
+        F.count(F.lit(1)).cast("long").alias("n_removed")
+    )
+    removed_df = tracked_persist(removed_df)
+    touched = df_state.join(removed_df, "sh").select(
+        "sh",
+        F.col("df").alias("old_df"),
+        (F.col("df") - F.col("n_removed")).alias("new_df"),
+    )
+    reentered = touched.where(
+        (F.col("old_df") > max_df) & (F.col("new_df") >= 2) & (F.col("new_df") <= max_df)
+    ).select("sh")
+    holders = (
+        posting_state.join(reentered, "sh", "left_semi").join(tomb, "id", "left_anti")
+    )
+    cand = (
+        holders.alias("x")
+        .join(
+            holders.alias("y"),
+            (F.col("x.sh") == F.col("y.sh")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    cand = tracked_persist(cand)
+    ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    post_cand = tracked_persist(posting_state.join(ids, "id", "left_semi"))
+    # post-delete df for exactly the shingles the candidate docs hold:
+    # state slice minus the removal counts (the same delta-key prune
+    # discipline as the insert probe)
+    keys = post_cand.select("sh").distinct()
+    cur_df = (
+        df_state.join(keys, "sh", "left_semi")
+        .alias("s")
+        .join(removed_df.alias("r"), "sh", "left_outer")
+        .select(
+            "sh",
+            (
+                F.col("s.df") - F.coalesce(F.col("r.n_removed"), F.lit(0))
+            ).alias("df"),
+        )
+    )
+    kept_now = cur_df.where((F.col("df") >= 2) & (F.col("df") <= max_df)).select("sh")
+    kept_post = post_cand.join(kept_now, "sh", "left_semi")
+    shared = (
+        cand.alias("p")
+        .join(kept_post.alias("x"), F.col("p.id_a") == F.col("x.id"))
+        .join(
+            kept_post.alias("y"),
+            (F.col("p.id_b") == F.col("y.id")) & (F.col("x.sh") == F.col("y.sh")),
+        )
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    cont = F.round(
+        F.col("shared").cast("double") / F.least(F.col("sa.sz"), F.col("sb.sz")), 6
+    )
+    recomputed = (
+        shared.join(sizes_state.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(sizes_state.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .select("id_a", "id_b", cont.alias("containment"))
+        .where(F.col("containment") >= threshold)
+    )
+    survivors = (
+        pairs_state
+        .join(tomb.select(F.col("id").alias("id_a")), "id_a", "left_anti")
+        .join(tomb.select(F.col("id").alias("id_b")), "id_b", "left_anti")
+    )
+    return survivors.join(cand, ["id_a", "id_b"], "left_anti").unionByName(recomputed)
+
+
 def repeated_span_intervals(
     docs: DataFrame,
     k: int = 10,

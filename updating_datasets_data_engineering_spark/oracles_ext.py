@@ -130,15 +130,19 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
 """
 
 
-def containment_sql(threshold: float = 0.8, n: int = 3, max_df: int = 100) -> str:
+def containment_sql(
+    threshold: float = 0.8, n: int = 3, max_df: int = 100, doc_where: str = ""
+) -> str:
     """Replays ``dedup.containment_pairs``: distinct shingle posting
     lists, df-window stop filter (2 ≤ df ≤ max_df — generated from the
     SAME parameters as the query), shared-shingle pair counts over the
-    kept shingles, containment against UNFILTERED min sizes."""
+    kept shingles, containment against UNFILTERED min sizes.
+    ``doc_where`` optionally restricts the corpus (the retraction
+    oracle replays the survivor recompute with it)."""
     return f"""
 WITH toks AS (
     SELECT doc_id, {_shingles_sql(n)} AS s
-    FROM (SELECT doc_id, {WORDS} AS w FROM documents)
+    FROM (SELECT doc_id, {WORDS} AS w FROM documents {doc_where})
 ),
 shex AS (SELECT DISTINCT doc_id, unnest(s) AS sh FROM toks),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shex GROUP BY doc_id),
@@ -173,6 +177,24 @@ def containment_incremental_sql(
     return (
         base
         + f"\n  AND (id_a % {delta_mod} = 0 OR id_b % {delta_mod} = 0)\n"
+    )
+
+
+def containment_retract_sql(
+    threshold: float = 0.8,
+    n: int = 3,
+    max_df: int = 100,
+    tomb_mod: int = 7,
+    tomb_val: int = 3,
+) -> str:
+    """Replays ``dedup.retract_containment_pairs``'s contract: the
+    post-delete pairs view IS the full containment recompute over the
+    survivors (doc_id % tomb_mod != tomb_val), with the df window
+    re-derived over the surviving corpus — re-entered shingles
+    included.  Generated from the SAME parameters as the query."""
+    return containment_sql(
+        threshold, n, max_df,
+        doc_where=f"WHERE doc_id % {tomb_mod} <> {tomb_val}",
     )
 
 

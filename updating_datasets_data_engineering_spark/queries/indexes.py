@@ -1036,6 +1036,52 @@ def dedup_containment_incremental(
     )
 
 
+def dedup_containment_retract(
+    spark, sf_dir, threshold: float = 0.5, ngram: int = 3, max_df: int = 4,
+    tomb_mod: int = 7, tomb_val: int = 3,
+):
+    """DELETE maintenance for the containment tier (r8 — closes the
+    lifecycle: batch / incremental / streaming / retract, matching the
+    span family): tombstone docs with doc_id % 7 == 3 against the
+    persisted full-corpus posting/df/sizes state and the materialized
+    pairs view, and return the post-delete view — exactly the batch
+    recompute over the survivors, which the oracle replays.
+
+    The interesting leg is df-window RE-ENTRY: deletion can drop a
+    stop-filtered shingle (df > max_df) back into [2, max_df], where
+    it starts counting again and surviving pairs' containment moves
+    monotonically UP — including pairs never in the view before.
+    ``max_df`` = 4 keeps that leg LIVE at the graded SFs (measured:
+    96 / 81 re-entered shingles at sf0.001 / sf0.01 under this
+    tombstone set; the fixture's max shingle df is 7, so the batch
+    spec's production cap of 100 would make retraction trivially
+    pair-drop-only).  See ``operators.dedup.retract_containment_pairs``
+    for the bounded-fan-out argument (≤ max_df² per re-entered
+    shingle, by construction of re-entry)."""
+    docs = _td(spark, sf_dir)
+    posting = _persisted_index(
+        spark, sf_dir, "cont_posting_all",
+        lambda: D.containment_posting(docs, ngram=ngram),
+    )
+    df_state = _persisted_index(
+        spark, sf_dir, "cont_df_all", lambda: D.containment_df(posting)
+    )
+    sizes = _persisted_index(
+        spark, sf_dir, "cont_sizes_all", lambda: D.containment_sizes(posting)
+    )
+    pairs = _persisted_index(
+        spark, sf_dir, f"cont_pairs_t{threshold}_md{max_df}",
+        lambda: D.containment_pairs(
+            docs, threshold=threshold, ngram=ngram, max_df=max_df
+        ),
+    )
+    tombs = docs.where(F.col("doc_id") % tomb_mod == tomb_val).select("doc_id")
+    return D.retract_containment_pairs(
+        tombs, posting, df_state, sizes, pairs,
+        threshold=threshold, max_df=max_df,
+    )
+
+
 def docs_novelty_scored(spark, sf_dir, k: int = 10):
     """Per-delta-doc novelty against the archive (fraction of the doc's
     distinct k-grams never seen in any archive document — the

@@ -199,6 +199,7 @@ from .indexes import (
     _oracle_sentiment_sql,
     dedup_clusters_incremental,
     dedup_containment_incremental,
+    dedup_containment_retract,
     dedup_fuzzy_titles,
     dedup_incremental,
     dedup_incremental_simhash,
@@ -436,6 +437,13 @@ SPECS: list[QuerySpec] = [
         dedup_containment_incremental,
         OE.containment_incremental_sql(0.8, 3, 100, delta_mod=10),
     ),
+    # retraction graded against the survivor full-recompute; max_df=4
+    # keeps the df-window re-entry leg live at the graded SFs
+    QuerySpec(
+        "dedup_containment_retract",
+        dedup_containment_retract,
+        OE.containment_retract_sql(0.5, 3, 4, tomb_mod=7, tomb_val=3),
+    ),
     QuerySpec("q8_market_share", q8_market_share_q, _ORACLE_Q8),
     QuerySpec("q9_product_profit", q9_product_profit_q, _ORACLE_Q9),
     QuerySpec("q12_priority_counts", q12_priority_q, _ORACLE_Q12),
@@ -459,7 +467,6 @@ SPECS: list[QuerySpec] = [
     QuerySpec("events_concurrency", events_concurrency, _ORACLE_CONCURRENCY),
     QuerySpec("events_funnel", events_funnel, _ORACLE_FUNNEL),
     # --- r6 rotation block, still resident --------------------------------
-    QuerySpec("q2_min_cost_supplier", q2_min_cost, _ORACLE_Q2),
     QuerySpec("q11_important_stock", q11_important, _ORACLE_Q11),
     # --- LLM-data-pipeline tier: dedup -----------------------------------
     QuerySpec(
@@ -510,6 +517,7 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec("q21_waiting_suppliers", q21_waiting, _ORACLE_Q21),
     QuerySpec("q20_dominant_suppliers", q20_dominant, _ORACLE_Q20),
+    QuerySpec("q2_min_cost_supplier", q2_min_cost, _ORACLE_Q2),
     QuerySpec("docs_repetition", docs_repetition, OE.repetition_sql(0.05)),
     QuerySpec("docs_contamination", docs_contamination, OE.contamination_sql(17, 5, 3)),
     QuerySpec("events_asof_join", events_asof_join, _ORACLE_ASOF),
