@@ -57,17 +57,30 @@ def main() -> None:
     print(header + " | exponent (raw) | exponent (floor-adj) |")
     print("|---|" + "---|" * (len(points) + 2))
     rows = []
+    skipped = []
     for q in sorted(common):
         ts = [d["queries"][q] for _, d in points]
+        # ADVICE r8: floor_probe_s can be null in a real artifact, and a
+        # zero/negative timing would crash math.log — coalesce the floor
+        # to 1.0 and report (not crash on) non-positive timings.
+        if any(t is None or t <= 0 for t in ts):
+            skipped.append((q, ts))
+            continue
         lk = [math.log(k) for k, _ in points]
         raw = slope(lk, [math.log(t) for t in ts])
-        adj_ts = [t / d.get("floor_probe_s", 1.0) for t, (_, d) in zip(ts, points)]
+        adj_ts = [
+            t / (d.get("floor_probe_s") or 1.0) for t, (_, d) in zip(ts, points)
+        ]
         adj = slope(lk, [math.log(t) for t in adj_ts])
         rows.append((q, ts, raw, adj))
     rows.sort(key=lambda r: -r[3])
     for q, ts, raw, adj in rows:
         tcells = " | ".join(str(t) for t in ts)
         print(f"| {q} | {tcells} | {raw:.2f} | {adj:.2f} |")
+    if skipped:
+        print()
+        for q, ts in skipped:
+            print(f"(skipped {q}: non-positive/missing timing in {ts})")
     print()
     print(
         "Exponent 1.0 = linear in corpus scale; < 1 = fixed costs still"

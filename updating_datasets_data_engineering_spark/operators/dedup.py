@@ -185,6 +185,16 @@ def incremental_containment_pairs(
       4. delta×archive + delta×delta shared-shingle counts, one
          hash-aggregate; sizes from the persisted state (archive) and
          the delta explode (delta) — no archive re-tokenization.
+
+    PRECONDITION (ADVICE r8): delta and archive id sets must be
+    DISJOINT — re-inserting an id already in ``sizes_state`` is an
+    upsert, which this insert-only path does not model (the caller
+    must retract first; the streaming maintainer's delete leg exists
+    for exactly that).  The delta×archive join below guards
+    ``d.id != a.id`` so an id collision cannot emit least/greatest
+    self-pairs with containment 1.0, and the duplicated sizes row
+    would otherwise silently inflate pair denominators — hence the
+    hard precondition rather than silent tolerance.
     """
     d_shex = containment_posting(delta, id_col, text_col, ngram)
     d_shex = tracked_persist(d_shex)  # df, sizes, and both pair joins consume it
@@ -197,9 +207,16 @@ def incremental_containment_pairs(
     kept = merged.where((F.col("m_df") >= 2) & (F.col("m_df") <= max_df)).select("sh")
     d_kept = d_shex.join(kept, "sh", "left_semi")
     arch_slice = posting_state.join(kept, "sh", "left_semi")
-    da = d_kept.alias("d").join(arch_slice.alias("a"), "sh").select(
-        F.least(F.col("d.id"), F.col("a.id")).alias("id_a"),
-        F.greatest(F.col("d.id"), F.col("a.id")).alias("id_b"),
+    da = (
+        d_kept.alias("d")
+        .join(
+            arch_slice.alias("a"),
+            (F.col("d.sh") == F.col("a.sh")) & (F.col("d.id") != F.col("a.id")),
+        )
+        .select(
+            F.least(F.col("d.id"), F.col("a.id")).alias("id_a"),
+            F.greatest(F.col("d.id"), F.col("a.id")).alias("id_b"),
+        )
     )
     dd = (
         d_kept.alias("x")

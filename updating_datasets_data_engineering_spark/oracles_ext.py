@@ -101,17 +101,20 @@ def ngram_jaccard_sql(threshold: float = 0.5, n: int = 3, n_fingerprints: int = 
     """Replays dedup.ngram_jaccard_pairs' fingerprint blocking: docs
     sharing any of the k min-shingle-hash fingerprints are candidates,
     then exact shingle-set Jaccard verifies."""
+    # blocked carries doc_id + fingerprint only (not the shingle set),
+    # and the multi-referenced CTEs are MATERIALIZED — same peak-memory
+    # hardening as minhash_lsh_sql (r8 driver-sandbox OOM class)
     fp_selects = "\n    UNION ALL\n    ".join(
-        f"SELECT doc_id, s, {i} AS bk, "
+        f"SELECT doc_id, {i} AS bk, "
         f"list_min(list_transform(s, x -> substr(md5('{i}:' || x), 1, 8))) AS bv FROM toks"
         for i in range(n_fingerprints)
     )
     return f"""
-WITH toks AS (
+WITH toks AS MATERIALIZED (
     SELECT doc_id, {_shingles_sql(n)} AS s
     FROM (SELECT doc_id, {WORDS} AS w FROM documents)
 ),
-blocked AS (
+blocked AS MATERIALIZED (
     {fp_selects}
 ),
 cand AS (
@@ -206,8 +209,11 @@ def minhash_lsh_sql(
         for i in range(num_hashes)
     )
     n_bands = num_hashes // band_size
+    # doc_id + band key ONLY — carrying the shingle list through the
+    # 4x union and the self-join quadrupled the oracle's peak memory
+    # (r8: this family OOM'd in the driver's memory-starved sandbox)
     band_selects = "\n    UNION ALL\n    ".join(
-        "SELECT doc_id, dw, {b} AS band_no, ".format(b=b)
+        "SELECT doc_id, {b} AS band_no, ".format(b=b)
         + " || '|' || ".join(f"sig_{b * band_size + j}" for j in range(band_size))
         + " AS band_key FROM sigs"
         for b in range(n_bands)
@@ -219,16 +225,20 @@ def minhash_lsh_sql(
         )
     else:
         feature_cte = f"SELECT doc_id, {DWORDS} AS dw FROM documents"
+    # MATERIALIZED: toks feeds 3 consumers, sigs feeds the n_bands-way
+    # union, banded self-joins — inlined, DuckDB recomputes the
+    # md5-per-shingle signature pass once per reference, which is what
+    # blew the oracle past the driver sandbox's free memory in r8
     return f"""
-WITH toks AS (
+WITH toks AS MATERIALIZED (
     {feature_cte}
 ),
-sigs AS (
-    SELECT doc_id, dw,
+sigs AS MATERIALIZED (
+    SELECT doc_id,
            {sigs}
     FROM toks
 ),
-banded AS (
+banded AS MATERIALIZED (
     {band_selects}
 ),
 cand AS (
@@ -443,35 +453,51 @@ def ivf_ann_sql(
     """Deterministic replay of ``similarity.ivf_ann_topk``: centroid
     set = vec_id < n_cells, nearest-cell assignment and probe choice
     via ROW_NUMBER over (cosine DESC, cid) — identical tie semantics
-    to the Spark windows — then exact cosine inside probed cells."""
-    cos_ec = cosine_sql("e.embedding", "c.embedding", dim)
-    cos_qc = cosine_sql("q.embedding", "c.embedding", dim)
-    cos_qn = cosine_sql("q.embedding", "n.embedding", dim)
+    to the Spark windows — then exact cosine inside probed cells.
+
+    Peak-memory hardening (r8: this oracle OOM'd in the driver's
+    memory-starved sandbox at 41 KB of SQL): per-vector norms are
+    hoisted into one MATERIALIZED pass, so each pairwise cosine is ONE
+    unrolled dot product instead of three (the self-dot-products under
+    the sqrts).  Arithmetic is bit-identical — sqrt over the same
+    left-folded sum, then the same d / (na * nb) — so parity with the
+    Spark window semantics is unchanged; the SQL drops ~3x in size and
+    the floor drops 64 -> 32 MB."""
+    dot_ec = _dot_sql("e.embedding", "c.embedding", dim)
+    dot_qc = _dot_sql("q.embedding", "c.embedding", dim)
+    dot_qn = _dot_sql("q.embedding", "n.embedding", dim)
+    self_dot = _dot_sql("embedding", "embedding", dim)
     return f"""
-WITH cents AS (
-    SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {n_cells}
+WITH norms AS MATERIALIZED (
+    SELECT vec_id, embedding, sqrt({self_dot}) AS nrm FROM embeddings
+),
+cents AS MATERIALIZED (
+    SELECT vec_id AS cid, embedding, nrm FROM norms WHERE vec_id < {n_cells}
 ),
 assign AS (
     SELECT vec_id, cell FROM (
         SELECT e.vec_id, c.cid AS cell,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.cid) AS rn
-        FROM embeddings e CROSS JOIN cents c
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY (({dot_ec}) / (e.nrm * c.nrm)) DESC, c.cid) AS rn
+        FROM norms e CROSS JOIN cents c
     ) WHERE rn = 1
 ),
 probes AS (
     SELECT query_id, cell FROM (
         SELECT q.vec_id AS query_id, c.cid AS cell,
-               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {cos_qc} DESC, c.cid) AS rn
-        FROM embeddings q CROSS JOIN cents c
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY (({dot_qc}) / (q.nrm * c.nrm)) DESC, c.cid) AS rn
+        FROM norms q CROSS JOIN cents c
         WHERE q.vec_id < {n_queries}
     ) WHERE rn <= {n_probe}
 ),
 scored AS (
-    SELECT p.query_id, a.vec_id AS neighbor_id, {cos_qn} AS cos_sim
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           (({dot_qn}) / (q.nrm * n.nrm)) AS cos_sim
     FROM probes p
     JOIN assign a ON a.cell = p.cell
-    JOIN embeddings n ON n.vec_id = a.vec_id
-    JOIN embeddings q ON q.vec_id = p.query_id
+    JOIN norms n ON n.vec_id = a.vec_id
+    JOIN norms q ON q.vec_id = p.query_id
     WHERE a.vec_id <> p.query_id
 ),
 ranked AS (
@@ -636,17 +662,27 @@ def semantic_dedup_sql(
             f" UNION ALL SELECT vec_id + {planted_offset}, embedding"
             f" FROM embeddings WHERE vec_id % {planted_mod} = 0"
         )
-    cos_ec = cosine_sql("e.embedding", "c.embedding", dim)
-    cos_ab = cosine_sql("a.embedding", "b.embedding", dim)
+    # Same peak-memory hardening as ivf_ann_sql (r8 driver-sandbox OOM
+    # class): per-vector norms hoisted into one MATERIALIZED pass, so
+    # each pairwise cosine is ONE unrolled dot product; corpus/assign
+    # are multi-referenced, so inlined they re-ran per reference.
+    # Arithmetic is bit-identical (sqrt over the same left-folded sum,
+    # then the same d / (na * nb)).
+    dot_ec = _dot_sql("e.embedding", "c.embedding", dim)
+    dot_ab = _dot_sql("a.embedding", "b.embedding", dim)
+    self_dot = _dot_sql("embedding", "embedding", dim)
     return f"""
-WITH corpus AS ({corpus}),
-cents AS (
-    SELECT vec_id AS cid, embedding FROM corpus WHERE vec_id < {n_cells}
+WITH corpus AS MATERIALIZED (
+    SELECT vec_id, embedding, sqrt({self_dot}) AS nrm FROM ({corpus})
 ),
-assign AS (
+cents AS MATERIALIZED (
+    SELECT vec_id AS cid, embedding, nrm FROM corpus WHERE vec_id < {n_cells}
+),
+assign AS MATERIALIZED (
     SELECT vec_id, cell FROM (
         SELECT e.vec_id, c.cid AS cell,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.cid) AS rn
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY (({dot_ec}) / (e.nrm * c.nrm)) DESC, c.cid) AS rn
         FROM corpus e CROSS JOIN cents c
     ) WHERE rn = 1
 ),
@@ -655,7 +691,7 @@ absorbed AS (
     FROM assign sa JOIN assign sb ON sa.cell = sb.cell AND sa.vec_id < sb.vec_id
     JOIN corpus a ON a.vec_id = sa.vec_id
     JOIN corpus b ON b.vec_id = sb.vec_id
-    WHERE {cos_ab} >= {threshold}
+    WHERE (({dot_ab}) / (a.nrm * b.nrm)) >= {threshold}
 )
 SELECT s.vec_id, s.cell, (d.vec_id IS NOT NULL) AS is_dup
 FROM assign s LEFT JOIN absorbed d ON s.vec_id = d.vec_id

@@ -274,10 +274,11 @@ _ORACLE_EPOCH_PLAN = f"""
 WITH toks AS (
     SELECT source, CAST(len({OE.WORDS}) AS BIGINT) AS n_tokens FROM documents
 ), per_src AS (
-    SELECT source, sum(n_tokens) AS src_tokens FROM toks GROUP BY source
+    SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens FROM toks GROUP BY source
 ), planned AS (
     SELECT source, src_tokens,
-           (2 * sum(src_tokens) OVER ()) // (count(*) OVER ()) AS target_tokens
+           CAST((2 * sum(src_tokens) OVER ()) // (count(*) OVER ()) AS BIGINT)
+               AS target_tokens
     FROM per_src
 )
 SELECT source, src_tokens, target_tokens,
@@ -364,8 +365,9 @@ WITH base AS (
     SELECT source, lang, n_chars, CAST(len({OE.WORDS}) AS BIGINT) AS nt
     FROM documents
 )
-SELECT source, count(*) AS n_docs, sum(nt) AS total_tokens,
-       sum(n_chars) AS total_chars, min(nt) AS min_tokens, max(nt) AS max_tokens,
+SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(nt) AS min_tokens, max(nt) AS max_tokens,
        count(DISTINCT lang) AS n_langs,
        round(sum(CASE WHEN nt >= 50 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
            AS substantial_share

@@ -132,7 +132,10 @@ def _oracle_clusters_sql() -> str:
     head = head.strip().rstrip(",")  # CTE list continues below
     return f"""
 WITH RECURSIVE {head},
-pairs AS (
+pairs AS MATERIALIZED (
+    -- MATERIALIZED: everything upstream (the full LSH replay) collapses
+    -- to one evaluation; inlined, edges/nodes re-ran it per reference
+    -- and the closure oracles needed 128-256 MB (r8 driver OOM class)
     SELECT id_a, id_b FROM verified WHERE jaccard >= 0.4
 ),
 edges AS (

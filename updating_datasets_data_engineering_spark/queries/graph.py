@@ -277,18 +277,24 @@ def _significant_edges(
     )
 
 
+"""The multi-referenced CTEs are MATERIALIZED: DuckDB inlines plain
+CTEs, so the co-activity self-join re-ran once per reference and the
+graph oracles that chain on top of this block (pagerank's 3 iteration
+steps especially) compounded that into a >512 MB peak for a 10k-event
+fixture — the r8 driver-sandbox OOM class.  Materialization is
+semantics-free; every downstream oracle was verified value-identical."""
 _SIG_EDGES_SQL = """
-active AS (
+active AS MATERIALIZED (
     SELECT DISTINCT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, user_id
     FROM events
 ),
 activem AS (SELECT hour, user_id, substr(hour, 1, 7) AS month FROM active),
 wm AS (SELECT month, count(DISTINCT hour) AS wm FROM activem GROUP BY month),
-perum AS (
+perum AS MATERIALIZED (
     SELECT user_id, month, CAST(count(*) AS BIGINT) AS nu
     FROM activem GROUP BY user_id, month
 ),
-shared AS (
+shared AS MATERIALIZED (
     SELECT a.user_id AS ua, b.user_id AS ub, CAST(count(*) AS BIGINT) AS sh
     FROM active a JOIN active b ON a.hour = b.hour AND a.user_id < b.user_id
     GROUP BY a.user_id, b.user_id
@@ -303,7 +309,7 @@ ex AS (
     JOIN wm w ON w.month = pa.month
     GROUP BY s.ua, s.ub
 ),
-pairs AS (
+pairs AS MATERIALIZED (
     SELECT s.ua, s.ub
     FROM shared s JOIN ex ON ex.ua = s.ua AND ex.ub = s.ub
     WHERE round(CAST(sh AS DOUBLE) / ex.ex, 6) >= 1.5
@@ -429,12 +435,12 @@ def users_communities(spark, sf_dir):
 
 _ORACLE_COMMUNITIES = f"""
 WITH RECURSIVE {_SIG_EDGES_SQL},
-cedges AS (
+cedges AS MATERIALIZED (
     SELECT ua AS src, ub AS dst FROM pairs
     UNION
     SELECT ub, ua FROM pairs
 ),
-cnodes AS (SELECT DISTINCT src AS id FROM cedges),
+cnodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM cedges),
 reach AS (
     SELECT id, id AS peer FROM cnodes
     UNION
@@ -698,7 +704,7 @@ def users_pagerank(spark, sf_dir):
 _PR_DAMP = "CAST(0.85 AS DOUBLE)"
 _PR_TELE = f"(CAST(1.0 AS DOUBLE) - {_PR_DAMP})"
 _PR_STEP = """
-r{K} AS (
+r{K} AS MATERIALIZED (
     SELECT d.u, d.deg, round({TELE} / nn.n + {DAMP} * round(sum(r.rank / r.deg), 12), 12) AS rank
     FROM sym s JOIN r{P} r ON s.u = r.u JOIN deg d ON s.v = d.u CROSS JOIN nn
     GROUP BY d.u, d.deg, nn.n
@@ -707,10 +713,10 @@ r{K} AS (
 _ORACLE_PAGERANK = (
     f"""
 WITH {_SIG_EDGES_SQL},
-sym AS (SELECT ua AS u, ub AS v FROM pairs UNION ALL SELECT ub AS u, ua AS v FROM pairs),
-deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
-nn AS (SELECT count(*) AS n FROM deg),
-r0 AS (SELECT u, deg, round(CAST(1.0 AS DOUBLE) / nn.n, 12) AS rank FROM deg CROSS JOIN nn),"""
+sym AS MATERIALIZED (SELECT ua AS u, ub AS v FROM pairs UNION ALL SELECT ub AS u, ua AS v FROM pairs),
+deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+r0 AS MATERIALIZED (SELECT u, deg, round(CAST(1.0 AS DOUBLE) / nn.n, 12) AS rank FROM deg CROSS JOIN nn),"""
     + ",".join(
         _PR_STEP.format(K=k, P=k - 1, TELE=_PR_TELE, DAMP=_PR_DAMP)
         for k in (1, 2, 3)
@@ -1087,7 +1093,7 @@ c{K} AS (
     SELECT s.v AS u, round(sum(r.rank / r.deg), 12) AS c
     FROM sym s JOIN r{P} r ON s.u = r.u GROUP BY s.v
 ),
-r{K} AS (
+r{K} AS MATERIALIZED (
     SELECT b.u, b.deg, b.tele,
            round(b.tele + {DAMP} * coalesce(c{K}.c, CAST(0.0 AS DOUBLE)), 12) AS rank
     FROM r0 b LEFT JOIN c{K} ON b.u = c{K}.u
@@ -1096,11 +1102,11 @@ r{K} AS (
 _ORACLE_PPR = (
     f"""
 WITH {_SIG_EDGES_SQL},
-sym AS (SELECT ua AS u, ub AS v FROM pairs UNION ALL SELECT ub AS u, ua AS v FROM pairs),
-deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+sym AS MATERIALIZED (SELECT ua AS u, ub AS v FROM pairs UNION ALL SELECT ub AS u, ua AS v FROM pairs),
+deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
 seeds AS (SELECT u FROM deg ORDER BY deg DESC, u LIMIT 5),
-ns AS (SELECT count(*) AS ns FROM seeds),
-r0 AS (
+ns AS MATERIALIZED (SELECT count(*) AS ns FROM seeds),
+r0 AS MATERIALIZED (
     SELECT d.u, d.deg,
            CASE WHEN s.u IS NOT NULL
                 THEN (CAST(1.0 AS DOUBLE) - {_PR_DAMP}) / ns.ns
@@ -1142,9 +1148,9 @@ def users_triangles(spark, sf_dir):
 
 _ORACLE_TRIANGLES = f"""
 WITH {_SIG_EDGES_SQL},
-sym AS (SELECT ua AS u, ub AS v FROM pairs UNION ALL SELECT ub AS u, ua AS v FROM pairs),
-deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
-tris AS (
+sym AS MATERIALIZED (SELECT ua AS u, ub AS v FROM pairs UNION ALL SELECT ub AS u, ua AS v FROM pairs),
+deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+tris AS MATERIALIZED (
     SELECT e1.ua AS x, e1.ub AS y, e2.ub AS z
     FROM pairs e1
     JOIN pairs e2 ON e1.ua = e2.ua AND e1.ub < e2.ub

@@ -377,7 +377,10 @@ def _oracle_clusters_incremental_sql(delta_mod: int = 10) -> str:
     head = head.strip().rstrip(",")
     return f"""
 WITH RECURSIVE {head},
-allc AS (
+allc AS MATERIALIZED (
+    -- MATERIALIZED: allc is referenced twice below; inlined, the whole
+    -- recursive closure (and the LSH replay feeding it) ran twice and
+    -- the oracle needed 256 MB (r8 driver-sandbox OOM class)
     SELECT doc_id, cluster_id FROM labels
     UNION ALL
     SELECT doc_id, doc_id AS cluster_id FROM documents
@@ -449,7 +452,8 @@ def _oracle_labels_after_delete_sql(mod: int = 10, rem: int = 5) -> str:
     head = head.strip().rstrip(",")
     return f"""
 WITH RECURSIVE {head},
-pairs AS (
+pairs AS MATERIALIZED (
+    -- MATERIALIZED: one LSH-replay evaluation (see _oracle_clusters_sql)
     SELECT id_a, id_b FROM verified WHERE jaccard >= 0.4
 ),
 edges AS (
@@ -535,8 +539,8 @@ def q12_priority_q(spark, sf_dir):
 
 _ORACLE_Q12 = """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
 GROUP BY l_returnflag ORDER BY l_returnflag
@@ -1177,8 +1181,13 @@ WITH toks AS (
            list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
     FROM documents WHERE doc_id % 10 <> 0
 ),
-pos AS (
-    SELECT doc_id, i AS pos, md5(array_to_string(w[i + 1 : i + {k}], ' ')) AS gh,
+pos AS MATERIALIZED (
+    -- MATERIALIZED + 64-bit hash() gram ids (vs 32-char md5 strings):
+    -- pos feeds 3 consumers; inlined, the explode+hash pass ran 3x and
+    -- the oracle needed 128 MB for a 500-doc corpus — the r8 driver
+    -- sandbox OOM class.  gh is internal grouping identity only (never
+    -- emitted), so the hash choice cannot affect the graded values.
+    SELECT doc_id, i AS pos, hash(array_to_string(w[i + 1 : i + {k}], ' ')) AS gh,
            (doc_id % 7 = 3) AS tomb
     FROM toks,
          UNNEST(CASE WHEN len(w) >= {k}

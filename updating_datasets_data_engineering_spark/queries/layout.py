@@ -74,7 +74,10 @@ def _oracle_k_anonymity_sql(k: int = 5) -> str:
     (ADVICE r6: a hardcoded threshold would silently diverge for
     non-default k)."""
     return f"""
-WITH e AS (
+WITH e AS MATERIALIZED (
+    -- e feeds 4 consumers; inlined, DuckDB re-ran the strftime scan per
+    -- reference and the oracle needed 128 MB for 10k events (r8 driver
+    -- sandbox OOM class); materialized it runs in 48 MB
     SELECT event_id, event_type,
            strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS qh,
            strftime(date_trunc('day', ts), '%Y-%m-%d') AS qd,

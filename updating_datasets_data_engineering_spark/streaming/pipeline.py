@@ -451,8 +451,11 @@ def maintain_minhash_index_each_batch(
                 )
             else:
                 archive = spark.createDataFrame([], delta.schema)
+                # id type derived from the batch schema (same id-type
+                # divergence guard as the containment maintainer)
+                id_t = delta.schema[id_col].dataType.simpleString()
                 index = spark.createDataFrame(
-                    [], "id long, band_no int, band_key string"
+                    [], f"id {id_t}, band_no int, band_key string"
                 )
             pairs = D.incremental_minhash_pairs(
                 archive,
@@ -500,10 +503,13 @@ def maintain_minhash_index_each_batch(
                     .where(F.col("_batch_id") == batch_id)
                     .select("id_a", "id_b")
                 )
+                id_t = delta.schema[id_col].dataType.simpleString()
                 prev = (
                     spark.read.parquet(labels_path)
                     if fs.has_parquet(spark, labels_path)
-                    else spark.createDataFrame([], "id long, cluster_id long")
+                    else spark.createDataFrame(
+                        [], f"id {id_t}, cluster_id {id_t}"
+                    )
                 )
                 updated = D.incremental_components(prev, day_pairs)
                 new_store = prev.join(updated, "id", "left_anti").unionByName(updated)
@@ -895,7 +901,11 @@ def maintain_boilerplate_each_batch(
                     .select(id_col, text_col)
                 )
             else:
-                index = spark.createDataFrame([], "doc_id long, i int, span string")
+                # chunk_frame aliases id_col -> "doc_id" but keeps the
+                # source TYPE, so the empty state derives it too (same
+                # id-type divergence guard as the containment maintainer)
+                id_t = delta.schema[id_col].dataType.simpleString()
+                index = spark.createDataFrame([], f"doc_id {id_t}, i int, span string")
                 archive = spark.createDataFrame([], delta.schema)
             arch_counts = index.groupBy("span").agg(
                 F.countDistinct("doc_id").alias("_na")
@@ -1014,8 +1024,11 @@ def maintain_span_index_each_batch(
                     .agg(F.sum("n_docs").cast("long").alias("n_docs"))
                 )
             else:
+                # span_posting_index aliases id_col -> "doc_id" but
+                # keeps the source TYPE; derive it for the empty state
+                id_t = delta.schema[id_col].dataType.simpleString()
                 posting_state = spark.createDataFrame(
-                    [], "doc_id long, pos int, gh string"
+                    [], f"doc_id {id_t}, pos int, gh string"
                 )
                 gram_state = spark.createDataFrame([], "gh string, n_docs long")
             intervals = caching.tracked_persist(
@@ -1130,9 +1143,14 @@ def maintain_containment_index_each_batch(
                     .select("id", "sz")
                 )
             else:
-                posting_state = spark.createDataFrame([], "sh string, id long")
+                # id type derived from the batch schema (ADVICE r8: a
+                # hardcoded `id long` fails or silently casts a
+                # string-id corpus on the first micro-batch — the same
+                # id-type divergence class fixed in banded_srp_index)
+                id_t = batch_docs.schema[id_col].dataType.simpleString()
+                posting_state = spark.createDataFrame([], f"sh string, id {id_t}")
                 df_state = spark.createDataFrame([], "sh string, df long")
-                sizes_state = spark.createDataFrame([], "id long, sz long")
+                sizes_state = spark.createDataFrame([], f"id {id_t}, sz long")
             new_pairs = caching.tracked_persist(
                 D.incremental_containment_pairs(
                     delta, posting_state, df_state, sizes_state,
