@@ -351,57 +351,35 @@ from .graph import (
 # driver-green in r1/r2 and locally pinned by tests/test_oracle_parity.py —
 # rotate to the tail.
 SPECS: list[QuerySpec] = [
-    # --- r7 rotation block (VERDICT r6 item 3) ----------------------------
-    # The driver grades SPECS[:50] only.  From round 7 the never-graded
-    # pending queue drains TEN specs per round (schedule pinned in
-    # tests/test_registry_window.py) and specs added in round N enter the
-    # window in round N itself.  In this round (all first-time graded):
-    # the five r6 additions — sources_jsd_hashed, events_k_anonymity,
-    # events_zorder_layout, events_zorder_incremental,
-    # docs_split_leakage_safe — plus the next five of the r5 tail:
-    # dedup_incremental_simhash, knn_ann_ivf_incremental,
-    # docs_repeated_spans, docs_tfidf_keywords, dedup_clusters_incremental.
-    # Out (driver-green r1-r6, still oracle-gated every round by
-    # tests/test_oracle_parity.py): docs_deduplicated, knn_bruteforce,
-    # knn_ann_ivf, knn_ann_srp, embedding_near_dup, embedding_near_dup_ann,
-    # multimodal_features, text_metrics, text_langid, text_sentiment.
-    # r7 additions enter the window in their birth round (item 3's
-    # front-of-queue rule); each evicts the next longest resident.
+    # --- r9 rotation block (schedule pinned in test_registry_window.py) ---
+    # The driver grades SPECS[:50] only.  The never-graded pending queue
+    # drains TEN specs per round; specs added in round N enter the window
+    # in round N itself.  First-time graded this round — the next ten of
+    # the pending tail: events_trend, dedup_fuzzy_titles, dedup_semantic,
+    # events_retention_cohorts, events_markov_transitions,
+    # events_anomaly_hours, embedding_norm_outliers, docs_mixture_rebalance,
+    # docs_shuffle_shards, orders_profile.
+    # Out (driver-green r7/r8, still oracle-gated every round by
+    # tests/test_oracle_parity.py): events_zonemap_retract,
+    # dedup_containment, dedup_semantic_incremental,
+    # docs_repeated_spans_unaligned/_incremental/_retract,
+    # docs_novelty_scored, sources_jsd_hashed, events_k_anonymity,
+    # q11_important_stock.
+    QuerySpec("events_trend", events_trend, _ORACLE_TREND),
+    QuerySpec("dedup_fuzzy_titles", dedup_fuzzy_titles, _ORACLE_FUZZY),
     QuerySpec(
-        "events_zonemap_retract", events_zonemap_retract, _ORACLE_ZONEMAP_RETRACT
-    ),
-    QuerySpec(
-        "dedup_containment", dedup_containment, OE.containment_sql(0.8, 3, 100)
-    ),
-    # incremental ≡ batch, so the oracle is the batch full-recompute SQL
-    QuerySpec(
-        "dedup_semantic_incremental",
-        dedup_semantic_incremental,
+        "dedup_semantic",
+        dedup_semantic,
         OE.semantic_dedup_sql(16, 0.92, planted_mod=25),
     ),
-    QuerySpec(
-        "docs_repeated_spans_unaligned",
-        docs_repeated_spans_unaligned,
-        _ORACLE_REPEATED_SPANS_UNALIGNED,
-    ),
-    # probe ≡ full recompute restricted to delta-changeable docs, so the
-    # oracle is the full-recompute SQL with the same restriction
-    QuerySpec(
-        "docs_repeated_spans_incremental",
-        docs_repeated_spans_incremental,
-        _ORACLE_REPEATED_SPANS_INCREMENTAL,
-    ),
-    # novelty probes the same persisted gram sketch the incremental
-    # span detector maintains — one state build, two consumers
-    QuerySpec("docs_novelty_scored", docs_novelty_scored, _ORACLE_NOVELTY),
-    # the delete leg of the same persisted state
-    QuerySpec(
-        "docs_repeated_spans_retract",
-        docs_repeated_spans_retract,
-        _ORACLE_SPANS_RETRACT,
-    ),
-    QuerySpec("sources_jsd_hashed", sources_jsd_hashed, _ORACLE_JSD_HASHED),
-    QuerySpec("events_k_anonymity", events_k_anonymity, _ORACLE_K_ANONYMITY),
+    QuerySpec("events_retention_cohorts", events_retention_cohorts, _ORACLE_RETENTION),
+    QuerySpec("events_markov_transitions", events_markov_transitions, _ORACLE_MARKOV),
+    QuerySpec("events_anomaly_hours", events_anomaly_hours, _ORACLE_ANOMALY),
+    QuerySpec("embedding_norm_outliers", embedding_norm_outliers, _oracle_norm_outliers_sql()),
+    QuerySpec("docs_mixture_rebalance", docs_mixture_rebalance, _ORACLE_MIXTURE),
+    QuerySpec("docs_shuffle_shards", docs_shuffle_shards, _ORACLE_SHUFFLE_SHARDS),
+    QuerySpec("orders_profile", orders_profile, _oracle_profile_sql()),
+    # --- r7 rotation block, still resident --------------------------------
     QuerySpec("events_zorder_layout", events_zorder_layout, _oracle_zorder_sql()),
     QuerySpec(
         "events_zorder_incremental", events_zorder_incremental, _oracle_zorder_incr_sql()
@@ -466,8 +444,6 @@ SPECS: list[QuerySpec] = [
     QuerySpec("snapshot_diff_orders", snapshot_diff_orders, _ORACLE_SNAPSHOT_DIFF),
     QuerySpec("events_concurrency", events_concurrency, _ORACLE_CONCURRENCY),
     QuerySpec("events_funnel", events_funnel, _ORACLE_FUNNEL),
-    # --- r6 rotation block, still resident --------------------------------
-    QuerySpec("q11_important_stock", q11_important, _ORACLE_Q11),
     # --- LLM-data-pipeline tier: dedup -----------------------------------
     QuerySpec(
         "dedup_incremental",
@@ -590,24 +566,48 @@ SPECS: list[QuerySpec] = [
     QuerySpec("text_metrics", text_metrics, OE.text_metrics_sql()),
     QuerySpec("text_langid", text_langid, OE.lang_id_sql()),
     QuerySpec("text_sentiment", text_sentiment, _oracle_sentiment_sql()),
-    # (q8/q9/q12/q16, dedup_minhash_lsh_salted, dedup_labels_after_delete,
-    # merge_scd2_customers, snapshot_diff_orders, events_concurrency,
-    # events_funnel drained INTO the window at r8 — see the rotation
-    # block above.)
-    QuerySpec("events_trend", events_trend, _ORACLE_TREND),
-    QuerySpec("dedup_fuzzy_titles", dedup_fuzzy_titles, _ORACLE_FUZZY),
+    # (events_trend, dedup_fuzzy_titles, dedup_semantic,
+    # events_retention_cohorts, events_markov_transitions,
+    # events_anomaly_hours, embedding_norm_outliers, docs_mixture_rebalance,
+    # docs_shuffle_shards, orders_profile drained INTO the window at r9 —
+    # see the rotation block above.)
+    # --- r9 evictions (driver-green r7/r8) -------------------------------
     QuerySpec(
-        "dedup_semantic",
-        dedup_semantic,
+        "events_zonemap_retract", events_zonemap_retract, _ORACLE_ZONEMAP_RETRACT
+    ),
+    QuerySpec(
+        "dedup_containment", dedup_containment, OE.containment_sql(0.8, 3, 100)
+    ),
+    # incremental ≡ batch, so the oracle is the batch full-recompute SQL
+    QuerySpec(
+        "dedup_semantic_incremental",
+        dedup_semantic_incremental,
         OE.semantic_dedup_sql(16, 0.92, planted_mod=25),
     ),
-    QuerySpec("events_retention_cohorts", events_retention_cohorts, _ORACLE_RETENTION),
-    QuerySpec("events_markov_transitions", events_markov_transitions, _ORACLE_MARKOV),
-    QuerySpec("events_anomaly_hours", events_anomaly_hours, _ORACLE_ANOMALY),
-    QuerySpec("embedding_norm_outliers", embedding_norm_outliers, _oracle_norm_outliers_sql()),
-    QuerySpec("docs_mixture_rebalance", docs_mixture_rebalance, _ORACLE_MIXTURE),
-    QuerySpec("docs_shuffle_shards", docs_shuffle_shards, _ORACLE_SHUFFLE_SHARDS),
-    QuerySpec("orders_profile", orders_profile, _oracle_profile_sql()),
+    QuerySpec(
+        "docs_repeated_spans_unaligned",
+        docs_repeated_spans_unaligned,
+        _ORACLE_REPEATED_SPANS_UNALIGNED,
+    ),
+    # probe ≡ full recompute restricted to delta-changeable docs, so the
+    # oracle is the full-recompute SQL with the same restriction
+    QuerySpec(
+        "docs_repeated_spans_incremental",
+        docs_repeated_spans_incremental,
+        _ORACLE_REPEATED_SPANS_INCREMENTAL,
+    ),
+    # novelty probes the same persisted gram sketch the incremental
+    # span detector maintains — one state build, two consumers
+    QuerySpec("docs_novelty_scored", docs_novelty_scored, _ORACLE_NOVELTY),
+    # the delete leg of the same persisted state
+    QuerySpec(
+        "docs_repeated_spans_retract",
+        docs_repeated_spans_retract,
+        _ORACLE_SPANS_RETRACT,
+    ),
+    QuerySpec("sources_jsd_hashed", sources_jsd_hashed, _ORACLE_JSD_HASHED),
+    QuerySpec("events_k_anonymity", events_k_anonymity, _ORACLE_K_ANONYMITY),
+    QuerySpec("q11_important_stock", q11_important, _ORACLE_Q11),
     QuerySpec("window_function_census", window_function_census, _ORACLE_WINDOW_CENSUS),
     QuerySpec("events_value_histogram", events_value_histogram, _ORACLE_HISTOGRAM),
     # HLL sketches differ across engines by construction: rows-only gate,
