@@ -268,6 +268,37 @@ SF1_HEADLINE = [
 ]
 
 
+# Exponent-fit probe set (VERDICT r7 item 1 / r8 item 3): the heavy
+# families, run identically at THREE scale points (sf0.1 k=1, sf0.3 k=3,
+# sf1 k=10) in dedicated same-size sessions so session crowding cancels
+# in the fit.  `fit_exponents.py 1:A 3:B 10:C` turns the three detail
+# files into per-query growth exponents.
+EXP_HEADLINE = [
+    "dedup_semantic",
+    "dedup_semantic_incremental",
+    "embedding_near_dup_ann",
+    "users_triangles",
+    "users_cooccurrence",
+    "users_sig_edges_incremental",
+    "users_pagerank",
+    "users_pagerank_personalized",
+    "users_communities",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_clusters_incremental",
+    "docs_deduplicated",
+    "dedup_containment",
+    "dedup_containment_incremental",
+    "dedup_containment_retract",
+    "docs_repeated_spans_unaligned",
+    "docs_repeated_spans_retract",
+    "streaming_dedup_archive",
+    "docs_tfidf_keywords",
+    "q1_pricing_summary",
+]
+
+
 def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
@@ -302,6 +333,8 @@ def main() -> None:
         headline = HEADLINE  # full registry at scale (VERDICT r7 item 3)
     elif subset == "@sf1sub":
         headline = SF1_HEADLINE
+    elif subset == "@exp":
+        headline = EXP_HEADLINE
     else:
         headline = subset.split(",") if subset else HEADLINE
     out_file = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
@@ -338,11 +371,6 @@ def main() -> None:
     # build).  The pass total is reported as `state_build_s`, a real
     # number worth tracking (it is the nightly index-build cost), just
     # not part of any query's steady-state figure.
-    t_pre = time.perf_counter()
-    for name in headline:
-        force(qs[name](spark, sf_dir))
-    state_build_s = round(time.perf_counter() - t_pre, 3)
-
     # Machine-floor calibration probe: a FIXED-size CPU+shuffle job
     # independent of SF and of the registry, min-of-2.  Session-to-
     # session ambient floor shifted 20-40% within round 7 with plans
@@ -351,6 +379,7 @@ def main() -> None:
     # divide headline totals by floor_probe_s before judging a
     # regression real.
     def _floor_probe() -> float:
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         force(
             spark.range(50_000_000)
@@ -359,6 +388,21 @@ def main() -> None:
             .count()
         )
         return time.perf_counter() - t0
+
+    # The probe runs TWICE per session (r9, VERDICT r8 item 4): once
+    # BEFORE the state-build pass and once after it, immediately ahead
+    # of the timed region.  The r8 bench regression investigation needs
+    # the split: pre-state vs historical floors isolates AMBIENT
+    # machine load; post-state vs pre-state isolates SESSION-INTERNAL
+    # degradation (accumulated executor state / GC pressure from the
+    # ~200 s state build).  floor_probe_s stays the post-state value —
+    # it is the floor the timed queries actually run on.
+    floor_probe_pre_s = round(min(_floor_probe(), _floor_probe()), 3)
+
+    t_pre = time.perf_counter()
+    for name in headline:
+        force(qs[name](spark, sf_dir))
+    state_build_s = round(time.perf_counter() - t_pre, 3)
 
     floor_probe_s = round(min(_floor_probe(), _floor_probe()), 3)
 
@@ -397,6 +441,7 @@ def main() -> None:
         "shuffle_mb": shuffle_mb,
         "state_build_s": state_build_s,
         "floor_probe_s": floor_probe_s,
+        "floor_probe_pre_s": floor_probe_pre_s,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full per-query detail: one JSON line (the documented contract) plus
