@@ -205,6 +205,9 @@ HEADLINE = [
     # r8: containment-tier incremental + delete maintenance
     "dedup_containment_incremental",
     "dedup_containment_retract",
+    # r9: incremental TF-IDF (persisted df state) + re-crawl CDC diff
+    "docs_tfidf_incremental",
+    "docs_snapshot_diff",
 ]
 
 
@@ -239,6 +242,8 @@ SF1_HEADLINE = [
     "dedup_incremental",
     "users_sig_edges_incremental",
     # current-round additions (keep this block fresh per round)
+    "docs_tfidf_incremental",
+    "docs_snapshot_diff",
     "dedup_containment_incremental",
     "dedup_containment_retract",
     "events_zonemap_retract",

@@ -146,6 +146,7 @@ NEW_SPECS_BY_ROUND: dict[int, list[str]] = {
         "docs_repeated_spans_incremental", "docs_novelty_scored",
         "docs_repeated_spans_retract"],
     8: ["dedup_containment_incremental", "dedup_containment_retract"],
+    9: ["docs_tfidf_incremental", "docs_snapshot_diff"],
 }
 
 

@@ -707,3 +707,64 @@ GROUP BY f.doc_id
 """
 
 
+
+
+def docs_snapshot_diff(spark, sf_dir):
+    """Re-crawl CDC classification over two corpus snapshots — the
+    "what changed since yesterday's crawl" diff every updating-dataset
+    pipeline runs before deciding what to re-process (the documents
+    twin of ``snapshot_diff_orders``; r9).  Yesterday = doc_id % 10
+    != 0 (the archive slice the incremental family uses); today =
+    doc_id % 7 != 0, with doc_id % 5 == 0 re-crawled under revised
+    text.  Rows are classified added / removed / changed by CONTENT
+    HASH; unchanged docs are suppressed (they are the overwhelming
+    bulk at scale, and downstream re-processing keys off this diff).
+
+    Plan shape: each snapshot scan projects (doc_id, md5(text)) map-
+    side — the join carries 2×16-byte-hash rows, never document text;
+    ONE full-outer sort-merge join on the uniform doc_id key (the
+    canonical CDC shape; at 100 TB both sides bucket on doc_id and
+    the join is zero-exchange against a bucketed archive).  The hash
+    compare makes "changed" exact without shipping text."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.md5(F.col("text")).alias("_oh")
+    )
+    new = docs.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+            ).otherwise(F.col("text"))
+        ).alias("_nh"),
+    )
+    j = old.join(new, "doc_id", "full_outer")
+    change = (
+        F.when(F.col("_oh").isNull(), F.lit("added"))
+        .when(F.col("_nh").isNull(), F.lit("removed"))
+        .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
+    )
+    return (
+        j.select("doc_id", change.alias("change"))
+        .where(F.col("change").isNotNull())
+    )
+
+
+_ORACLE_SNAPSHOT_DIFF_DOCS = """
+WITH old AS (
+    SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 <> 0
+),
+new AS (
+    SELECT doc_id,
+           md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END) AS h
+    FROM documents WHERE doc_id % 7 <> 0
+),
+classified AS (
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.h <> n.h THEN 'changed' END AS change
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT doc_id, change FROM classified WHERE change IS NOT NULL
+"""

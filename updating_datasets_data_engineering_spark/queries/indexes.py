@@ -1307,6 +1307,100 @@ SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
 """
 
 
+def docs_tfidf_incremental(spark, sf_dir):
+    """Incremental TF-IDF keyword scoring for the daily delta — the
+    state ⊕ delta discipline applied to the retrieval-salience
+    primitive (r9; completes the batch `docs_tfidf_keywords` into the
+    same lifecycle the dedup/span/containment families have).
+
+    The archive's per-term document frequency and its document count
+    are PERSISTED state (the nightly corpus-statistics build every
+    retrieval pipeline maintains); scoring the delta needs the
+    CORPUS-WIDE df and N, which are state ⊕ delta exactly:
+    df_total(term) = df_archive(term) + df_delta(term) (a doc is in
+    exactly one side) and N_total = N_archive + N_delta.  Output =
+    the batch full recompute restricted to delta docs — a delta doc's
+    tf and doc length involve only its own tokens, so the restriction
+    is exact, not approximate (the oracle replays the full recompute
+    with the same restriction).
+
+    Plan shape (work ∝ delta, archive never re-tokenized): one
+    delta-sized explode + (doc, term) aggregate; the archive df state
+    is SEMI-JOIN-SLICED to the delta's term keys before the merge join
+    (the span-family state-slice prune — the full term dictionary is
+    GB-scale at 100 TB and must never shuffle); N is a one-row
+    broadcast; ranking reuses the doc_id exchange."""
+    from pyspark.sql import Window
+
+    from ..functions import text as TXT
+
+    docs = _td(spark, sf_dir)
+    archive = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+
+    def _build_df():
+        toks = archive.select(
+            "doc_id", F.explode(TXT.words(F.col("text"))).alias("term")
+        )
+        return (
+            toks.distinct()
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("adf"))
+        )
+
+    arch_df = _persisted_index(spark, sf_dir, "tfidf_term_df", _build_df)
+    arch_n = _persisted_index(
+        spark,
+        sf_dir,
+        "tfidf_n_docs",
+        lambda: archive.agg(F.countDistinct("doc_id").cast("long").alias("an")),
+    )
+    toks = delta.select("doc_id", F.explode(TXT.words(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = caching.tracked_persist(tf)  # feeds delta-df, doc-length, and scoring
+    d_df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("ddf"))
+    state_slice = arch_df.join(d_df.select("term"), "term", "left_semi")
+    merged_df = (
+        d_df.alias("d")
+        .join(state_slice.alias("a"), "term", "left_outer")
+        .select(
+            "term",
+            (F.coalesce(F.col("a.adf"), F.lit(0)) + F.col("d.ddf")).alias("df"),
+        )
+    )
+    n_total = (
+        arch_n.crossJoin(
+            delta.agg(F.countDistinct("doc_id").cast("long").alias("dn"))
+        ).select((F.col("an") + F.col("dn")).alias("n"))
+    )
+    dl = Window.partitionBy("doc_id")
+    scored = (
+        tf.withColumn("dl", F.sum("tf").over(dl))
+        .join(merged_df, "term")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("tf") / F.col("dl")) * F.log(F.col("n") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+    )
+
+
+# incremental ≡ batch restricted to delta docs (df/N are corpus-wide on
+# both sides; a delta doc's tf/doc-length involve only its own tokens)
+_ORACLE_TFIDF_INCREMENTAL = _ORACLE_TFIDF.replace(
+    "SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3",
+    "SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3 AND doc_id % 10 = 0",
+)
+
+
 def docs_repetition(spark, sf_dir):
     """Gopher-style repetition signals (Rae et al. 2021, public):
     per-doc top-bigram fraction, duplicate-bigram fraction, duplicate-

@@ -192,6 +192,7 @@ from .indexes import (
     _ORACLE_REPEATED_SPANS_UNALIGNED,
     _ORACLE_SAMPLE,
     _ORACLE_TFIDF,
+    _ORACLE_TFIDF_INCREMENTAL,
     _oracle_clusters_incremental_sql,
     _oracle_labels_after_delete_sql,
     _oracle_pack_sql,
@@ -218,6 +219,7 @@ from .indexes import (
     docs_repeated_spans_unaligned,
     docs_repetition,
     docs_sample_stratified,
+    docs_tfidf_incremental,
     docs_tfidf_keywords,
     embedding_near_dup,
     embedding_near_dup_ann,
@@ -274,6 +276,7 @@ from .curation import (
     _ORACLE_DATASET_CARD,
     _ORACLE_DELTA_QUALITY,
     _ORACLE_DUP_RATE,
+    _ORACLE_SNAPSHOT_DIFF_DOCS,
     _ORACLE_EPOCH_PLAN,
     _ORACLE_OVERLAP,
     _ORACLE_SLIDING_USERS,
@@ -285,6 +288,7 @@ from .curation import (
     docs_dataset_card,
     docs_delta_quality_scored,
     docs_epoch_plan,
+    docs_snapshot_diff,
     docs_source_cap,
     docs_unigram_logprob,
     events_sliding_active_users,
@@ -379,11 +383,18 @@ SPECS: list[QuerySpec] = [
     QuerySpec("docs_mixture_rebalance", docs_mixture_rebalance, _ORACLE_MIXTURE),
     QuerySpec("docs_shuffle_shards", docs_shuffle_shards, _ORACLE_SHUFFLE_SHARDS),
     QuerySpec("orders_profile", orders_profile, _oracle_profile_sql()),
-    # --- r7 rotation block, still resident --------------------------------
-    QuerySpec("events_zorder_layout", events_zorder_layout, _oracle_zorder_sql()),
+    # --- r9 births (enter the window in their birth round) ----------------
+    # incremental ≡ batch restricted to delta docs (df/N corpus-wide on
+    # both sides), so the oracle is the batch SQL with the restriction
     QuerySpec(
-        "events_zorder_incremental", events_zorder_incremental, _oracle_zorder_incr_sql()
+        "docs_tfidf_incremental",
+        docs_tfidf_incremental,
+        _ORACLE_TFIDF_INCREMENTAL,
     ),
+    QuerySpec(
+        "docs_snapshot_diff", docs_snapshot_diff, _ORACLE_SNAPSHOT_DIFF_DOCS
+    ),
+    # --- r7 rotation block, still resident --------------------------------
     QuerySpec(
         "docs_split_leakage_safe", docs_split_leakage_safe, _oracle_split_safe_sql()
     ),
@@ -572,6 +583,10 @@ SPECS: list[QuerySpec] = [
     # docs_shuffle_shards, orders_profile drained INTO the window at r9 —
     # see the rotation block above.)
     # --- r9 evictions (driver-green r7/r8) -------------------------------
+    QuerySpec("events_zorder_layout", events_zorder_layout, _oracle_zorder_sql()),
+    QuerySpec(
+        "events_zorder_incremental", events_zorder_incremental, _oracle_zorder_incr_sql()
+    ),
     QuerySpec(
         "events_zonemap_retract", events_zonemap_retract, _ORACLE_ZONEMAP_RETRACT
     ),
