@@ -65,3 +65,107 @@ def test_snapshot_diff_change_is_content_based(spark, sf_dir):
     ]
     assert changed_ids, "fixture must exercise the changed class"
     assert all(i % 5 == 0 for i in changed_ids)
+
+
+def test_bm25_incremental_equals_batch_rebuild(spark, sf_dir):
+    """Index-append ≡ full rebuild: the incremental postings probe
+    must reproduce the batch ranking row-for-row, and the delta must
+    actually be represented in the output (the equality is not
+    vacuous on an archive-only ranking)."""
+    from updating_datasets_data_engineering_spark.registry import (
+        docs_bm25_incremental,
+        docs_bm25_search,
+    )
+
+    batch = sorted(
+        tuple(r) for r in docs_bm25_search(spark, sf_dir).collect()
+    )
+    incr = sorted(
+        tuple(r) for r in docs_bm25_incremental(spark, sf_dir).collect()
+    )
+    assert len(batch) > 0
+    assert incr == batch
+    assert any(r[1] % 10 == 0 for r in batch), (
+        "no delta doc in the top-k: the merge legs are untested"
+    )
+
+
+def test_bm25_query_terms_are_top_df(spark, sf_dir):
+    """The deterministic query set: every query term's df is >= the
+    df of every non-query term (ties broken by term ASC)."""
+    from pyspark.sql import functions as F
+
+    from updating_datasets_data_engineering_spark.functions import text as TXT
+    from updating_datasets_data_engineering_spark.queries.indexes import _BM25_NQ
+    from updating_datasets_data_engineering_spark.registry import docs_bm25_search
+    from updating_datasets_data_engineering_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    dfreq = (
+        docs.select("doc_id", F.explode(TXT.words(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .count()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    ranked = sorted(
+        ((-r["df"], r["term"]) for r in dfreq.collect())
+    )
+    want = {t for _, t in ranked[:_BM25_NQ]}
+    got = {
+        r["query_term"]
+        for r in docs_bm25_search(spark, sf_dir).select("query_term").distinct().collect()
+    }
+    assert got == want
+
+
+def test_semantic_retract_flips_and_freezes(spark, sf_dir):
+    """The delete leg's two contracts: (a) the re-verify is LIVE —
+    at least one surviving planted copy flips dup -> non-dup when its
+    original (its only >=0.92 witness) is tombstoned; (b) rows in
+    cells without a tombstone are byte-frozen from the persisted
+    state; (c) no tombstone survives; (d) flips are monotone
+    (dup -> non-dup only)."""
+    from pyspark.sql import functions as F
+
+    from updating_datasets_data_engineering_spark.operators import similarity as SIM
+    from updating_datasets_data_engineering_spark.queries.indexes import (
+        _persisted_index,
+    )
+    from updating_datasets_data_engineering_spark.registry import (
+        dedup_semantic_retract,
+    )
+    from updating_datasets_data_engineering_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    n_cells = SIM.adaptive_cell_count(corpus.count())
+    state = {
+        r["vec_id"]: (r["cell"], r["is_dup"])
+        for r in _persisted_index(
+            spark,
+            sf_dir,
+            "sem_flags_full",
+            lambda: SIM.semantic_dedup(corpus, n_cells=n_cells, threshold=0.92),
+        ).collect()
+    }
+    out = {
+        r["vec_id"]: (r["cell"], r["is_dup"])
+        for r in dedup_semantic_retract(spark, sf_dir).collect()
+    }
+    tombs = {v for v in state if v % 50 == 25 and v < 1_000_000}
+    assert tombs, "fixture must tombstone something"
+    assert not (tombs & set(out)), "tombstoned ids must not survive"
+    assert set(out) == set(state) - tombs
+    hot_cells = {state[v][0] for v in tombs}
+    flips = [v for v in out if state[v][1] != out[v][1]]
+    assert flips, "re-verify leg is vacuous: no flag flipped"
+    for v in flips:
+        assert state[v][1] and not out[v][1], "flip must be dup -> non-dup"
+        assert out[v][0] in hot_cells, "flip outside an affected cell"
+    for v, (cell, dup) in out.items():
+        if cell not in hot_cells:
+            assert (cell, dup) == state[v], "frozen row changed"

@@ -820,3 +820,63 @@ def semantic_dedup_delta(
         )
     )
     return archive_flags.unionByName(d_flags)
+
+
+def semantic_dedup_retract(
+    corpus: DataFrame,
+    state_flags: DataFrame,
+    tombstones: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Delete maintenance for :func:`semantic_dedup` — the retract leg
+    that completes the semantic tier's lifecycle (batch / incremental /
+    retract, matching the containment and repeated-span families).
+
+    Why deletes are CELL-LOCAL (the monotonicity that bounds the work):
+    ``is_dup(b)`` holds iff some same-cell survivor with a smaller id
+    matches ``b``.  Removing rows only removes witnesses, so flags can
+    flip dup -> non-dup, never the reverse, and only vectors sharing a
+    cell with a deleted row can flip (other cells keep their witness
+    sets verbatim).  Unaffected cells' flags therefore FREEZE, and the
+    re-verify leg recomputes min-id absorption among the survivors of
+    the affected cells only — work is bounded by
+    sum(|affected cell|^2), i.e. #tombstones x expected-cell-size^2,
+    not corpus-sized (with k ~ sqrt(n) cells the expected cell stays
+    constant, so a bounded delete batch costs O(deletes) at any corpus
+    size).
+
+    Cell assignment survives deletion as long as no CENTROID vector is
+    tombstoned (assignment depends only on the frozen centroid set);
+    callers must route centroid deletes to an index rebuild — the same
+    staleness contract the z-order layout documents.
+
+    Inputs: ``state_flags`` is the persisted (id, cell, is_dup) output
+    of the batch build; ``corpus`` holds the pre-delete vectors (only
+    affected-cell members are re-read); ``tombstones`` is one id
+    column.  Output: post-delete (id, cell, is_dup) for every survivor
+    — exactly what a full recompute on the survivor corpus returns
+    (the registered query shares the batch oracle restricted to
+    survivors, and that equality is the correctness claim).
+    """
+    tomb = tombstones.select(F.col(tombstones.columns[0]).alias(id_col))
+    affected = (
+        state_flags.join(tomb, id_col, "left_semi").select("cell").distinct()
+    )
+    survivors = state_flags.join(tomb, id_col, "left_anti")
+    frozen = survivors.join(F.broadcast(affected), "cell", "left_anti").select(
+        id_col, "cell", "is_dup"
+    )
+    hot = survivors.join(F.broadcast(affected), "cell", "left_semi").select(
+        id_col, "cell"
+    )
+    hot_vecs = corpus.join(hot.select(id_col), id_col, "left_semi")
+    recomputed = semantic_dedup(
+        hot_vecs,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        cells=hot.select(id_col, "cell"),
+    )
+    return frozen.unionByName(recomputed)

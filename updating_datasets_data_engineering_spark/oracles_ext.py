@@ -645,6 +645,8 @@ def semantic_dedup_sql(
     dim: int = 64,
     planted_mod: int | None = None,
     planted_offset: int = 1_000_000,
+    tomb_mod: int | None = None,
+    tomb_val: int = 0,
 ) -> str:
     """Replays ``similarity.semantic_dedup``: IVF cell assignment
     (centroids = vec_id < n_cells, ROW_NUMBER tie semantics identical
@@ -655,8 +657,20 @@ def semantic_dedup_sql(
     (engine: queries/indexes.py dedup_semantic): every vector with
     vec_id % planted_mod == 0 is unioned again under vec_id +
     planted_offset, so the production threshold has true duplicates to
-    absorb."""
-    corpus = "SELECT vec_id, embedding FROM embeddings"
+    absorb.
+
+    ``tomb_mod``/``tomb_val`` replay the RETRACT query's tombstones
+    (queries/indexes.py dedup_semantic_retract): original vectors with
+    vec_id % tomb_mod == tomb_val are deleted from the corpus BEFORE
+    the recompute (their planted re-crawls survive — only the original
+    upload is retracted), so this oracle is the survivor full
+    recompute the incremental delete path must match."""
+    tomb = (
+        f" WHERE NOT (vec_id % {tomb_mod} = {tomb_val})"
+        if tomb_mod is not None
+        else ""
+    )
+    corpus = f"SELECT vec_id, embedding FROM embeddings{tomb}"
     if planted_mod is not None:
         corpus += (
             f" UNION ALL SELECT vec_id + {planted_offset}, embedding"

@@ -1401,6 +1401,254 @@ _ORACLE_TFIDF_INCREMENTAL = _ORACLE_TFIDF.replace(
 )
 
 
+# BM25 constants (Robertson et al., TREC-3; the k1/b defaults every
+# public engine ships — Lucene's BM25Similarity uses the same pair).
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_NQ = 8  # query terms: the NQ highest-df terms (df DESC, term ASC)
+_BM25_TOPK = 5  # hits returned per query term
+
+
+def docs_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval (Okapi BM25, Robertson et al.; the
+    ``(k1+1)`` numerator form Lucene documents publicly): build the
+    inverted postings from the corpus, take the NQ highest-df terms as
+    the deterministic query set (df DESC, term ASC — derived from the
+    corpus itself so the fixture vocabulary never leaks into code),
+    and return the top-k docs per query term by
+    idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)).  Scores are ROUNDED to 6
+    places before ranking (doc_id tiebreak) so the per-query top-k is
+    stable across engines' last-bit log/divide differences — the
+    docs_tfidf_keywords convention.
+
+    Plan shape (exchanges: 3): one (doc, term) hash-aggregate builds
+    the postings (persisted — it feeds df, doc-length, and scoring);
+    df is a term-keyed aggregate whose top-NQ is a TakeOrdered (never
+    a full dictionary sort); doc length comes out of the postings
+    aggregate already hash-partitioned by doc_id, so the candidate
+    join exchanges ONLY the query-term posting slices (bounded by NQ
+    posting lists — the slice a 100 TB searcher reads per query);
+    N/avgdl is a one-row broadcast; the final ranking window
+    partitions on the NQ-row query-term key."""
+    from ..functions import text as TXT
+
+    docs = _td(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(TXT.words(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = caching.tracked_persist(tf)  # feeds df, doc-length, and scoring
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    qterms = dfreq.orderBy(F.col("df").desc(), "term").limit(_BM25_NQ)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    return _bm25_rank(
+        tf.join(F.broadcast(qterms), "term"), dl, stats
+    )
+
+
+def _bm25_rank(cand: DataFrame, dl: DataFrame, stats: DataFrame) -> DataFrame:
+    """Shared scoring tail of the batch and incremental BM25 queries:
+    ``cand`` = query-term posting slices carrying (term, doc_id, tf,
+    df), ``dl`` = (doc_id, dl), ``stats`` = one row (n, avgdl).  The
+    arithmetic shape (idf * (tf*(k1+1)) / denom, then round 6) is
+    mirrored token-for-token by _ORACLE_BM25."""
+    from pyspark.sql import Window
+
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        cand.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("term").alias("query_term"),
+            "doc_id",
+            F.round(idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / denom, 6).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_term").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _BM25_TOPK)
+    )
+
+
+_ORACLE_BM25 = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+qterms AS (SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT {_BM25_NQ}),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM dl),
+scored AS (
+    SELECT q.term AS query_term, t.doc_id,
+           round(ln(1.0 + (s.n - q.df + 0.5) / (q.df + 0.5))
+                 * (t.tf * {_BM25_K1 + 1.0}) / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl)),
+                 6) AS score
+    FROM tf t JOIN qterms q ON q.term = t.term
+    JOIN dl d ON d.doc_id = t.doc_id CROSS JOIN stats s
+),
+ranked AS (
+    SELECT query_term, doc_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_term ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT query_term, doc_id, score, rank FROM ranked WHERE rank <= {_BM25_TOPK}
+"""
+
+
+def docs_bm25_incremental(spark, sf_dir):
+    """Incremental BM25 — postings maintenance under the archive ∪
+    daily-delta loop (the state ⊕ delta discipline applied to ranked
+    retrieval, pairing docs_bm25_search the way docs_tfidf_incremental
+    pairs the keyword scorer): the archive's postings, per-term df,
+    per-doc lengths, and corpus stats are PERSISTED parquet state;
+    only the delta is tokenized per call.  Output = the batch
+    docs_bm25_search on archive ∪ delta, row for row — index-append ≡
+    full rebuild (the knn_ann_ivf_incremental convention), so the
+    registered query shares _ORACLE_BM25 verbatim.
+
+    Why the merged top-NQ query set needs only archive-top-NQ ∪
+    delta-vocabulary candidates (exact, including ties): inserts only
+    GROW df, and a term outside the delta keeps (df, term) unchanged —
+    every competitor that beat it before still beats it after growth,
+    so a non-delta term's merged rank is >= its archive rank.  A
+    non-delta term in the merged top-NQ was therefore already in the
+    archive top-NQ; every other mover is in the delta vocabulary.  The
+    full term dictionary — GB-scale at 100 TB — is never re-ranked and
+    never shuffles: the archive df state is sliced to the candidate
+    terms (semi-join) before the merge.
+
+    Plan shape (work ∝ delta + NQ posting slices): one delta-sized
+    explode + (doc, term) aggregate; df merge = candidate-sliced state
+    ⊕ delta counts; N/avgdl merge = two one-row frames (sum/count are
+    mergeable exactly); scoring joins ONLY the query terms' posting
+    slices (archive slices read from state, bounded by NQ lists) plus
+    the delta's, against the persisted doc-length table."""
+    from ..functions import text as TXT
+
+    docs = _td(spark, sf_dir)
+    archive = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+
+    def _build_postings():
+        toks = archive.select(
+            "doc_id", F.explode(TXT.words(F.col("text"))).alias("term")
+        )
+        return toks.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
+
+    post = _persisted_index(spark, sf_dir, "bm25_postings", _build_postings)
+    # derived states read the PERSISTED postings — the archive text is
+    # tokenized exactly once per corpus snapshot
+    adf = _persisted_index(
+        spark,
+        sf_dir,
+        "bm25_df",
+        lambda: post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("adf")),
+    )
+    adl = _persisted_index(
+        spark,
+        sf_dir,
+        "bm25_doclen",
+        lambda: post.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl")),
+    )
+    astats = _persisted_index(
+        spark,
+        sf_dir,
+        "bm25_stats",
+        lambda: post.groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("an"),
+            F.sum("dl").cast("long").alias("asumdl"),
+        ),
+    )
+    toks = delta.select("doc_id", F.explode(TXT.words(F.col("text"))).alias("term"))
+    dtf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dtf = caching.tracked_persist(dtf)  # feeds delta-df, delta-dl, and scoring
+    ddf = dtf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("ddf"))
+    arch_top = adf.orderBy(F.col("adf").desc(), "term").limit(_BM25_NQ)
+    cand_terms = (
+        arch_top.select("term").unionByName(ddf.select("term")).distinct()
+    )
+    merged_df = (
+        cand_terms.join(adf, "term", "left_outer")
+        .join(ddf, "term", "left_outer")
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("adf"), F.lit(0)) + F.coalesce(F.col("ddf"), F.lit(0))
+            ).cast("long").alias("df"),
+        )
+    )
+    qterms = merged_df.orderBy(F.col("df").desc(), "term").limit(_BM25_NQ)
+    ddl = dtf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    dstats = dtf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).agg(
+        F.count(F.lit(1)).cast("long").alias("dn"),
+        F.sum("dl").cast("long").alias("dsumdl"),
+    )
+    stats = astats.crossJoin(dstats).select(
+        (F.col("an") + F.col("dn")).alias("n"),
+        ((F.col("asumdl") + F.col("dsumdl")) / (F.col("an") + F.col("dn"))).alias(
+            "avgdl"
+        ),
+    )
+    cand = post.unionByName(dtf).join(F.broadcast(qterms), "term")
+    dl_all = adl.unionByName(ddl)
+    return _bm25_rank(cand, dl_all, stats)
+
+
+def dedup_semantic_retract(spark, sf_dir):
+    """Delete maintenance for the semantic-dedup index — the retract
+    leg that completes the semantic tier's lifecycle (batch /
+    incremental / retract, matching the containment and repeated-span
+    families).  The full planted corpus's (vec_id, cell, is_dup) flags
+    are PERSISTED parquet state; tombstones retract the ORIGINAL
+    uploads with vec_id % 50 == 25 (their planted re-crawls survive —
+    ids 25, 75, ... are % 25 == 0, so every tombstone deletes the
+    absorber of a surviving exact copy: the flag-flip leg is live at
+    every graded SF, not vacuously green).  Deletes only remove
+    absorption witnesses, so flags flip dup -> non-dup only and only
+    cells containing a tombstone can change — the operator re-verifies
+    exactly those cells' survivors and freezes every other row (see
+    ``operators.similarity.semantic_dedup_retract`` for the bound).
+    No tombstone id can be < n_cells (25 mod 50 ≥ 25 > 16), so the
+    frozen centroid set — and with it every survivor's cell — is
+    untouched; centroid deletes trip an index rebuild instead (the
+    z-order staleness contract).  Oracle = the batch full recompute on
+    the survivor corpus; incremental-delete ≡ survivor-recompute is
+    the correctness claim."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    n_cells = SIM.adaptive_cell_count(corpus.count())
+    flags = _persisted_index(
+        spark,
+        sf_dir,
+        "sem_flags_full",
+        lambda: SIM.semantic_dedup(corpus, n_cells=n_cells, threshold=0.92),
+    )
+    tombs = emb.where(F.col("vec_id") % 50 == 25).select("vec_id")
+    return SIM.semantic_dedup_retract(corpus, flags, tombs, threshold=0.92)
+
+
 def docs_repetition(spark, sf_dir):
     """Gopher-style repetition signals (Rae et al. 2021, public):
     per-doc top-bigram fraction, duplicate-bigram fraction, duplicate-

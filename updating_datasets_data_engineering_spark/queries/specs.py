@@ -174,6 +174,7 @@ from .extension import (
     text_metrics,
 )
 from .indexes import (
+    _ORACLE_BM25,
     _ORACLE_CHUNKS,
     _ORACLE_FUZZY,
     _ORACLE_PARTS_BY_BRAND,
@@ -208,8 +209,11 @@ from .indexes import (
     dedup_minhash_lsh_salted,
     dedup_semantic,
     dedup_semantic_incremental,
+    dedup_semantic_retract,
     doc_chunks,
     docs_contamination,
+    docs_bm25_incremental,
+    docs_bm25_search,
     docs_novelty_scored,
     docs_pack_sequences,
     docs_quality_filter,
@@ -394,17 +398,22 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "docs_snapshot_diff", docs_snapshot_diff, _ORACLE_SNAPSHOT_DIFF_DOCS
     ),
+    # BM25 ranked retrieval: batch builds the inverted index in-query;
+    # the incremental variant probes persisted postings/df/doclen state
+    # and must reproduce the batch ranking row-for-row (index-append ≡
+    # full rebuild), so both share the same oracle
+    QuerySpec("docs_bm25_search", docs_bm25_search, _ORACLE_BM25),
+    QuerySpec("docs_bm25_incremental", docs_bm25_incremental, _ORACLE_BM25),
+    # the delete leg of the semantic index: graded against the survivor
+    # full recompute (tombstones = original uploads with id % 50 == 25;
+    # their planted re-crawls survive, so absorber-loss flag flips are
+    # live at the graded SFs)
+    QuerySpec(
+        "dedup_semantic_retract",
+        dedup_semantic_retract,
+        OE.semantic_dedup_sql(16, 0.92, planted_mod=25, tomb_mod=50, tomb_val=25),
+    ),
     # --- r7 rotation block, still resident --------------------------------
-    QuerySpec(
-        "docs_split_leakage_safe", docs_split_leakage_safe, _oracle_split_safe_sql()
-    ),
-    QuerySpec(
-        "dedup_incremental_simhash",
-        dedup_incremental_simhash,
-        OE.incremental_simhash_sql(10),
-    ),
-    # index-append ≡ full rebuild, so the oracle is the full-index SQL
-    QuerySpec("knn_ann_ivf_incremental", knn_ann_ivf_incremental, OE.ivf_ann_sql()),
     QuerySpec("docs_repeated_spans", docs_repeated_spans, _ORACLE_REPEATED_SPANS),
     QuerySpec("docs_tfidf_keywords", docs_tfidf_keywords, _ORACLE_TFIDF),
     QuerySpec(
@@ -623,6 +632,17 @@ SPECS: list[QuerySpec] = [
     QuerySpec("sources_jsd_hashed", sources_jsd_hashed, _ORACLE_JSD_HASHED),
     QuerySpec("events_k_anonymity", events_k_anonymity, _ORACLE_K_ANONYMITY),
     QuerySpec("q11_important_stock", q11_important, _ORACLE_Q11),
+    # evicted mid-r9 by the three extension births (driver-green r7/r8):
+    QuerySpec(
+        "docs_split_leakage_safe", docs_split_leakage_safe, _oracle_split_safe_sql()
+    ),
+    QuerySpec(
+        "dedup_incremental_simhash",
+        dedup_incremental_simhash,
+        OE.incremental_simhash_sql(10),
+    ),
+    # index-append ≡ full rebuild, so the oracle is the full-index SQL
+    QuerySpec("knn_ann_ivf_incremental", knn_ann_ivf_incremental, OE.ivf_ann_sql()),
     QuerySpec("window_function_census", window_function_census, _ORACLE_WINDOW_CENSUS),
     QuerySpec("events_value_histogram", events_value_histogram, _ORACLE_HISTOGRAM),
     # HLL sketches differ across engines by construction: rows-only gate,
