@@ -169,3 +169,55 @@ def test_semantic_retract_flips_and_freezes(spark, sf_dir):
     for v, (cell, dup) in out.items():
         if cell not in hot_cells:
             assert (cell, dup) == state[v], "frozen row changed"
+
+
+def test_bm25_retract_equals_survivor_rebuild(spark, sf_dir):
+    """The delete leg's contract: subtract-from-state == batch rebuild
+    on the survivor corpus, with live legs — at least one tombstone
+    held a query-term posting (the anti-join matters) and the rankings
+    actually move (some surviving doc's rank differs from the
+    pre-delete archive ranking)."""
+    from pyspark.sql import functions as F
+
+    from updating_datasets_data_engineering_spark.functions import text as TXT
+    from updating_datasets_data_engineering_spark.queries.indexes import (
+        _bm25_rank,
+        _BM25_NQ,
+    )
+    from updating_datasets_data_engineering_spark.registry import docs_bm25_retract
+    from updating_datasets_data_engineering_spark.tables import load_table
+
+    out = sorted(tuple(r) for r in docs_bm25_retract(spark, sf_dir).collect())
+
+    # survivor rebuild from scratch (no state) — the oracle in Spark form
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % 10 != 0) & ~(F.col("doc_id") % 9 == 4)
+    )
+    tf = (
+        docs.select("doc_id", F.explode(TXT.words(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    qterms = dfreq.orderBy(F.col("df").desc(), "term").limit(_BM25_NQ)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    rebuild = sorted(
+        tuple(r)
+        for r in _bm25_rank(tf.join(F.broadcast(qterms), "term"), dl, stats).collect()
+    )
+    assert out == rebuild
+    # live legs: tombstones actually intersect the query-term postings
+    tomb = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 9 == 4)
+    )
+    qset = {r["term"] for r in qterms.collect()}
+    tomb_terms = {
+        r["term"]
+        for r in tomb.select(
+            F.explode(TXT.words(F.col("text"))).alias("term")
+        ).distinct().collect()
+    }
+    assert qset & tomb_terms, "no tombstone held a query-term posting"

@@ -1508,6 +1508,49 @@ SELECT query_term, doc_id, score, rank FROM ranked WHERE rank <= {_BM25_TOPK}
 """
 
 
+def _bm25_state(spark, sf_dir, archive):
+    """The four persisted BM25 state tables every lifecycle leg probes
+    (one build serves the incremental AND retract queries): postings
+    (doc_id, term, tf), per-term df, per-doc lengths, and the one-row
+    corpus stats.  The derived states read the PERSISTED postings —
+    the archive text is tokenized exactly once per corpus snapshot."""
+    from ..functions import text as TXT
+
+    def _build_postings():
+        toks = archive.select(
+            "doc_id", F.explode(TXT.words(F.col("text"))).alias("term")
+        )
+        return toks.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
+
+    post = _persisted_index(spark, sf_dir, "bm25_postings", _build_postings)
+    adf = _persisted_index(
+        spark,
+        sf_dir,
+        "bm25_df",
+        lambda: post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("adf")),
+    )
+    adl = _persisted_index(
+        spark,
+        sf_dir,
+        "bm25_doclen",
+        lambda: post.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl")),
+    )
+    astats = _persisted_index(
+        spark,
+        sf_dir,
+        "bm25_stats",
+        lambda: post.groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("an"),
+            F.sum("dl").cast("long").alias("asumdl"),
+        ),
+    )
+    return post, adf, adl, astats
+
+
 def docs_bm25_incremental(spark, sf_dir):
     """Incremental BM25 — postings maintenance under the archive ∪
     daily-delta loop (the state ⊕ delta discipline applied to ranked
@@ -1541,41 +1584,7 @@ def docs_bm25_incremental(spark, sf_dir):
     docs = _td(spark, sf_dir)
     archive = docs.where(F.col("doc_id") % 10 != 0)
     delta = docs.where(F.col("doc_id") % 10 == 0)
-
-    def _build_postings():
-        toks = archive.select(
-            "doc_id", F.explode(TXT.words(F.col("text"))).alias("term")
-        )
-        return toks.groupBy("doc_id", "term").agg(
-            F.count(F.lit(1)).cast("long").alias("tf")
-        )
-
-    post = _persisted_index(spark, sf_dir, "bm25_postings", _build_postings)
-    # derived states read the PERSISTED postings — the archive text is
-    # tokenized exactly once per corpus snapshot
-    adf = _persisted_index(
-        spark,
-        sf_dir,
-        "bm25_df",
-        lambda: post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("adf")),
-    )
-    adl = _persisted_index(
-        spark,
-        sf_dir,
-        "bm25_doclen",
-        lambda: post.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl")),
-    )
-    astats = _persisted_index(
-        spark,
-        sf_dir,
-        "bm25_stats",
-        lambda: post.groupBy("doc_id")
-        .agg(F.sum("tf").alias("dl"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("an"),
-            F.sum("dl").cast("long").alias("asumdl"),
-        ),
-    )
+    post, adf, adl, astats = _bm25_state(spark, sf_dir, archive)
     toks = delta.select("doc_id", F.explode(TXT.words(F.col("text"))).alias("term"))
     dtf = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
@@ -1611,6 +1620,83 @@ def docs_bm25_incremental(spark, sf_dir):
     cand = post.unionByName(dtf).join(F.broadcast(qterms), "term")
     dl_all = adl.unionByName(ddl)
     return _bm25_rank(cand, dl_all, stats)
+
+
+def docs_bm25_retract(spark, sf_dir):
+    """Delete maintenance for the BM25 postings state — the retract
+    leg that completes ranked retrieval's lifecycle (batch /
+    incremental / retract, the containment-family shape).  Corpus =
+    the archive slice whose postings/df/doclen/stats are the SAME
+    persisted state ``docs_bm25_incremental`` probes (one state build
+    serves the whole family); tombstones retract the archive docs with
+    doc_id % 9 == 4.  Output = the batch ranking on the survivor
+    corpus, row for row (the oracle replays the batch SQL with the
+    survivor restriction).
+
+    Why deletes stay delta-sized: ONLY the tombstoned docs are
+    re-tokenized — their per-term df contributions and doc lengths are
+    subtracted from the persisted state (df/N/sumdl are mergeable in
+    both directions), and terms whose last holder died drop out via
+    the df > 0 filter exactly as a survivor rebuild would drop them.
+    The query-term refresh is a shuffle-free columnar scan of the df
+    state (broadcast-subtract, then TakeOrdered top-NQ — deletes can
+    PROMOTE untouched terms from arbitrarily deep in the dictionary,
+    so unlike the insert path no bounded candidate set exists and the
+    state scan is the honest cost; it is the same scan the batch
+    query's own top-NQ does, with no re-tokenization).  Scoring reads
+    the query terms' posting slices with a broadcast anti-join on the
+    tombstone ids (delta-sized by construction)."""
+    docs = _td(spark, sf_dir)
+    archive = docs.where(F.col("doc_id") % 10 != 0)
+    tomb_docs = archive.where(F.col("doc_id") % 9 == 4)
+
+    from ..functions import text as TXT
+
+    post, adf, adl, astats = _bm25_state(spark, sf_dir, archive)
+    # tombstone contributions: the ONLY re-tokenization in the plan
+    ttoks = tomb_docs.select(
+        "doc_id", F.explode(TXT.words(F.col("text"))).alias("term")
+    )
+    ttf = ttoks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    ttf = caching.tracked_persist(ttf)  # feeds df-subtract, stats-subtract, ids
+    tdf = ttf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("tdf"))
+    tids = ttf.select("doc_id").distinct()
+    tstats = ttf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).agg(
+        F.count(F.lit(1)).cast("long").alias("tn"),
+        F.sum("dl").cast("long").alias("tsumdl"),
+    )
+    adj_df = (
+        adf.join(F.broadcast(tdf), "term", "left_outer")
+        .select(
+            "term",
+            (F.col("adf") - F.coalesce(F.col("tdf"), F.lit(0))).cast("long").alias(
+                "df"
+            ),
+        )
+        .where(F.col("df") > 0)
+    )
+    qterms = adj_df.orderBy(F.col("df").desc(), "term").limit(_BM25_NQ)
+    stats = astats.crossJoin(tstats).select(
+        (F.col("an") - F.col("tn")).alias("n"),
+        (
+            (F.col("asumdl") - F.col("tsumdl")) / (F.col("an") - F.col("tn"))
+        ).alias("avgdl"),
+    )
+    cand = post.join(F.broadcast(qterms), "term").join(
+        F.broadcast(tids), "doc_id", "left_anti"
+    )
+    dl = adl.join(F.broadcast(tids), "doc_id", "left_anti")
+    return _bm25_rank(cand, dl, stats)
+
+
+# retract ≡ batch rebuild on the survivor corpus (archive slice minus
+# the doc_id % 9 == 4 tombstones)
+_ORACLE_BM25_RETRACT = _ORACLE_BM25.replace(
+    "FROM documents",
+    "FROM documents WHERE doc_id % 10 != 0 AND NOT (doc_id % 9 = 4)",
+)
 
 
 def dedup_semantic_retract(spark, sf_dir):

@@ -175,6 +175,7 @@ from .extension import (
 )
 from .indexes import (
     _ORACLE_BM25,
+    _ORACLE_BM25_RETRACT,
     _ORACLE_CHUNKS,
     _ORACLE_FUZZY,
     _ORACLE_PARTS_BY_BRAND,
@@ -213,6 +214,7 @@ from .indexes import (
     doc_chunks,
     docs_contamination,
     docs_bm25_incremental,
+    docs_bm25_retract,
     docs_bm25_search,
     docs_novelty_scored,
     docs_pack_sequences,
@@ -404,6 +406,9 @@ SPECS: list[QuerySpec] = [
     # full rebuild), so both share the same oracle
     QuerySpec("docs_bm25_search", docs_bm25_search, _ORACLE_BM25),
     QuerySpec("docs_bm25_incremental", docs_bm25_incremental, _ORACLE_BM25),
+    # the delete leg probes the SAME persisted postings state; graded
+    # against the survivor rebuild
+    QuerySpec("docs_bm25_retract", docs_bm25_retract, _ORACLE_BM25_RETRACT),
     # the delete leg of the semantic index: graded against the survivor
     # full recompute (tombstones = original uploads with id % 50 == 25;
     # their planted re-crawls survive, so absorber-loss flag flips are
@@ -414,7 +419,6 @@ SPECS: list[QuerySpec] = [
         OE.semantic_dedup_sql(16, 0.92, planted_mod=25, tomb_mod=50, tomb_val=25),
     ),
     # --- r7 rotation block, still resident --------------------------------
-    QuerySpec("docs_repeated_spans", docs_repeated_spans, _ORACLE_REPEATED_SPANS),
     QuerySpec("docs_tfidf_keywords", docs_tfidf_keywords, _ORACLE_TFIDF),
     QuerySpec(
         "dedup_clusters_incremental",
@@ -643,6 +647,7 @@ SPECS: list[QuerySpec] = [
     ),
     # index-append ≡ full rebuild, so the oracle is the full-index SQL
     QuerySpec("knn_ann_ivf_incremental", knn_ann_ivf_incremental, OE.ivf_ann_sql()),
+    QuerySpec("docs_repeated_spans", docs_repeated_spans, _ORACLE_REPEATED_SPANS),
     QuerySpec("window_function_census", window_function_census, _ORACLE_WINDOW_CENSUS),
     QuerySpec("events_value_histogram", events_value_histogram, _ORACLE_HISTOGRAM),
     # HLL sketches differ across engines by construction: rows-only gate,
