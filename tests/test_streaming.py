@@ -1357,3 +1357,78 @@ def test_streaming_containment_index_maintenance(spark, tmp_path):
         want = D.containment_pairs(prefix, threshold=threshold, max_df=max_df)
         assert _sorted_rows(got, cols) == _sorted_rows(want, cols), f"prefix {i}"
     assert crossings > 0, "fixture must exercise the df-cap eviction leg"
+
+
+def test_streaming_bm25_index_maintenance(spark, tmp_path):
+    """Streaming twin of docs_bm25_search: three document micro-batches
+    maintain the postings / doclen / df-partial / stats-partial state
+    and the served top-k ranking view; after each prefix the view must
+    equal the batch BM25 recomputed from scratch on everything streamed
+    so far (global idf/avgdl shift with every batch, so the equality
+    exercises the additive stat merges, not just the postings append)."""
+    from updating_datasets_data_engineering_spark.functions import text as TXT
+    from updating_datasets_data_engineering_spark.queries.indexes import (
+        _BM25_NQ,
+        _bm25_rank,
+    )
+    from updating_datasets_data_engineering_spark.tables import load_table
+
+    src = str(tmp_path / "bm_src")
+    paths = {k: str(tmp_path / f"bm_{k}") for k in
+             ("postings", "doclen", "df", "stats", "ranking")}
+    ckpt = str(tmp_path / "bm_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    all_docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batches = [all_docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    def run_increment(batch_df):
+        batch_df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                SP.maintain_bm25_index_each_batch(
+                    paths["postings"], paths["doclen"], paths["df"],
+                    paths["stats"], paths["ranking"],
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+
+    def batch_bm25(docs):
+        tf = (
+            docs.select("doc_id", F.explode(TXT.words(F.col("text"))).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+        qterms = dfreq.orderBy(F.col("df").desc(), "term").limit(_BM25_NQ)
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+        stats = dl.agg(
+            F.count(F.lit(1)).cast("long").alias("n"), F.avg("dl").alias("avgdl")
+        )
+        return _bm25_rank(tf.join(F.broadcast(qterms), "term"), dl, stats)
+
+    cols = ["query_term", "doc_id", "score", "rank"]
+    streamed = None
+    for b in batches:
+        run_increment(b)
+        streamed = b if streamed is None else streamed.unionByName(b)
+        got = spark.read.parquet(paths["ranking"])
+        want = batch_bm25(streamed)
+        assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(
+            want.select(*cols), cols
+        )
+    # replaying the last batch (crash recovery) leaves the view unchanged
+    before = _sorted_rows(spark.read.parquet(paths["ranking"]).select(*cols), cols)
+    SP.maintain_bm25_index_each_batch(
+        paths["postings"], paths["doclen"], paths["df"],
+        paths["stats"], paths["ranking"],
+    )(batches[-1], 2)
+    after = _sorted_rows(spark.read.parquet(paths["ranking"]).select(*cols), cols)
+    assert after == before

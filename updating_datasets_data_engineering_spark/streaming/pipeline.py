@@ -956,6 +956,142 @@ def maintain_boilerplate_each_batch(
     return _apply
 
 
+def maintain_bm25_index_each_batch(
+    postings_path: str,
+    doclen_path: str,
+    df_path: str,
+    stats_path: str,
+    ranking_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """foreachBatch function: STREAMING maintenance of the BM25
+    postings index and its served top-k ranking view — the streaming
+    leg that completes ranked retrieval's lifecycle (batch /
+    incremental / retract / streaming, the containment-family shape;
+    batch and state layout: ``queries.indexes.docs_bm25_search`` /
+    ``_bm25_state``).
+
+    Persisted state, all ``_batch_id``-partitioned idempotent appends
+    (a crash-replayed batch rewrites its own partition, invisible to
+    readers filtering ``_batch_id < batch_id``):
+
+      * postings (doc_id, term, tf) — a doc arrives in exactly one
+        micro-batch, so partials are disjoint;
+      * per-doc lengths (doc_id, dl);
+      * per-term df PARTIALS (term, df) — additive, consumers SUM;
+      * corpus-stat PARTIALS (n, sumdl) — one row per batch, additive.
+
+    The served artifact (``ranking_path``) is the top-NQ-term / top-k
+    ranking view, refreshed per batch through the crash-safe
+    stage-and-swap.  BM25's idf and avgdl are GLOBAL statistics, so
+    every insert shifts every score — but the refresh only ever touches
+    the NQ query terms' posting slices (semi-joined out of the store),
+    never the corpus: the per-batch cost is tokenize-the-batch + a
+    columnar scan of the df partials for the top-NQ pick + NQ posting
+    lists, the same honest state-scan the retract leg documents.
+
+    After ANY prefix of batches the view equals the batch
+    ``docs_bm25_search`` recomputed on everything streamed so far —
+    asserted in tests/test_streaming.py.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions import text as TXT
+
+    def _apply(batch_docs: DataFrame, batch_id: int) -> None:
+        # late import: queries.* imports streaming (parity flagships),
+        # so the scoring tail is resolved at call time, not load time
+        from ..queries.indexes import _BM25_NQ, _bm25_rank
+
+        spark = batch_docs.sparkSession
+        for p in (postings_path, doclen_path, df_path, stats_path, ranking_path):
+            fs.recover_swap(spark, p)
+        delta = batch_docs.select(id_col, text_col)
+        if delta.isEmpty():
+            return
+        with caching.scope():
+            toks = delta.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(TXT.words(F.col(text_col))).alias("term"),
+            )
+            dtf = caching.tracked_persist(
+                toks.groupBy("doc_id", "term").agg(
+                    F.count(F.lit(1)).cast("long").alias("tf")
+                )
+            )
+            ddl = caching.tracked_persist(
+                dtf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+            )
+            ddf = dtf.groupBy("term").agg(
+                F.count(F.lit(1)).cast("long").alias("df")
+            )
+            dstats = ddl.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("dl").cast("long").alias("sumdl"),
+            )
+            if fs.has_parquet(spark, postings_path):
+                prior = F.col("_batch_id") < batch_id
+                post_state = (
+                    spark.read.parquet(postings_path)
+                    .where(prior)
+                    .select("doc_id", "term", "tf")
+                )
+                dl_state = (
+                    spark.read.parquet(doclen_path).where(prior).select("doc_id", "dl")
+                )
+                df_state = (
+                    spark.read.parquet(df_path).where(prior).select("term", "df")
+                )
+                stats_state = (
+                    spark.read.parquet(stats_path).where(prior).select("n", "sumdl")
+                )
+            else:
+                # id type derived from the batch schema (the containment
+                # maintainer's id-type divergence guard)
+                id_t = delta.schema[id_col].dataType.simpleString()
+                post_state = spark.createDataFrame(
+                    [], f"doc_id {id_t}, term string, tf long"
+                )
+                dl_state = spark.createDataFrame([], f"doc_id {id_t}, dl long")
+                df_state = spark.createDataFrame([], "term string, df long")
+                stats_state = spark.createDataFrame([], "n long, sumdl long")
+            merged_df = (
+                df_state.unionByName(ddf)
+                .groupBy("term")
+                .agg(F.sum("df").cast("long").alias("df"))
+            )
+            qterms = merged_df.orderBy(F.col("df").desc(), "term").limit(_BM25_NQ)
+            stats = (
+                stats_state.unionByName(dstats)
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.sum("sumdl").cast("long").alias("sumdl"),
+                )
+                .select("n", (F.col("sumdl") / F.col("n")).alias("avgdl"))
+            )
+            cand = post_state.unionByName(dtf).join(F.broadcast(qterms), "term")
+            dl_all = dl_state.unionByName(ddl)
+            ranking = _bm25_rank(cand, dl_all, stats)
+            _swap_in(spark, ranking, ranking_path)
+            batch_lit = F.lit(batch_id).cast("long").alias("_batch_id")
+            for df, path in (
+                (dtf, postings_path),
+                (ddl, doclen_path),
+                (ddf, df_path),
+                (dstats, stats_path),
+            ):
+                (
+                    df.withColumn("_batch_id", batch_lit)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_batch_id")
+                    .parquet(path)
+                )
+
+    return _apply
+
+
 def maintain_span_index_each_batch(
     posting_path: str,
     sketch_path: str,
