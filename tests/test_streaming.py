@@ -1432,3 +1432,92 @@ def test_streaming_bm25_index_maintenance(spark, tmp_path):
     )(batches[-1], 2)
     after = _sorted_rows(spark.read.parquet(paths["ranking"]).select(*cols), cols)
     assert after == before
+
+
+def test_streaming_semantic_index_maintenance(spark, tmp_path):
+    """Streaming twin of the semantic-dedup lifecycle: three id-ordered
+    embedding micro-batches (the insert-monotonicity precondition)
+    maintain the cell archive and the served flags view; batch 3 mixes
+    INSERTS (planted exact re-crawls of earlier vectors) with DELETES
+    of three of those originals, so the same micro-batch exercises the
+    retract re-verify (absorber loss flips a surviving copy) and the
+    delta probe.  After each prefix the flags view must equal the
+    batch semantic_dedup recomputed on the surviving streamed prefix
+    (same frozen first-batch centroids: ids < n_cells)."""
+    from updating_datasets_data_engineering_spark.operators import similarity as SIM
+    from updating_datasets_data_engineering_spark.tables import load_table
+
+    src = str(tmp_path / "sem_src")
+    cells_path = str(tmp_path / "sem_cells")
+    flags_path = str(tmp_path / "sem_flags")
+    cents_path = str(tmp_path / "sem_cents")
+    ckpt = str(tmp_path / "sem_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    ins = F.lit("insert").alias("op")
+    b1 = emb.where(F.col("vec_id") < 170).select("vec_id", "embedding", ins)
+    b2 = emb.where((F.col("vec_id") >= 170) & (F.col("vec_id") < 400)).select(
+        "vec_id", "embedding", ins
+    )
+    b3 = (
+        emb.where(F.col("vec_id") >= 400)
+        .select("vec_id", "embedding", ins)
+        .unionByName(planted.select("vec_id", "embedding", ins))
+        .unionByName(
+            # tombstones target EARLIER batches' originals only — the
+            # maintainer applies deletes before inserts, so deleting an
+            # id inserted in the same batch would be order-ambiguous
+            emb.where((F.col("vec_id") % 50 == 25) & (F.col("vec_id") < 400)).select(
+                "vec_id", "embedding", F.lit("delete").alias("op")
+            )
+        )
+    )
+
+    def run_increment(batch_df):
+        batch_df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                SP.maintain_semantic_index_each_batch(
+                    cells_path, flags_path, cents_path,
+                    n_cells=16, threshold=0.92, op_col="op",
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+
+    cols = ["vec_id", "cell", "is_dup"]
+    survivors = None
+    for b in (b1, b2, b3):
+        run_increment(b)
+        inserted = b.where(F.col("op") != "delete").select("vec_id", "embedding")
+        deleted = b.where(F.col("op") == "delete").select("vec_id")
+        survivors = (
+            inserted
+            if survivors is None
+            else survivors.unionByName(inserted)
+        ).join(deleted, "vec_id", "left_anti")
+        got = spark.read.parquet(flags_path)
+        want = SIM.semantic_dedup(survivors, n_cells=16, threshold=0.92)
+        assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(
+            want.select(*cols), cols
+        )
+    # the mixed batch exercised both legs: some planted copy survives
+    # non-dup (its only witness was deleted) and some is absorbed
+    final = {r["vec_id"]: r["is_dup"] for r in spark.read.parquet(flags_path).collect()}
+    planted_flags = {v: d for v, d in final.items() if v >= 1_000_000}
+    assert planted_flags, "planted re-crawls missing from the view"
+    assert any(d for d in planted_flags.values()), "no planted copy absorbed"
+    assert any(
+        not planted_flags[1_000_000 + t] for t in (25, 75, 125)
+        if 1_000_000 + t in planted_flags
+    ), "deleting the original absorber should leave its copy non-dup"

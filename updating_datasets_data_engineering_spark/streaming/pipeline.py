@@ -626,6 +626,155 @@ def maintain_ann_index_each_batch(
     return _apply
 
 
+def maintain_semantic_index_each_batch(
+    cells_path: str,
+    flags_path: str,
+    centroids_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.8,
+    op_col: str | None = None,
+    delete_op: str = "delete",
+):
+    """foreachBatch function: STREAMING maintenance of the SemDeDup
+    flags — the streaming leg that completes the semantic tier's
+    lifecycle (batch ``registry.dedup_semantic`` / incremental
+    ``dedup_semantic_incremental`` / retract ``dedup_semantic_retract``
+    / streaming, the containment-family shape), composed from the SAME
+    two operators the graded queries use: inserts run
+    ``similarity.semantic_dedup_delta`` against the stored state,
+    deletes run ``similarity.semantic_dedup_retract`` before them.
+
+    Persisted state: the (id, vec, cell) assignment archive
+    (``cells_path``, ``_batch_id``-partitioned idempotent appends;
+    deletes rewrite it through the crash-safe swap, the ANN
+    maintainer's discipline), the FROZEN coarse quantizer
+    (``centroids_path``, the first batch's n_cells smallest ids), and
+    the served flags view (``flags_path``), a materialized view
+    upserted through the stage-and-swap — flags are NOT append-only
+    under deletes (a tombstone re-verifies its cells' survivors), so
+    the view swaps rather than appends.
+
+    PRECONDITIONS (both documented on the operators): insert ids are
+    strictly increasing across batches (new corpus members — the
+    monotonicity that freezes archive flags under inserts), and no
+    centroid id is ever tombstoned (assignment depends on the frozen
+    quantizer; centroid deletes trip an index rebuild — the z-order
+    staleness contract).
+
+    Per-batch work: deletes re-verify only their cells' survivors
+    (bounded sum(|affected cell|²)); inserts score one broadcast
+    centroid pass plus the within-cell probe with the BATCH on the
+    probe side (|batch| × expected-cell-size, not corpus²/k).  After
+    ANY prefix the flags view equals the batch recompute on the
+    surviving streamed prefix — asserted in tests/test_streaming.py.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup as D
+    from ..operators import similarity as SIM
+
+    def _apply(batch_vecs: DataFrame, batch_id: int) -> None:
+        spark = batch_vecs.sparkSession
+        for p in (cells_path, flags_path, centroids_path):
+            fs.recover_swap(spark, p)
+        if op_col is not None and op_col in batch_vecs.columns:
+            tomb = batch_vecs.where(F.col(op_col) == delete_op).select(id_col).distinct()
+            delta = batch_vecs.where(F.col(op_col) != delete_op).select(id_col, vec_col)
+        else:
+            tomb = None
+            delta = batch_vecs.select(id_col, vec_col)
+        with caching.scope():
+            id_t = batch_vecs.schema[id_col].dataType.simpleString()
+            if fs.has_parquet(spark, cells_path):
+                cells_state = (
+                    spark.read.parquet(cells_path)
+                    .where(F.col("_batch_id") < batch_id)
+                    .select(id_col, vec_col, "cell")
+                )
+                flags_state = (
+                    spark.read.parquet(flags_path).select(id_col, "cell", "is_dup")
+                    if fs.has_parquet(spark, flags_path)
+                    else spark.createDataFrame(
+                        [], f"{id_col} {id_t}, cell {id_t}, is_dup boolean"
+                    )
+                )
+            else:
+                vec_t = batch_vecs.schema[vec_col].dataType.simpleString()
+                cells_state = spark.createDataFrame(
+                    [], f"{id_col} {id_t}, {vec_col} {vec_t}, cell {id_t}"
+                )
+                flags_state = spark.createDataFrame(
+                    [], f"{id_col} {id_t}, cell {id_t}, is_dup boolean"
+                )
+            has_tomb = tomb is not None and not tomb.isEmpty()
+            if has_tomb:
+                tomb = caching.tracked_persist(tomb)
+                flags_state = SIM.semantic_dedup_retract(
+                    cells_state.select(id_col, vec_col),
+                    flags_state,
+                    tomb,
+                    threshold=threshold,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                )
+                cells_state = cells_state.join(tomb, id_col, "left_anti")
+
+            def _retire_tombstones() -> None:
+                # AFTER the flags swap: every consumer of the OLD cell
+                # files has materialized by then — swapping first left
+                # the lazy flags plan reading replaced paths
+                if has_tomb and fs.has_parquet(spark, cells_path):
+                    _swap_in(
+                        spark,
+                        D.retract_index_rows(
+                            spark.read.parquet(cells_path), tomb, id_col
+                        ),
+                        cells_path,
+                        partition_by="_batch_id",
+                    )
+
+            if delta.isEmpty():
+                _swap_in(spark, flags_state, flags_path)
+                _retire_tombstones()
+                return
+            if not fs.has_parquet(spark, centroids_path):
+                # freeze the quantizer from the first batch's n_cells
+                # smallest ids — deterministic under crash replay
+                cents = (
+                    delta.orderBy(id_col)
+                    .limit(n_cells)
+                    .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+                )
+                _swap_in(spark, cents, centroids_path)
+            cents = spark.read.parquet(centroids_path)
+            d_cells = SIM.ivf_assign_cells(
+                delta, n_cells, id_col=id_col, vec_col=vec_col, centroids=cents
+            )
+            d_cells = caching.tracked_persist(d_cells)
+            flags = SIM.semantic_dedup_delta(
+                cells_state.select(id_col, vec_col).unionByName(delta),
+                flags_state,
+                cells_state.select(id_col, vec_col, "cell"),
+                d_cells,
+                threshold=threshold,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+            _swap_in(spark, flags, flags_path)
+            _retire_tombstones()
+            (
+                d_cells.withColumn("_batch_id", F.lit(batch_id).cast("long"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(cells_path)
+            )
+
+    return _apply
+
+
 def maintain_k_anonymity_each_batch(
     events_path: str,
     view_path: str,
