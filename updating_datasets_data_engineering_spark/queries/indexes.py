@@ -1699,6 +1699,105 @@ _ORACLE_BM25_RETRACT = _ORACLE_BM25.replace(
 )
 
 
+def docs_bm25_streaming(spark, sf_dir):
+    """End-to-end STREAMING BM25 parity (the streaming_dedup_archive
+    convention applied to ranked retrieval): the corpus arrives in
+    three file-source micro-batches through a checkpointed availableNow
+    run of ``streaming.pipeline.maintain_bm25_index_each_batch``; the
+    query returns the SERVED ranking view, which after the final batch
+    must equal the batch ``docs_bm25_search`` on the full corpus —
+    graded by the SAME oracle (_ORACLE_BM25), so the additive df/stat
+    partial merges and the stage-and-swap view refresh are
+    driver-hash-checked, not just pytest-pinned."""
+    import os
+    import tempfile
+
+    from ..streaming import pipeline as SP
+
+    docs = _td(spark, sf_dir).select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="bm25_stream_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    paths = {
+        k: os.path.join(base, k)
+        for k in ("postings", "doclen", "df", "stats", "ranking")
+    }
+    ckpt = os.path.join(base, "ckpt")
+    fn = SP.maintain_bm25_index_each_batch(
+        paths["postings"], paths["doclen"], paths["df"],
+        paths["stats"], paths["ranking"],
+    )
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema(docs.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(paths["ranking"])
+
+
+def dedup_semantic_streaming(spark, sf_dir):
+    """End-to-end STREAMING semantic-dedup parity: originals arrive in
+    two id-ordered micro-batches (the insert-monotonicity
+    precondition), then a third MIXED batch deletes the % 50 == 25
+    originals and inserts their planted re-crawls — the
+    ``dedup_semantic_retract`` scenario replayed through
+    ``streaming.pipeline.maintain_semantic_index_each_batch``'s
+    checkpointed availableNow loop.  The final served flags view must
+    equal the survivor full recompute — graded by the SAME oracle as
+    the batch retract query, so the composed retract-then-delta
+    per-batch path is driver-hash-checked end to end."""
+    import os
+    import tempfile
+
+    from ..streaming import pipeline as SP
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    n_cells = SIM.adaptive_cell_count(emb.count() + planted.count())
+    ins = F.lit("insert").alias("op")
+    batches = [
+        emb.where(F.col("vec_id") < 170).select("vec_id", "embedding", ins),
+        emb.where(F.col("vec_id") >= 170).select("vec_id", "embedding", ins),
+        planted.select("vec_id", "embedding", ins).unionByName(
+            emb.where(F.col("vec_id") % 50 == 25).select(
+                "vec_id", "embedding", F.lit("delete").alias("op")
+            )
+        ),
+    ]
+    base = tempfile.mkdtemp(prefix="sem_stream_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    cells, flags, cents = (
+        os.path.join(base, k) for k in ("cells", "flags", "cents")
+    )
+    ckpt = os.path.join(base, "ckpt")
+    fn = SP.maintain_semantic_index_each_batch(
+        cells, flags, cents, n_cells=n_cells, threshold=0.92, op_col="op"
+    )
+    for b in batches:
+        b.write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema(b.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(flags)
+
+
 def dedup_semantic_retract(spark, sf_dir):
     """Delete maintenance for the semantic-dedup index — the retract
     leg that completes the semantic tier's lifecycle (batch /

@@ -211,11 +211,13 @@ from .indexes import (
     dedup_semantic,
     dedup_semantic_incremental,
     dedup_semantic_retract,
+    dedup_semantic_streaming,
     doc_chunks,
     docs_contamination,
     docs_bm25_incremental,
     docs_bm25_retract,
     docs_bm25_search,
+    docs_bm25_streaming,
     docs_novelty_scored,
     docs_pack_sequences,
     docs_quality_filter,
@@ -409,6 +411,9 @@ SPECS: list[QuerySpec] = [
     # the delete leg probes the SAME persisted postings state; graded
     # against the survivor rebuild
     QuerySpec("docs_bm25_retract", docs_bm25_retract, _ORACLE_BM25_RETRACT),
+    # the streaming leg's served view after the final batch == the batch
+    # ranking on the full corpus, so it shares the batch oracle too
+    QuerySpec("docs_bm25_streaming", docs_bm25_streaming, _ORACLE_BM25),
     # the delete leg of the semantic index: graded against the survivor
     # full recompute (tombstones = original uploads with id % 50 == 25;
     # their planted re-crawls survive, so absorber-loss flag flips are
@@ -418,13 +423,13 @@ SPECS: list[QuerySpec] = [
         dedup_semantic_retract,
         OE.semantic_dedup_sql(16, 0.92, planted_mod=25, tomb_mod=50, tomb_val=25),
     ),
-    # --- r7 rotation block, still resident --------------------------------
-    QuerySpec("docs_tfidf_keywords", docs_tfidf_keywords, _ORACLE_TFIDF),
+    # streaming replay of the same retract scenario: shares its oracle
     QuerySpec(
-        "dedup_clusters_incremental",
-        dedup_clusters_incremental,
-        _oracle_clusters_incremental_sql(10),
+        "dedup_semantic_streaming",
+        dedup_semantic_streaming,
+        OE.semantic_dedup_sql(16, 0.92, planted_mod=25, tomb_mod=50, tomb_val=25),
     ),
+    # --- r7 rotation block, still resident --------------------------------
     # --- r8 rotation block (queue drains 10 + birth-round additions) ------
     # First-time graded this round: the next ten of the r5 pending tail
     # (q8/q9/q12/q16, dedup_minhash_lsh_salted, dedup_labels_after_delete,
@@ -648,6 +653,12 @@ SPECS: list[QuerySpec] = [
     # index-append ≡ full rebuild, so the oracle is the full-index SQL
     QuerySpec("knn_ann_ivf_incremental", knn_ann_ivf_incremental, OE.ivf_ann_sql()),
     QuerySpec("docs_repeated_spans", docs_repeated_spans, _ORACLE_REPEATED_SPANS),
+    QuerySpec("docs_tfidf_keywords", docs_tfidf_keywords, _ORACLE_TFIDF),
+    QuerySpec(
+        "dedup_clusters_incremental",
+        dedup_clusters_incremental,
+        _oracle_clusters_incremental_sql(10),
+    ),
     QuerySpec("window_function_census", window_function_census, _ORACLE_WINDOW_CENSUS),
     QuerySpec("events_value_histogram", events_value_histogram, _ORACLE_HISTOGRAM),
     # HLL sketches differ across engines by construction: rows-only gate,
