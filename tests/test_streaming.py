@@ -1521,3 +1521,81 @@ def test_streaming_semantic_index_maintenance(spark, tmp_path):
         not planted_flags[1_000_000 + t] for t in (25, 75, 125)
         if 1_000_000 + t in planted_flags
     ), "deleting the original absorber should leave its copy non-dup"
+
+
+def test_bm25_state_compaction(spark, tmp_path):
+    """The BM25 df/stat stores are ADDITIVE partials (one partition per
+    micro-batch; consumers sum) — compact_additive_partials folds them
+    to one row per key group mid-stream, and compact_batch_index
+    collapses the row-preserving postings/doclen stores; a further
+    micro-batch appended on top of the compacted state must leave the
+    served ranking equal to the batch recompute on everything streamed
+    (compaction is invisible to the readers' _batch_id < N filters)."""
+    from updating_datasets_data_engineering_spark.functions import text as TXT
+    from updating_datasets_data_engineering_spark.operators import maintenance as MNT
+    from updating_datasets_data_engineering_spark.queries.indexes import (
+        _BM25_NQ,
+        _bm25_rank,
+    )
+    from updating_datasets_data_engineering_spark.tables import load_table
+
+    src = str(tmp_path / "bmc_src")
+    paths = {k: str(tmp_path / f"bmc_{k}") for k in
+             ("postings", "doclen", "df", "stats", "ranking")}
+    ckpt = str(tmp_path / "bmc_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    all_docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batches = [all_docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    def run_increment(batch_df):
+        batch_df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                SP.maintain_bm25_index_each_batch(
+                    paths["postings"], paths["doclen"], paths["df"],
+                    paths["stats"], paths["ranking"],
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+
+    run_increment(batches[0])
+    run_increment(batches[1])
+    # between-runs maintenance: fold the additive partials, collapse the
+    # row-preserving stores
+    b_df, a_df = MNT.compact_additive_partials(spark, paths["df"], ["term"], ["df"])
+    MNT.compact_additive_partials(spark, paths["stats"], [], ["n", "sumdl"])
+    MNT.compact_batch_index(spark, paths["postings"])
+    MNT.compact_batch_index(spark, paths["doclen"])
+    assert a_df <= b_df
+    # the df store now holds ONE row per term
+    dfreq = spark.read.parquet(paths["df"])
+    assert dfreq.groupBy("term").count().agg(F.max("count")).collect()[0][0] == 1
+    # a compacted fold is idempotent
+    MNT.compact_additive_partials(spark, paths["df"], ["term"], ["df"])
+    run_increment(batches[2])
+
+    tf = (
+        all_docs.select("doc_id", F.explode(TXT.words(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    qterms = dfreq.orderBy(F.col("df").desc(), "term").limit(_BM25_NQ)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    want = _bm25_rank(tf.join(F.broadcast(qterms), "term"), dl, stats)
+    cols = ["query_term", "doc_id", "score", "rank"]
+    got = spark.read.parquet(paths["ranking"])
+    assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(
+        want.select(*cols), cols
+    )

@@ -98,3 +98,56 @@ def compact_batch_index(
     fs.swap_directory(spark, staging, path)
     files_after, _ = parquet_file_stats(spark, path)
     return files_before, files_after
+
+
+def compact_additive_partials(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    sums: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """:func:`compact_batch_index` for ADDITIVE-partial state — the
+    per-term df and corpus-stat partials the streaming BM25 maintainer
+    appends one partition per micro-batch, whose consumers SUM across
+    partitions (``streaming.pipeline.maintain_bm25_index_each_batch``).
+
+    Plain row-preserving compaction would keep one row per (key,
+    batch); since the reader only ever consumes the SUM, folding the
+    partials into ONE row per key group is semantics-preserving and
+    turns the reader's per-probe aggregation over #batches rows per
+    key into a single-row lookup — the same reason production stores
+    checkpoint additive accumulators instead of replaying their whole
+    history.  ``keys`` may be empty (the corpus-stat store holds one
+    global row).
+
+    Every folded row is re-tagged to the compaction WATERMARK (max
+    ``_batch_id`` present), so future batches keep appending their own
+    partitions and maintenance readers' ``_batch_id < batch_id``
+    filters still see every committed contribution.  Same
+    between-runs schedule contract and crash-safe swap as
+    :func:`compact_batch_index`; the fold is a pure function of the
+    committed partials, so a replayed compaction converges.
+
+    Returns (files_before, files_after).
+    """
+    fs.recover_swap(spark, path)
+    files_before, total_bytes = parquet_file_stats(spark, path)
+    df = spark.read.parquet(path)
+    watermark = df.agg(F.max("_batch_id")).collect()[0][0]
+    aggs = [F.sum(c).alias(c) for c in sums]
+    folded = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    compacted = folded.withColumn("_batch_id", F.lit(watermark).cast("long"))
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    staging = fs.staging_path(path)
+    fs.delete(spark, staging)
+    (
+        compacted.repartition(n_files)
+        .write.mode("overwrite")
+        .partitionBy("_batch_id")
+        .parquet(staging)
+    )
+    spark.read.parquet(staging).count()  # materialize before swap
+    fs.swap_directory(spark, staging, path)
+    files_after, _ = parquet_file_stats(spark, path)
+    return files_before, files_after

@@ -1131,6 +1131,13 @@ def maintain_bm25_index_each_batch(
       * per-term df PARTIALS (term, df) — additive, consumers SUM;
       * corpus-stat PARTIALS (n, sumdl) — one row per batch, additive.
 
+    Between runs, ``maintenance.compact_additive_partials`` folds the
+    two partial stores to one row per key (the reader's per-probe sum
+    over #batches rows becomes a single-row lookup) and
+    ``maintenance.compact_batch_index`` collapses the row-preserving
+    stores — both invisible to the ``_batch_id < batch_id`` readers
+    (tests/test_streaming.py::test_bm25_state_compaction).
+
     The served artifact (``ranking_path``) is the top-NQ-term / top-k
     ranking view, refreshed per batch through the crash-safe
     stage-and-swap.  BM25's idf and avgdl are GLOBAL statistics, so
