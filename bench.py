@@ -208,7 +208,20 @@ HEADLINE = [
     # r9: incremental TF-IDF (persisted df state) + re-crawl CDC diff
     "docs_tfidf_incremental",
     "docs_snapshot_diff",
+    # r9 continuation: BM25 lifecycle + semantic retract/streaming
+    "docs_bm25_search",
+    "docs_bm25_incremental",
+    "docs_bm25_retract",
+    "docs_bm25_streaming",
+    "dedup_semantic_retract",
+    "dedup_semantic_streaming",
 ]
+
+# Every registered spec must be benched except the explicit quarantine —
+# asserted by tests/test_bench_coverage.py so HEADLINE can never silently
+# go stale again (this round it missed six births until the artifact
+# count gave it away).
+BENCH_QUARANTINE = {"embedding_near_dup"}  # O(n^2) all-pairs recall oracle
 
 
 # sf1 scale bench (VERDICT r7 item 3): the FULL registry — `@sf1` now
@@ -253,6 +266,12 @@ SF1_HEADLINE = [
     "docs_repeated_spans_incremental",
     "docs_novelty_scored",
     "docs_repeated_spans_retract",
+    "docs_bm25_search",
+    "docs_bm25_incremental",
+    "docs_bm25_retract",
+    "docs_bm25_streaming",
+    "dedup_semantic_retract",
+    "dedup_semantic_streaming",
     # mid-registry anchors (VERDICT r6 "missing" 3: the middle of the
     # registry had never run above sf0.1) — one per untested family
     "events_k_anonymity",
