@@ -337,3 +337,49 @@ def test_hll_within_rsd_of_exact(spark, sf_dir):
     assert set(approx) == set(exact)
     for t, n in exact.items():
         assert abs(approx[t] - n) <= max(1, 0.05 * n), (t, approx[t], n)
+
+
+def test_semantic_retract_noop_tombstones(spark):
+    """Tombstones matching nothing must leave every flag byte-frozen
+    (affected-cell set empty -> the re-verify leg runs on an empty
+    frame and the union is exactly the state)."""
+    import math
+
+    rows = [
+        Row(vec_id=i, embedding=[math.cos(i * 0.7 + d) for d in range(8)])
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(rows)
+    state = SIM.semantic_dedup(corpus, n_cells=4, threshold=0.95)
+    tombs = spark.createDataFrame([Row(vec_id=10_000)])
+    out = SIM.semantic_dedup_retract(corpus, state, tombs, threshold=0.95)
+    a = sorted(tuple(r) for r in state.collect())
+    b = sorted(tuple(r) for r in out.collect())
+    assert a == b
+
+
+def test_semantic_retract_delete_everything_in_a_cell(spark):
+    """Deleting every member of a cell yields no survivors from it and
+    leaves other cells frozen."""
+    import math
+
+    rows = [
+        Row(vec_id=i, embedding=[math.cos(i * 0.7 + d) for d in range(8)])
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(rows)
+    state = SIM.semantic_dedup(corpus, n_cells=4, threshold=0.95)
+    by_cell = {}
+    for r in state.collect():
+        by_cell.setdefault(r["cell"], []).append(r["vec_id"])
+    cell, members = sorted(by_cell.items())[0]
+    tombs = spark.createDataFrame([Row(vec_id=v) for v in members])
+    out = SIM.semantic_dedup_retract(corpus, state, tombs, threshold=0.95)
+    got = {r["vec_id"]: (r["cell"], r["is_dup"]) for r in out.collect()}
+    assert not any(c == cell for c, _ in got.values())
+    want = {
+        r["vec_id"]: (r["cell"], r["is_dup"])
+        for r in state.collect()
+        if r["cell"] != cell
+    }
+    assert got == want
