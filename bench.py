@@ -320,6 +320,15 @@ EXP_HEADLINE = [
     "streaming_dedup_archive",
     "docs_tfidf_keywords",
     "q1_pricing_summary",
+    # r9 continuation births (the two streaming-graded specs are the
+    # bench's most expensive rows — their growth curve is the evidence
+    # the fixed micro-batch overhead amortizes)
+    "docs_bm25_search",
+    "docs_bm25_incremental",
+    "docs_bm25_retract",
+    "docs_bm25_streaming",
+    "dedup_semantic_retract",
+    "dedup_semantic_streaming",
 ]
 
 
