@@ -1590,6 +1590,16 @@ def docs_bm25_incremental(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("tf")
     )
     dtf = caching.tracked_persist(dtf)  # feeds delta-df, delta-dl, and scoring
+    return bm25_incremental_rank(post, adf, adl, astats, dtf)
+
+
+def bm25_incremental_rank(post, adf, adl, astats, dtf) -> DataFrame:
+    """Frame-level core of ``docs_bm25_incremental`` (split out so the
+    property suite can drive it on arbitrary corpora): merge the delta
+    (doc, term, tf) partials into the four state frames and rank.
+    Must equal the batch rebuild on archive ∪ delta row-for-row —
+    ``tests/test_bm25_semantic_properties.py`` asserts it on random
+    corpora and splits, including empty deltas and delta-only terms."""
     ddf = dtf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("ddf"))
     arch_top = adf.orderBy(F.col("adf").desc(), "term").limit(_BM25_NQ)
     cand_terms = (
@@ -1612,10 +1622,11 @@ def docs_bm25_incremental(spark, sf_dir):
         F.sum("dl").cast("long").alias("dsumdl"),
     )
     stats = astats.crossJoin(dstats).select(
-        (F.col("an") + F.col("dn")).alias("n"),
-        ((F.col("asumdl") + F.col("dsumdl")) / (F.col("an") + F.col("dn"))).alias(
-            "avgdl"
-        ),
+        (F.col("an") + F.coalesce(F.col("dn"), F.lit(0))).alias("n"),
+        (
+            (F.col("asumdl") + F.coalesce(F.col("dsumdl"), F.lit(0)))
+            / (F.col("an") + F.coalesce(F.col("dn"), F.lit(0)))
+        ).alias("avgdl"),
     )
     cand = post.unionByName(dtf).join(F.broadcast(qterms), "term")
     dl_all = adl.unionByName(ddl)
@@ -1661,6 +1672,17 @@ def docs_bm25_retract(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("tf")
     )
     ttf = caching.tracked_persist(ttf)  # feeds df-subtract, stats-subtract, ids
+    return bm25_retract_rank(post, adf, adl, astats, ttf)
+
+
+def bm25_retract_rank(post, adf, adl, astats, ttf) -> DataFrame:
+    """Frame-level core of ``docs_bm25_retract`` (split out so the
+    property suite can drive it on arbitrary corpora): subtract the
+    tombstone (doc, term, tf) contributions from the four state frames
+    and rank the survivors.  Must equal the batch rebuild on archive
+    minus tombstones row-for-row —
+    ``tests/test_bm25_semantic_properties.py`` asserts it on random
+    corpora and tombstone sets, including last-holder term drop-out."""
     tdf = ttf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("tdf"))
     tids = ttf.select("doc_id").distinct()
     tstats = ttf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).agg(
@@ -1679,9 +1701,10 @@ def docs_bm25_retract(spark, sf_dir):
     )
     qterms = adj_df.orderBy(F.col("df").desc(), "term").limit(_BM25_NQ)
     stats = astats.crossJoin(tstats).select(
-        (F.col("an") - F.col("tn")).alias("n"),
+        (F.col("an") - F.coalesce(F.col("tn"), F.lit(0))).alias("n"),
         (
-            (F.col("asumdl") - F.col("tsumdl")) / (F.col("an") - F.col("tn"))
+            (F.col("asumdl") - F.coalesce(F.col("tsumdl"), F.lit(0)))
+            / (F.col("an") - F.coalesce(F.col("tn"), F.lit(0)))
         ).alias("avgdl"),
     )
     cand = post.join(F.broadcast(qterms), "term").join(
