@@ -70,8 +70,10 @@ def _build(spark, word_lists):
 
 
 @settings(max_examples=10, deadline=None)
-@given(corpus_strategy, st.integers(min_value=2, max_value=4))
+@given(corpus_strategy, st.integers(min_value=1, max_value=4))
 def test_bm25_incremental_equals_rebuild(spark, word_lists, mod):
+    # mod=1 -> archive EMPTY: the day-one case where the state
+    # aggregates yield (an=0, asumdl=NULL) and must not poison avgdl
     docs = _build(spark, word_lists)
     archive = docs.where(F.col("doc_id") % mod != 0)
     delta = docs.where(F.col("doc_id") % mod == 0)
@@ -123,3 +125,17 @@ def test_semantic_retract_equals_survivor_recompute(spark, vecs, mod):
     survivors = corpus.join(tombs, "vec_id", "left_anti")
     want = SIM.semantic_dedup(survivors, n_cells=2, threshold=0.9)
     assert _rows(got) == _rows(want)
+
+
+def test_bm25_incremental_day_one_empty_archive(spark):
+    """Deterministic pin of the mod=1 draw: with NO archive (day-one
+    state: count aggregates yield an=0, asumdl=NULL), the incremental
+    path must equal the batch build of the delta alone — and produce
+    real scores, not NULL-poisoned ones."""
+    docs = _build(spark, [[0, 1, 2, 0], [1, 2, 3], [0, 3, 4, 5, 1]])
+    empty = docs.where(F.lit(False))
+    got = bm25_incremental_rank(_tf(empty), *_states(_tf(empty)), _tf(docs))
+    want = _batch(_tf(docs))
+    rows = _rows(got)
+    assert rows == _rows(want)
+    assert rows and all(r[2] is not None for r in rows), "NULL scores"

@@ -1621,12 +1621,16 @@ def bm25_incremental_rank(post, adf, adl, astats, dtf) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("dn"),
         F.sum("dl").cast("long").alias("dsumdl"),
     )
+    # every leg coalesced: an EMPTY archive (day-one state: the count
+    # aggregate yields an=0, asumdl=NULL) or an empty delta must not
+    # poison avgdl into NULL scores
+    an = F.coalesce(F.col("an"), F.lit(0))
+    asum = F.coalesce(F.col("asumdl"), F.lit(0))
+    dn = F.coalesce(F.col("dn"), F.lit(0))
+    dsum = F.coalesce(F.col("dsumdl"), F.lit(0))
     stats = astats.crossJoin(dstats).select(
-        (F.col("an") + F.coalesce(F.col("dn"), F.lit(0))).alias("n"),
-        (
-            (F.col("asumdl") + F.coalesce(F.col("dsumdl"), F.lit(0)))
-            / (F.col("an") + F.coalesce(F.col("dn"), F.lit(0)))
-        ).alias("avgdl"),
+        (an + dn).alias("n"),
+        ((asum + dsum) / (an + dn)).alias("avgdl"),
     )
     cand = post.unionByName(dtf).join(F.broadcast(qterms), "term")
     dl_all = adl.unionByName(ddl)
