@@ -215,6 +215,7 @@ HEADLINE = [
     "docs_bm25_streaming",
     "dedup_semantic_retract",
     "dedup_semantic_streaming",
+    "docs_hybrid_search",
 ]
 
 # Every registered spec must be benched except the explicit quarantine —
@@ -272,6 +273,7 @@ SF1_HEADLINE = [
     "docs_bm25_streaming",
     "dedup_semantic_retract",
     "dedup_semantic_streaming",
+    "docs_hybrid_search",
     # mid-registry anchors (VERDICT r6 "missing" 3: the middle of the
     # registry had never run above sf0.1) — one per untested family
     "events_k_anonymity",

@@ -221,3 +221,31 @@ def test_bm25_retract_equals_survivor_rebuild(spark, sf_dir):
         ).distinct().collect()
     }
     assert qset & tomb_terms, "no tombstone held a query-term posting"
+
+
+def test_hybrid_search_fuses_both_legs(spark, sf_dir):
+    """RRF semantics: every query returns its top-5; ranks are dense
+    and ordered by fused score; and the fusion is LIVE — at least one
+    returned doc sits in both pools (its rrf exceeds the best possible
+    single-leg contribution, 1/(k+1))."""
+    from updating_datasets_data_engineering_spark.queries.indexes import (
+        _HYBRID_QN,
+        _RRF_K,
+    )
+    from updating_datasets_data_engineering_spark.registry import docs_hybrid_search
+
+    rows = docs_hybrid_search(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(_HYBRID_QN))
+    single_leg_max = 1.0 / (_RRF_K + 1)
+    assert any(r["rrf"] > single_leg_max + 1e-9 for r in rows), (
+        "no doc scored above the single-leg maximum: the fusion never "
+        "saw a doc in both pools"
+    )
+    for q, qr in by_q.items():
+        qr.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in qr] == list(range(1, len(qr) + 1))
+        scores = [r["rrf"] for r in qr]
+        assert scores == sorted(scores, reverse=True)

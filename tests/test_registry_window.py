@@ -148,7 +148,8 @@ NEW_SPECS_BY_ROUND: dict[int, list[str]] = {
     8: ["dedup_containment_incremental", "dedup_containment_retract"],
     9: ["docs_tfidf_incremental", "docs_snapshot_diff",
         "docs_bm25_search", "docs_bm25_incremental", "dedup_semantic_retract",
-        "docs_bm25_retract", "docs_bm25_streaming", "dedup_semantic_streaming"],
+        "docs_bm25_retract", "docs_bm25_streaming", "dedup_semantic_streaming",
+        "docs_hybrid_search"],
 }
 
 

@@ -1448,12 +1448,15 @@ def docs_bm25_search(spark, sf_dir):
     )
 
 
-def _bm25_rank(cand: DataFrame, dl: DataFrame, stats: DataFrame) -> DataFrame:
+def _bm25_rank(
+    cand: DataFrame, dl: DataFrame, stats: DataFrame, topk: int = _BM25_TOPK
+) -> DataFrame:
     """Shared scoring tail of the batch and incremental BM25 queries:
     ``cand`` = query-term posting slices carrying (term, doc_id, tf,
     df), ``dl`` = (doc_id, dl), ``stats`` = one row (n, avgdl).  The
     arithmetic shape (idf * (tf*(k1+1)) / denom, then round 6) is
-    mirrored token-for-token by _ORACLE_BM25."""
+    mirrored token-for-token by _ORACLE_BM25.  ``topk`` widens the
+    per-query pool for consumers that fuse further (hybrid search)."""
     from pyspark.sql import Window
 
     idf = F.log(
@@ -1476,7 +1479,7 @@ def _bm25_rank(cand: DataFrame, dl: DataFrame, stats: DataFrame) -> DataFrame:
     w = Window.partitionBy("query_term").orderBy(F.col("score").desc(), "doc_id")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= _BM25_TOPK)
+        .where(F.col("rank") <= topk)
     )
 
 
@@ -1724,6 +1727,152 @@ _ORACLE_BM25_RETRACT = _ORACLE_BM25.replace(
     "FROM documents",
     "FROM documents WHERE doc_id % 10 != 0 AND NOT (doc_id % 9 = 4)",
 )
+
+
+_RRF_K = 60  # Cormack et al. 2009's constant; the Elastic/Vespa default
+_HYBRID_QN = 8
+_HYBRID_POOL = 10  # per-leg candidate pool fused down to the final top-5
+
+
+def docs_hybrid_search(spark, sf_dir):
+    """Hybrid lexical + semantic retrieval with reciprocal-rank fusion
+    (RRF, Cormack et al. 2009 — the fusion Elasticsearch, OpenSearch,
+    and Vespa all ship for exactly this pairing): each of the
+    _HYBRID_QN queries has a TEXT form (the q-th highest-df term, the
+    docs_bm25_search query set) and a VECTOR form (embedding
+    vec_id == q); the BM25 pool and the exact-cosine pool (top
+    _HYBRID_POOL each) fuse by score = Σ_legs 1/(_RRF_K + rank), and
+    the top-5 fused docs per query are returned.  Documents and
+    embeddings share the id space; embeddings may cover only a PREFIX
+    of the corpus (sf0.1: 5000 docs, 2000 vectors) — uncovered docs
+    compete through the lexical leg alone, exactly how production
+    hybrid search behaves mid-backfill.  RRF arithmetic is rank-based
+    (1/(60+r) on integer ranks, two-term sum in fixed order), so the
+    fusion is bit-deterministic given the leg rankings, which the BM25
+    and knn oracles already pin.
+
+    Plan shape: the lexical leg is the docs_bm25_search plan with a
+    wider pool; the semantic leg broadcasts the 8 query vectors and
+    streams the embedding corpus map-side
+    (``similarity.brute_force_topk``); the fusion is a full-outer join
+    of two (8 × pool)-row frames — constant-sized regardless of corpus
+    scale — plus one 8-partition ranking window."""
+    from ..functions import text as TXT
+
+    docs = _td(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    toks = docs.select("doc_id", F.explode(TXT.words(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = caching.tracked_persist(tf)  # feeds df, doc-length, and scoring
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    from pyspark.sql import Window
+
+    # TakeOrdered first (never a full dictionary sort), THEN the qid
+    # index over the 8 surviving rows — the single-partition window is
+    # fine because its input is already NQ rows
+    top = dfreq.orderBy(F.col("df").desc(), "term").limit(_HYBRID_QN)
+    wq = Window.orderBy(F.col("df").desc(), "term")
+    qterms = top.withColumn("qid", (F.row_number().over(wq) - 1).cast("long"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    lex = _bm25_rank(
+        tf.join(F.broadcast(qterms.select("term", "df")), "term"),
+        dl,
+        stats,
+        topk=_HYBRID_POOL,
+    ).join(
+        F.broadcast(qterms.select(F.col("term").alias("query_term"), "qid")),
+        "query_term",
+    ).select("qid", "doc_id", F.col("rank").alias("lrank"))
+    sem = SIM.brute_force_topk(
+        emb, emb.where(F.col("vec_id") < _HYBRID_QN), k=_HYBRID_POOL
+    ).select(
+        F.col("query_id").alias("qid"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("srank"),
+    )
+    rrf = (
+        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lrank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("srank")), F.lit(0.0))
+    )
+    fused = lex.join(sem, ["qid", "doc_id"], "full_outer").select(
+        F.col("qid").alias("query_id"), "doc_id", rrf.alias("_rrf")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "doc_id", F.round("_rrf", 6).alias("rrf"), "rank")
+    )
+
+
+def _oracle_hybrid_sql(dim: int = 64) -> str:
+    """Replays docs_hybrid_search: the _ORACLE_BM25 pipeline widened to
+    the pool size and tagged with qid, the knn_bruteforce cosine leg
+    over the first _HYBRID_QN vectors, and the rank-only RRF fusion
+    (1e0 literals force DOUBLE division — a bare 1.0 is DECIMAL in
+    DuckDB and rounds differently; the two-term sum keeps the Spark
+    expression's lex-then-sem order)."""
+    cos = OE.cosine_sql("q.embedding", "c.embedding", dim)
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+qterms AS (
+    SELECT term, df, CAST(rn - 1 AS BIGINT) AS qid FROM (
+        SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rn
+        FROM dfreq
+    ) WHERE rn <= {_HYBRID_QN}
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM dl),
+lex_scored AS (
+    SELECT q.qid, t.doc_id,
+           round(ln(1.0 + (s.n - q.df + 0.5) / (q.df + 0.5))
+                 * (t.tf * {_BM25_K1 + 1.0}) / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl)),
+                 6) AS score
+    FROM tf t JOIN qterms q ON q.term = t.term
+    JOIN dl d ON d.doc_id = t.doc_id CROSS JOIN stats s
+),
+lex AS (
+    SELECT qid, doc_id, lrank FROM (
+        SELECT qid, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS lrank
+        FROM lex_scored
+    ) WHERE lrank <= {_HYBRID_POOL}
+),
+sem_scored AS (
+    SELECT q.vec_id AS qid, c.vec_id AS doc_id, {cos} AS cos_sim
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {_HYBRID_QN}
+),
+sem AS (
+    SELECT qid, doc_id, srank FROM (
+        SELECT qid, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, doc_id) AS srank
+        FROM sem_scored
+    ) WHERE srank <= {_HYBRID_POOL}
+),
+fused AS (
+    SELECT COALESCE(l.qid, s.qid) AS query_id,
+           COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           COALESCE(1e0 / ({_RRF_K} + l.lrank), 0e0)
+               + COALESCE(1e0 / ({_RRF_K} + s.srank), 0e0) AS _rrf
+    FROM lex l FULL OUTER JOIN sem s ON l.qid = s.qid AND l.doc_id = s.doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, round(_rrf, 6) AS rrf,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY _rrf DESC, doc_id) AS BIGINT) AS rank
+    FROM fused
+)
+SELECT query_id, doc_id, rrf, rank FROM ranked WHERE rank <= 5
+"""
 
 
 def docs_bm25_streaming(spark, sf_dir):

@@ -218,6 +218,8 @@ from .indexes import (
     docs_bm25_retract,
     docs_bm25_search,
     docs_bm25_streaming,
+    docs_hybrid_search,
+    _oracle_hybrid_sql,
     docs_novelty_scored,
     docs_pack_sequences,
     docs_quality_filter,
@@ -414,6 +416,9 @@ SPECS: list[QuerySpec] = [
     # the streaming leg's served view after the final batch == the batch
     # ranking on the full corpus, so it shares the batch oracle too
     QuerySpec("docs_bm25_streaming", docs_bm25_streaming, _ORACLE_BM25),
+    # hybrid lexical+semantic retrieval: RRF-fuse the BM25 pool with the
+    # exact-cosine pool per query (rank-only fusion, bit-deterministic)
+    QuerySpec("docs_hybrid_search", docs_hybrid_search, _oracle_hybrid_sql()),
     # the delete leg of the semantic index: graded against the survivor
     # full recompute (tombstones = original uploads with id % 50 == 25;
     # their planted re-crawls survive, so absorber-loss flag flips are
@@ -439,11 +444,6 @@ SPECS: list[QuerySpec] = [
     # embedding_near_dup_t90, q21, q20, docs_repetition,
     # docs_contamination, events_asof_join/_forward, events_range_join,
     # events_time_rollup, events_range_frame, events_gaps.
-    QuerySpec(
-        "dedup_containment_incremental",
-        dedup_containment_incremental,
-        OE.containment_incremental_sql(0.8, 3, 100, delta_mod=10),
-    ),
     # retraction graded against the survivor full-recompute; max_df=4
     # keeps the df-window re-entry leg live at the graded SFs
     QuerySpec(
@@ -653,6 +653,11 @@ SPECS: list[QuerySpec] = [
     # index-append ≡ full rebuild, so the oracle is the full-index SQL
     QuerySpec("knn_ann_ivf_incremental", knn_ann_ivf_incremental, OE.ivf_ann_sql()),
     QuerySpec("docs_repeated_spans", docs_repeated_spans, _ORACLE_REPEATED_SPANS),
+    QuerySpec(
+        "dedup_containment_incremental",
+        dedup_containment_incremental,
+        OE.containment_incremental_sql(0.8, 3, 100, delta_mod=10),
+    ),
     QuerySpec("docs_tfidf_keywords", docs_tfidf_keywords, _ORACLE_TFIDF),
     QuerySpec(
         "dedup_clusters_incremental",
