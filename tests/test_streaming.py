@@ -1497,7 +1497,7 @@ def test_streaming_semantic_index_maintenance(spark, tmp_path):
 
     cols = ["vec_id", "cell", "is_dup"]
     survivors = None
-    for b in (b1, b2, b3):
+    for i, b in enumerate((b1, b2, b3)):
         run_increment(b)
         inserted = b.where(F.col("op") != "delete").select("vec_id", "embedding")
         deleted = b.where(F.col("op") == "delete").select("vec_id")
@@ -1511,6 +1511,19 @@ def test_streaming_semantic_index_maintenance(spark, tmp_path):
         assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(
             want.select(*cols), cols
         )
+        # crash-replay of the just-committed LAST batch (ADVICE r9
+        # item 1, the BM25 replay assertion mirrored): a replayed
+        # insert-only batch rewrites its own flags partition
+        # byte-identically; the replayed MIXED batch must not union
+        # already-swapped flags with the recomputed delta — the
+        # cells-archive semi-join guard keeps the retract state clean
+        before = _sorted_rows(spark.read.parquet(flags_path).select(*cols), cols)
+        SP.maintain_semantic_index_each_batch(
+            cells_path, flags_path, cents_path,
+            n_cells=16, threshold=0.92, op_col="op",
+        )(b, i)
+        after = _sorted_rows(spark.read.parquet(flags_path).select(*cols), cols)
+        assert after == before, f"replay of batch {i} changed the served view"
     # the mixed batch exercised both legs: some planted copy survives
     # non-dup (its only witness was deleted) and some is absorbed
     final = {r["vec_id"]: r["is_dup"] for r in spark.read.parquet(flags_path).collect()}

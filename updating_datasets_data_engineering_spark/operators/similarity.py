@@ -791,6 +791,37 @@ def semantic_dedup_delta(
     |delta| × expected-cell-size, not |corpus|²/k; cell assignment of
     the delta is one broadcast centroid scoring pass against the FROZEN
     archive centroids (same freeze as the IVF/ANN maintainers)."""
+    d_flags = semantic_dedup_delta_flags(
+        corpus,
+        archive_cells,
+        delta_cells,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return archive_flags.unionByName(d_flags)
+
+
+def semantic_dedup_delta_flags(
+    corpus: DataFrame,
+    archive_cells: DataFrame,
+    delta_cells: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The DELTA rows' flags only — the delta-sized half of
+    :func:`semantic_dedup_delta`, exposed so the streaming maintainer
+    can APPEND it as a ``_batch_id`` partition on insert-only batches
+    instead of rewriting the corpus-sized served view (VERDICT r9
+    item 2): archive flags never reference delta vectors (monotone
+    ids — see :func:`semantic_dedup_delta`), so under inserts the
+    served view is exactly persisted-archive-flags ⊎ this frame.
+
+    Note archive FLAGS are not an input at all: a delta row's flag
+    depends on the cell geometry and the vectors, never on the
+    archive's is_dup column — which is what makes the insert path's
+    per-batch state read cells-only."""
     cells = archive_cells.unionByName(delta_cells).select(
         F.col(id_col).alias("id"), "cell"
     )
@@ -812,14 +843,13 @@ def semantic_dedup_delta(
         .select(F.col("sb.id").alias("id"))
         .distinct()
     )
-    d_flags = (
+    return (
         delta_cells.select(F.col(id_col), "cell")
         .join(absorbed.withColumn("_dup", F.lit(True)), F.col(id_col) == F.col("id"), "left")
         .select(
             id_col, "cell", F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup")
         )
     )
-    return archive_flags.unionByName(d_flags)
 
 
 def semantic_dedup_retract(

@@ -647,6 +647,7 @@ def semantic_dedup_sql(
     planted_offset: int = 1_000_000,
     tomb_mod: int | None = None,
     tomb_val: int = 0,
+    adaptive_cells: bool = False,
 ) -> str:
     """Replays ``similarity.semantic_dedup``: IVF cell assignment
     (centroids = vec_id < n_cells, ROW_NUMBER tie semantics identical
@@ -664,9 +665,35 @@ def semantic_dedup_sql(
     vec_id % tomb_mod == tomb_val are deleted from the corpus BEFORE
     the recompute (their planted re-crawls survive — only the original
     upload is retracted), so this oracle is the survivor full
-    recompute the incremental delete path must match."""
+    recompute the incremental delete path must match.
+
+    ``adaptive_cells`` replays ``similarity.adaptive_cell_count`` in
+    SQL — k = clamp(2^floor(log2(√n)), 16, 4096) over the PRE-delete
+    corpus count — so the oracle stays exact at EVERY sf, not just the
+    fixture where k happens to equal the static default (ADVICE r9
+    item 2).  When set with ``tomb_mod``, tombstones also carry the
+    query's ``vec_id >= k`` centroid-protection floor."""
+    if adaptive_cells:
+        planted_cnt = (
+            f" + (SELECT count(*) FROM embeddings"
+            f" WHERE vec_id % {planted_mod} = 0)"
+            if planted_mod is not None
+            else ""
+        )
+        nc_cte = f"""nc AS MATERIALIZED (
+    SELECT GREATEST(16, LEAST(4096,
+        1 << CAST(floor(0.5 * log2(GREATEST(cnt, 4))) AS INT))) AS k
+    FROM (SELECT (SELECT count(*) FROM embeddings){planted_cnt} AS cnt)
+),
+"""
+        k_sql = "(SELECT k FROM nc)"
+        floor_sql = f" AND vec_id >= {k_sql}"
+    else:
+        nc_cte = ""
+        k_sql = str(n_cells)
+        floor_sql = ""
     tomb = (
-        f" WHERE NOT (vec_id % {tomb_mod} = {tomb_val})"
+        f" WHERE NOT (vec_id % {tomb_mod} = {tomb_val}{floor_sql})"
         if tomb_mod is not None
         else ""
     )
@@ -686,11 +713,11 @@ def semantic_dedup_sql(
     dot_ab = _dot_sql("a.embedding", "b.embedding", dim)
     self_dot = _dot_sql("embedding", "embedding", dim)
     return f"""
-WITH corpus AS MATERIALIZED (
+WITH {nc_cte}corpus AS MATERIALIZED (
     SELECT vec_id, embedding, sqrt({self_dot}) AS nrm FROM ({corpus})
 ),
 cents AS MATERIALIZED (
-    SELECT vec_id AS cid, embedding, nrm FROM corpus WHERE vec_id < {n_cells}
+    SELECT vec_id AS cid, embedding, nrm FROM corpus WHERE vec_id < {k_sql}
 ),
 assign AS MATERIALIZED (
     SELECT vec_id, cell FROM (

@@ -179,8 +179,9 @@ def dedup_semantic(spark, sf_dir):
     oracle replays the same union), so the graded result is non-trivial
     (the planted copies absorb into their originals) AND scale-
     representative.  Cell count scales as √n (``adaptive_cell_count``),
-    keeping total work ~n^1.5; the graded fixtures land on the same
-    k=16 the static oracle embeds."""
+    keeping total work ~n^1.5; the oracle replays the same adaptive k
+    in SQL (``adaptive_cells=True``), so it is exact at every sf, not
+    just the k=16 fixture (ADVICE r9 item 2)."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.where(F.col("vec_id") % 25 == 0).select(
         (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
@@ -1875,52 +1876,105 @@ SELECT query_id, doc_id, rrf, rank FROM ranked WHERE rank <= 5
 """
 
 
+def _stream_state_dir(kind: str, sf_dir: str) -> str:
+    """Stable scratch root for the streaming-graded specs (ADVICE r9
+    item 4): ONE deterministic directory per (kind, sf) — wiped and
+    recreated at every invocation — instead of a leaked
+    ``tempfile.mkdtemp`` per call, so repeated bench/correctness runs
+    reuse the same disk footprint (the _persisted_index cache-dir
+    convention applied to mutable stream state).  Single-session by
+    contract, like the checkpoint it holds: two concurrent sessions
+    streaming the same (kind, sf) would clobber each other — the
+    graded/bench harnesses are one session per process."""
+    import os
+    import shutil
+    import tempfile
+
+    sf_key = os.path.basename(sf_dir.rstrip("/")) or "root"
+    path = os.path.join(tempfile.gettempdir(), f"graft_stream_{kind}_{sf_key}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    return path
+
+
+def _stream_waves_available_now(
+    spark, waves, src: str, ckpt: str, fn
+) -> None:
+    """Drive ``fn`` (a foreachBatch maintainer) over ``waves`` as
+    ORDERED micro-batches of ONE checkpointed availableNow run
+    (VERDICT r9 item 4): each wave lands as a single file
+    (``repartition(1)`` — fixture prep, not an engine plan; the graded
+    waves are spec-sized) with strictly increasing mtimes, and
+    ``maxFilesPerTrigger=1`` makes the file source emit one micro-batch
+    per wave in mtime order — every state-merge leg a
+    restart-per-batch loop exercised, minus one ~2-3 s availableNow
+    scheduler start per extra batch."""
+    import os
+
+    wave_files: list[str] = []
+    seen: set[str] = set()
+    for w in waves:
+        w.repartition(1).write.mode("append").parquet(src)
+        cur = {f for f in os.listdir(src) if f.endswith(".parquet")}
+        new = cur - seen
+        assert len(new) == 1, f"expected one file per wave, got {new}"
+        wave_files.append(os.path.join(src, new.pop()))
+        seen = cur
+    t0 = os.path.getmtime(wave_files[-1])
+    for i, f in enumerate(wave_files):
+        # one second apart, newest wave last — deterministic file-source
+        # ordering regardless of write-time mtime granularity
+        t = t0 + i - len(wave_files)
+        os.utime(f, (t, t))
+    q = (
+        spark.readStream.schema(waves[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fn)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .outputMode("update")
+        .start()
+    )
+    q.awaitTermination()
+
+
 def docs_bm25_streaming(spark, sf_dir):
     """End-to-end STREAMING BM25 parity (the streaming_dedup_archive
-    convention applied to ranked retrieval): the corpus arrives in
-    three file-source micro-batches through a checkpointed availableNow
-    run of ``streaming.pipeline.maintain_bm25_index_each_batch``; the
-    query returns the SERVED ranking view, which after the final batch
+    convention applied to ranked retrieval): the corpus arrives in two
+    file-source micro-batches — ONE checkpointed availableNow run with
+    ``maxFilesPerTrigger=1`` (VERDICT r9 item 4: the per-restart ~2-3 s
+    scheduler cost is paid once, not per batch) — through
+    ``streaming.pipeline.maintain_bm25_index_each_batch``; the query
+    returns the SERVED ranking view, which after the final batch
     must equal the batch ``docs_bm25_search`` on the full corpus —
     graded by the SAME oracle (_ORACLE_BM25), so the additive df/stat
     partial merges and the stage-and-swap view refresh are
-    driver-hash-checked, not just pytest-pinned.  TWO batches: each
-    checkpointed availableNow start costs ~2-3 s of fixed micro-batch
-    scheduling regardless of data (the streaming_dedup_archive class),
-    and two batches already exercise every merge leg — state ⊕ delta
-    df/stat sums and a view refresh over mixed-store candidates; the
-    three-batch (and compaction, and replay) variants stay pinned in
+    driver-hash-checked, not just pytest-pinned.  Two batches already
+    exercise every merge leg — state ⊕ delta df/stat sums and a view
+    refresh over mixed-store candidates; the three-batch (and
+    compaction, and replay) variants stay pinned in
     tests/test_streaming.py."""
     import os
-    import tempfile
 
     from ..streaming import pipeline as SP
 
     docs = _td(spark, sf_dir).select("doc_id", "text")
-    base = tempfile.mkdtemp(prefix="bm25_stream_")
+    base = _stream_state_dir("bm25", sf_dir)
     src = os.path.join(base, "src")
     os.makedirs(src)
     paths = {
         k: os.path.join(base, k)
         for k in ("postings", "doclen", "df", "stats", "ranking")
     }
-    ckpt = os.path.join(base, "ckpt")
     fn = SP.maintain_bm25_index_each_batch(
         paths["postings"], paths["doclen"], paths["df"],
         paths["stats"], paths["ranking"],
     )
-    for i in range(2):
-        docs.where(F.col("doc_id") % 2 == i).write.mode("append").parquet(src)
-        q = (
-            spark.readStream.schema(docs.schema)
-            .parquet(src)
-            .writeStream.foreachBatch(fn)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .outputMode("update")
-            .start()
-        )
-        q.awaitTermination()
+    waves = [docs.where(F.col("doc_id") % 2 == i) for i in range(2)]
+    _stream_waves_available_now(
+        spark, waves, src, os.path.join(base, "ckpt"), fn
+    )
     return spark.read.parquet(paths["ranking"])
 
 
@@ -1931,15 +1985,17 @@ def dedup_semantic_streaming(spark, sf_dir):
     the monotonicity precondition) — the
     ``dedup_semantic_retract`` scenario replayed through
     ``streaming.pipeline.maintain_semantic_index_each_batch``'s
-    checkpointed availableNow loop.  The final served flags view must
-    equal the survivor full recompute — graded by the SAME oracle as
-    the batch retract query, so the composed retract-then-delta
-    per-batch path is driver-hash-checked end to end.  TWO batches for
-    the same fixed-overhead reason docs_bm25_streaming documents; the
-    three-batch prefix-equivalence variant stays pinned in
-    tests/test_streaming.py."""
+    checkpointed availableNow loop, as TWO ordered micro-batches of a
+    single run (``maxFilesPerTrigger=1`` — VERDICT r9 item 4).  The
+    final served flags view must equal the survivor full recompute —
+    graded by the SAME oracle as the batch retract query, so the
+    composed retract-then-delta per-batch path is driver-hash-checked
+    end to end.  Tombstones carry the same ``vec_id >= n_cells`` floor
+    as ``dedup_semantic_retract`` (ADVICE r9 item 2: the no-centroid-
+    tombstone precondition must hold at EVERY sf, not just the graded
+    fixture); the three-batch prefix-equivalence variant stays pinned
+    in tests/test_streaming.py."""
     import os
-    import tempfile
 
     from ..streaming import pipeline as SP
 
@@ -1949,37 +2005,29 @@ def dedup_semantic_streaming(spark, sf_dir):
     )
     n_cells = SIM.adaptive_cell_count(emb.count() + planted.count())
     ins = F.lit("insert").alias("op")
-    batches = [
+    waves = [
         emb.select("vec_id", "embedding", ins),
         planted.select("vec_id", "embedding", ins).unionByName(
-            emb.where(F.col("vec_id") % 50 == 25).select(
-                "vec_id", "embedding", F.lit("delete").alias("op")
-            )
+            emb.where(
+                (F.col("vec_id") % 50 == 25) & (F.col("vec_id") >= n_cells)
+            ).select("vec_id", "embedding", F.lit("delete").alias("op"))
         ),
     ]
-    base = tempfile.mkdtemp(prefix="sem_stream_")
+    base = _stream_state_dir("semantic", sf_dir)
     src = os.path.join(base, "src")
     os.makedirs(src)
     cells, flags, cents = (
         os.path.join(base, k) for k in ("cells", "flags", "cents")
     )
-    ckpt = os.path.join(base, "ckpt")
     fn = SP.maintain_semantic_index_each_batch(
         cells, flags, cents, n_cells=n_cells, threshold=0.92, op_col="op"
     )
-    for b in batches:
-        b.write.mode("append").parquet(src)
-        q = (
-            spark.readStream.schema(b.schema)
-            .parquet(src)
-            .writeStream.foreachBatch(fn)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .outputMode("update")
-            .start()
-        )
-        q.awaitTermination()
-    return spark.read.parquet(flags)
+    _stream_waves_available_now(
+        spark, waves, src, os.path.join(base, "ckpt"), fn
+    )
+    # the served store is _batch_id-partitioned (insert-only batches
+    # append); the graded view is the flags themselves
+    return spark.read.parquet(flags).select("vec_id", "cell", "is_dup")
 
 
 def dedup_semantic_retract(spark, sf_dir):
@@ -1996,12 +2044,18 @@ def dedup_semantic_retract(spark, sf_dir):
     cells containing a tombstone can change — the operator re-verifies
     exactly those cells' survivors and freezes every other row (see
     ``operators.similarity.semantic_dedup_retract`` for the bound).
-    No tombstone id can be < n_cells (25 mod 50 ≥ 25 > 16), so the
-    frozen centroid set — and with it every survivor's cell — is
-    untouched; centroid deletes trip an index rebuild instead (the
-    z-order staleness contract).  Oracle = the batch full recompute on
-    the survivor corpus; incremental-delete ≡ survivor-recompute is
-    the correctness claim."""
+    Tombstones carry an explicit ``vec_id >= n_cells`` floor (ADVICE
+    r9 item 2): the frozen centroid set is the n_cells smallest ids,
+    and ``adaptive_cell_count`` grows with the corpus (16 at sf0.01,
+    32 at sf0.1, 128 at sf1), so without the floor tombstone 25 IS a
+    centroid at bench scales and the retract ≡ survivor-recompute
+    claim silently breaks there.  The floor derives from the runtime
+    n_cells — by construction no tombstone can touch the quantizer at
+    ANY sf (the oracle replays the same adaptive k and floor in SQL);
+    centroid deletes trip an index rebuild instead (the z-order
+    staleness contract).  Oracle = the batch full recompute on the
+    survivor corpus; incremental-delete ≡ survivor-recompute is the
+    correctness claim."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.where(F.col("vec_id") % 25 == 0).select(
         (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
@@ -2014,7 +2068,9 @@ def dedup_semantic_retract(spark, sf_dir):
         "sem_flags_full",
         lambda: SIM.semantic_dedup(corpus, n_cells=n_cells, threshold=0.92),
     )
-    tombs = emb.where(F.col("vec_id") % 50 == 25).select("vec_id")
+    tombs = emb.where(
+        (F.col("vec_id") % 50 == 25) & (F.col("vec_id") >= n_cells)
+    ).select("vec_id")
     return SIM.semantic_dedup_retract(corpus, flags, tombs, threshold=0.92)
 
 

@@ -384,7 +384,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "dedup_semantic",
         dedup_semantic,
-        OE.semantic_dedup_sql(16, 0.92, planted_mod=25),
+        OE.semantic_dedup_sql(16, 0.92, planted_mod=25, adaptive_cells=True),
     ),
     QuerySpec("events_retention_cohorts", events_retention_cohorts, _ORACLE_RETENTION),
     QuerySpec("events_markov_transitions", events_markov_transitions, _ORACLE_MARKOV),
@@ -426,13 +426,13 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "dedup_semantic_retract",
         dedup_semantic_retract,
-        OE.semantic_dedup_sql(16, 0.92, planted_mod=25, tomb_mod=50, tomb_val=25),
+        OE.semantic_dedup_sql(16, 0.92, planted_mod=25, tomb_mod=50, tomb_val=25, adaptive_cells=True),
     ),
     # streaming replay of the same retract scenario: shares its oracle
     QuerySpec(
         "dedup_semantic_streaming",
         dedup_semantic_streaming,
-        OE.semantic_dedup_sql(16, 0.92, planted_mod=25, tomb_mod=50, tomb_val=25),
+        OE.semantic_dedup_sql(16, 0.92, planted_mod=25, tomb_mod=50, tomb_val=25, adaptive_cells=True),
     ),
     # --- r7 rotation block, still resident --------------------------------
     # --- r8 rotation block (queue drains 10 + birth-round additions) ------
@@ -615,7 +615,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "dedup_semantic_incremental",
         dedup_semantic_incremental,
-        OE.semantic_dedup_sql(16, 0.92, planted_mod=25),
+        OE.semantic_dedup_sql(16, 0.92, planted_mod=25, adaptive_cells=True),
     ),
     QuerySpec(
         "docs_repeated_spans_unaligned",

@@ -651,10 +651,27 @@ def maintain_semantic_index_each_batch(
     deletes rewrite it through the crash-safe swap, the ANN
     maintainer's discipline), the FROZEN coarse quantizer
     (``centroids_path``, the first batch's n_cells smallest ids), and
-    the served flags view (``flags_path``), a materialized view
-    upserted through the stage-and-swap — flags are NOT append-only
-    under deletes (a tombstone re-verifies its cells' survivors), so
-    the view swaps rather than appends.
+    the served flags view (``flags_path``) — ALSO ``_batch_id``-
+    partitioned: insert-only batches APPEND exactly the delta's flags
+    as one partition (archive flags are immutable under inserts — the
+    monotonicity proof on ``similarity.semantic_dedup_delta`` — so the
+    per-batch WRITE is delta-sized, not corpus-sized; VERDICT r9
+    item 2).  Only tombstone batches rewrite the view, through the
+    crash-safe stage-and-swap (a delete re-verifies its cells'
+    survivors, so those rows genuinely change); the swapped view is
+    retagged to the deleting batch's ``_batch_id``.
+
+    REPLAY IDEMPOTENCY (ADVICE r9 item 1): insert-only batches never
+    read the flags view at all — a delta row's flag depends on cell
+    geometry and vectors only — and their partition append is a
+    dynamic-partition overwrite, so a crash-replayed batch rewrites
+    its own partition byte-identically.  Tombstone batches DO read the
+    view as retract state; that read is guarded by a semi-join on the
+    ``_batch_id < batch_id`` cell archive, so flags rows a crashed
+    attempt already swapped in for THIS batch (delta ids not yet in
+    the committed cell archive, or tombstones already removed) are
+    excluded before the retract/delta recompute — the replay converges
+    to the same served view (asserted in tests/test_streaming.py).
 
     PRECONDITIONS (both documented on the operators): insert ids are
     strictly increasing across batches (new corpus members — the
@@ -693,6 +710,14 @@ def maintain_semantic_index_each_batch(
                     .where(F.col("_batch_id") < batch_id)
                     .select(id_col, vec_col, "cell")
                 )
+            else:
+                vec_t = batch_vecs.schema[vec_col].dataType.simpleString()
+                cells_state = spark.createDataFrame(
+                    [], f"{id_col} {id_t}, {vec_col} {vec_t}, cell {id_t}"
+                )
+            has_tomb = tomb is not None and not tomb.isEmpty()
+            if has_tomb:
+                tomb = caching.tracked_persist(tomb)
                 flags_state = (
                     spark.read.parquet(flags_path).select(id_col, "cell", "is_dup")
                     if fs.has_parquet(spark, flags_path)
@@ -700,17 +725,13 @@ def maintain_semantic_index_each_batch(
                         [], f"{id_col} {id_t}, cell {id_t}, is_dup boolean"
                     )
                 )
-            else:
-                vec_t = batch_vecs.schema[vec_col].dataType.simpleString()
-                cells_state = spark.createDataFrame(
-                    [], f"{id_col} {id_t}, {vec_col} {vec_t}, cell {id_t}"
+                # replay guard (ADVICE r9 item 1): a crashed attempt of
+                # THIS batch may already have swapped its output in —
+                # restrict the retract state to ids the COMMITTED
+                # (_batch_id < batch_id) cell archive actually holds
+                flags_state = flags_state.join(
+                    cells_state.select(id_col), id_col, "left_semi"
                 )
-                flags_state = spark.createDataFrame(
-                    [], f"{id_col} {id_t}, cell {id_t}, is_dup boolean"
-                )
-            has_tomb = tomb is not None and not tomb.isEmpty()
-            if has_tomb:
-                tomb = caching.tracked_persist(tomb)
                 flags_state = SIM.semantic_dedup_retract(
                     cells_state.select(id_col, vec_col),
                     flags_state,
@@ -735,9 +756,23 @@ def maintain_semantic_index_each_batch(
                         partition_by="_batch_id",
                     )
 
+            batch_lit = F.lit(batch_id).cast("long").alias("_batch_id")
+
+            def _swap_flags(view: DataFrame) -> None:
+                # tombstone batches rewrite the view; keep it
+                # _batch_id-partitioned so later insert-only batches
+                # can still append their delta partition on top
+                _swap_in(
+                    spark,
+                    view.withColumn("_batch_id", batch_lit),
+                    flags_path,
+                    partition_by="_batch_id",
+                )
+
             if delta.isEmpty():
-                _swap_in(spark, flags_state, flags_path)
-                _retire_tombstones()
+                if has_tomb:
+                    _swap_flags(flags_state)
+                    _retire_tombstones()
                 return
             if not fs.has_parquet(spark, centroids_path):
                 # freeze the quantizer from the first batch's n_cells
@@ -753,19 +788,47 @@ def maintain_semantic_index_each_batch(
                 delta, n_cells, id_col=id_col, vec_col=vec_col, centroids=cents
             )
             d_cells = caching.tracked_persist(d_cells)
-            flags = SIM.semantic_dedup_delta(
+            d_flags = SIM.semantic_dedup_delta_flags(
                 cells_state.select(id_col, vec_col).unionByName(delta),
-                flags_state,
                 cells_state.select(id_col, vec_col, "cell"),
                 d_cells,
                 threshold=threshold,
                 id_col=id_col,
                 vec_col=vec_col,
             )
-            _swap_in(spark, flags, flags_path)
-            _retire_tombstones()
+            if has_tomb:
+                _swap_flags(flags_state.unionByName(d_flags))
+                _retire_tombstones()
+            else:
+                # insert-only: archive flags are immutable (monotone
+                # ids), so the served view grows by exactly this
+                # partition — a delta-sized, replay-idempotent write.
+                # Guard: an emptied-out store (_swap_in writes empties
+                # UNpartitioned to stay schema-readable) can't take a
+                # partition-dir append — mixing layouts breaks
+                # partition discovery — so that edge re-swaps; its
+                # archive flags are empty, so the swap is still
+                # delta-sized.
+                flat_store = fs.has_parquet(spark, flags_path) and not any(
+                    "_batch_id=" in p
+                    for p, _ in fs.list_files(spark, flags_path, ".parquet")
+                )
+                if flat_store:
+                    _swap_flags(
+                        spark.read.parquet(flags_path)
+                        .select(id_col, "cell", "is_dup")
+                        .unionByName(d_flags)
+                    )
+                else:
+                    (
+                        d_flags.withColumn("_batch_id", batch_lit)
+                        .write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .partitionBy("_batch_id")
+                        .parquet(flags_path)
+                    )
             (
-                d_cells.withColumn("_batch_id", F.lit(batch_id).cast("long"))
+                d_cells.withColumn("_batch_id", batch_lit)
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("_batch_id")
