@@ -38,7 +38,7 @@ from collections import deque
 from updating_datasets_data_engineering_spark.registry import SPECS
 
 DRIVER_WINDOW = 50
-CURRENT_ROUND = 9
+CURRENT_ROUND = 10
 
 # The 20 reference-parity (§2) specs that never leave the window: every
 # shot_*/merge_* parity query, the streaming + incremental + salted
@@ -119,18 +119,29 @@ PENDING_R5 = [
     "events_retention_cohorts", "events_markov_transitions",
     "events_anomaly_hours", "embedding_norm_outliers", "docs_mixture_rebalance",
     "docs_shuffle_shards", "orders_profile",
+    # r10 REORDER (VERDICT r9 item 1): the six graph-tier specs were
+    # pulled to the front of the never-drained tail so round 10 grades
+    # them first.  Legal because positions [30:] of this list had never
+    # been drained — the [0:30] prefix is untouched, so the simulated
+    # windows for rounds 6-9 replay byte-identical to the graded
+    # CORRECTNESS_r{6..9} artifacts.
+    "users_cooccurrence", "users_pagerank", "users_triangles",
+    "users_sig_edges_incremental", "users_communities",
+    "users_pagerank_personalized",
     "window_function_census", "events_value_histogram", "events_user_count_approx",
-    "merge_scd2_asof", "embedding_quantize",
+    "merge_scd2_asof",
+    # (still-pending tail, original relative order)
+    "embedding_quantize",
     "docs_split_assign", "docs_source_cap", "docs_cross_doc_dup_rate",
     "docs_epoch_plan", "events_sliding_active_users",
     "docs_dataset_card", "docs_unigram_logprob", "sources_overlap_matrix",
-    "events_rfm_segments", "users_cooccurrence",
-    "docs_boilerplate_incremental", "docs_delta_quality_scored", "users_pagerank",
+    "events_rfm_segments",
+    "docs_boilerplate_incremental", "docs_delta_quality_scored",
     "dedup_delta_bloom_probe", "orders_skyline",
-    "users_triangles", "incremental_value_quantiles", "docs_classifier_score",
+    "incremental_value_quantiles", "docs_classifier_score",
     "docs_importance_resample", "docs_bigram_logprob",
-    "users_sig_edges_incremental", "sources_jsd_divergence", "users_communities",
-    "users_pagerank_personalized", "incremental_type_quantiles",
+    "sources_jsd_divergence",
+    "incremental_type_quantiles",
     "docs_weighted_sample", "docs_weighted_sample_per_source",
 ]
 
@@ -150,6 +161,7 @@ NEW_SPECS_BY_ROUND: dict[int, list[str]] = {
         "docs_bm25_search", "docs_bm25_incremental", "dedup_semantic_retract",
         "docs_bm25_retract", "docs_bm25_streaming", "dedup_semantic_streaming",
         "docs_hybrid_search"],
+    10: ["docs_hybrid_search_ann", "archive_roundtrip_orders"],
 }
 
 

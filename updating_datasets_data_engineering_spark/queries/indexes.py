@@ -1758,16 +1758,31 @@ def docs_hybrid_search(spark, sf_dir):
     (``similarity.brute_force_topk``); the fusion is a full-outer join
     of two (8 × pool)-row frames — constant-sized regardless of corpus
     scale — plus one 8-partition ranking window."""
-    from ..functions import text as TXT
-
     docs = _td(spark, sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
+    lex = _hybrid_lex_leg(docs)
+    sem = SIM.brute_force_topk(
+        emb, emb.where(F.col("vec_id") < _HYBRID_QN), k=_HYBRID_POOL
+    ).select(
+        F.col("query_id").alias("qid"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("srank"),
+    )
+    return _rrf_fuse(lex, sem)
+
+
+def _hybrid_lex_leg(docs: DataFrame) -> DataFrame:
+    """The shared BM25 leg of the two hybrid-retrieval specs: the
+    docs_bm25_search plan widened to the fusion pool, tagged with a
+    dense qid.  Returns (qid, doc_id, lrank)."""
+    from pyspark.sql import Window
+
+    from ..functions import text as TXT
+
     toks = docs.select("doc_id", F.explode(TXT.words(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     tf = caching.tracked_persist(tf)  # feeds df, doc-length, and scoring
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    from pyspark.sql import Window
-
     # TakeOrdered first (never a full dictionary sort), THEN the qid
     # index over the 8 surviving rows — the single-partition window is
     # fine because its input is already NQ rows
@@ -1778,7 +1793,7 @@ def docs_hybrid_search(spark, sf_dir):
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n"), F.avg("dl").alias("avgdl")
     )
-    lex = _bm25_rank(
+    return _bm25_rank(
         tf.join(F.broadcast(qterms.select("term", "df")), "term"),
         dl,
         stats,
@@ -1787,13 +1802,14 @@ def docs_hybrid_search(spark, sf_dir):
         F.broadcast(qterms.select(F.col("term").alias("query_term"), "qid")),
         "query_term",
     ).select("qid", "doc_id", F.col("rank").alias("lrank"))
-    sem = SIM.brute_force_topk(
-        emb, emb.where(F.col("vec_id") < _HYBRID_QN), k=_HYBRID_POOL
-    ).select(
-        F.col("query_id").alias("qid"),
-        F.col("neighbor_id").alias("doc_id"),
-        F.col("rank").alias("srank"),
-    )
+
+
+def _rrf_fuse(lex: DataFrame, sem: DataFrame) -> DataFrame:
+    """Reciprocal-rank fusion of the two hybrid legs (rank-only, fixed
+    lex-then-sem term order — bit-deterministic given the leg
+    rankings) and the final per-query top-5."""
+    from pyspark.sql import Window
+
     rrf = (
         F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lrank")), F.lit(0.0))
         + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("srank")), F.lit(0.0))
@@ -1807,6 +1823,50 @@ def docs_hybrid_search(spark, sf_dir):
         .where(F.col("rank") <= 5)
         .select("query_id", "doc_id", F.round("_rrf", 6).alias("rrf"), "rank")
     )
+
+
+def docs_hybrid_search_ann(spark, sf_dir):
+    """Hybrid retrieval with the semantic leg served by the PERSISTED
+    IVF index (VERDICT r9 item 3): ``docs_hybrid_search``'s exact-
+    cosine leg scans the whole embedding corpus per call — fine as the
+    bit-deterministic oracle anchor, but at 100 TB a retrieval query
+    should probe the index the repo already maintains incrementally
+    (``knn_ann_ivf_incremental`` / ``maintain_ann_index_each_batch``).
+    Here the (id, vec, cell) assignment is parquet state materialized
+    once per (sf, corpus) — ``_persisted_index``, the same state
+    discipline as every incremental spec — and each query scores exact
+    cosine only inside its n_probe nearest cells: expected scan
+    fraction ~ n_probe/n_cells of the corpus per query, with adaptive
+    √n cells (and n_probe = max(4, k/8)) keeping that fraction
+    shrinking as the corpus grows.  The lexical leg and the RRF fusion
+    are shared with the exact sibling.  Deterministic end to end
+    (frozen id<k centroids, ROW_NUMBER tie semantics), so the oracle
+    replays assignment, probe choice, ranking, and fusion exactly —
+    this is a hash-graded ANN retrieval, not a recall-floor one."""
+    docs = _td(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = _hybrid_lex_leg(docs)
+    n_cells = SIM.adaptive_cell_count(emb.count())
+    n_probe = max(4, n_cells // 8)
+    cells = _persisted_index(
+        spark,
+        sf_dir,
+        "ivf_cells_full",
+        lambda: SIM.ivf_assign_cells(emb, n_cells),
+    )
+    sem = SIM.ivf_ann_topk(
+        emb,
+        emb.where(F.col("vec_id") < _HYBRID_QN),
+        k=_HYBRID_POOL,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        cells=cells,
+    ).select(
+        F.col("query_id").alias("qid"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("srank"),
+    )
+    return _rrf_fuse(lex, sem)
 
 
 def _oracle_hybrid_sql(dim: int = 64) -> str:
@@ -1852,6 +1912,114 @@ sem_scored AS (
     SELECT q.vec_id AS qid, c.vec_id AS doc_id, {cos} AS cos_sim
     FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
     WHERE q.vec_id < {_HYBRID_QN}
+),
+sem AS (
+    SELECT qid, doc_id, srank FROM (
+        SELECT qid, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, doc_id) AS srank
+        FROM sem_scored
+    ) WHERE srank <= {_HYBRID_POOL}
+),
+fused AS (
+    SELECT COALESCE(l.qid, s.qid) AS query_id,
+           COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           COALESCE(1e0 / ({_RRF_K} + l.lrank), 0e0)
+               + COALESCE(1e0 / ({_RRF_K} + s.srank), 0e0) AS _rrf
+    FROM lex l FULL OUTER JOIN sem s ON l.qid = s.qid AND l.doc_id = s.doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, round(_rrf, 6) AS rrf,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY _rrf DESC, doc_id) AS BIGINT) AS rank
+    FROM fused
+)
+SELECT query_id, doc_id, rrf, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def _oracle_hybrid_ann_sql(dim: int = 64) -> str:
+    """Replays docs_hybrid_search_ann: the same lexical/BM25 CTEs and
+    RRF fusion as _oracle_hybrid_sql, with the semantic leg replaced by
+    the deterministic IVF probe (the ivf_ann_sql pattern: id<k frozen
+    centroids, ROW_NUMBER tie semantics) under the ADAPTIVE cell count
+    k = clamp(2^floor(log2(√n)), 16, 4096) and n_probe = max(4, k//8)
+    — the exact SQL twins of ``similarity.adaptive_cell_count`` and
+    the query's probe rule, so the oracle stays exact at every sf.
+    Norm-hoisting keeps every pairwise cosine one unrolled dot product
+    (the r8 peak-memory discipline)."""
+    dot_ec = OE._dot_sql("e.embedding", "c.embedding", dim)
+    dot_qc = OE._dot_sql("q.embedding", "c.embedding", dim)
+    dot_qn = OE._dot_sql("q.embedding", "n.embedding", dim)
+    self_dot = OE._dot_sql("embedding", "embedding", dim)
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+qterms AS (
+    SELECT term, df, CAST(rn - 1 AS BIGINT) AS qid FROM (
+        SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rn
+        FROM dfreq
+    ) WHERE rn <= {_HYBRID_QN}
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM dl),
+lex_scored AS (
+    SELECT q.qid, t.doc_id,
+           round(ln(1.0 + (s.n - q.df + 0.5) / (q.df + 0.5))
+                 * (t.tf * {_BM25_K1 + 1.0}) / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl)),
+                 6) AS score
+    FROM tf t JOIN qterms q ON q.term = t.term
+    JOIN dl d ON d.doc_id = t.doc_id CROSS JOIN stats s
+),
+lex AS (
+    SELECT qid, doc_id, lrank FROM (
+        SELECT qid, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS lrank
+        FROM lex_scored
+    ) WHERE lrank <= {_HYBRID_POOL}
+),
+nc AS MATERIALIZED (
+    SELECT k, GREATEST(4, k // 8) AS np FROM (
+        SELECT GREATEST(16, LEAST(4096,
+            1 << CAST(floor(0.5 * log2(GREATEST(cnt, 4))) AS INT))) AS k
+        FROM (SELECT (SELECT count(*) FROM embeddings) AS cnt)
+    )
+),
+norms AS MATERIALIZED (
+    SELECT vec_id, embedding, sqrt({self_dot}) AS nrm FROM embeddings
+),
+cents AS MATERIALIZED (
+    SELECT vec_id AS cid, embedding, nrm FROM norms
+    WHERE vec_id < (SELECT k FROM nc)
+),
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY (({dot_ec}) / (e.nrm * c.nrm)) DESC, c.cid) AS rn
+        FROM norms e CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, c.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY (({dot_qc}) / (q.nrm * c.nrm)) DESC, c.cid) AS rn
+        FROM norms q CROSS JOIN cents c
+        WHERE q.vec_id < {_HYBRID_QN}
+    ) WHERE rn <= (SELECT np FROM nc)
+),
+sem_scored AS (
+    SELECT p.query_id AS qid, a.vec_id AS doc_id,
+           (({dot_qn}) / (q.nrm * n.nrm)) AS cos_sim
+    FROM probes p
+    JOIN assign a ON a.cell = p.cell
+    JOIN norms n ON n.vec_id = a.vec_id
+    JOIN norms q ON q.vec_id = p.query_id
+    WHERE a.vec_id <> p.query_id
 ),
 sem AS (
     SELECT qid, doc_id, srank FROM (
@@ -2028,6 +2196,53 @@ def dedup_semantic_streaming(spark, sf_dir):
     # the served store is _batch_id-partitioned (insert-only batches
     # append); the graded view is the flags themselves
     return spark.read.parquet(flags).select("vec_id", "cell", "is_dup")
+
+
+def archive_roundtrip_orders(spark, sf_dir):
+    """Reference archive-format round-trip — the last untested SURVEY
+    §2 sink/source surface (VERDICT r9 item 8): the orders table is
+    exported through the sanctioned single-file CSV path
+    (``sinks.export_single_csv`` — the reference's headerful CSV,
+    scripts/spark_processing.py:258), repacked into the season-tgz
+    shape (``sinks.export_season_tgz`` — the shots-{season}.tgz of
+    scripts/spark_merge_dfs.py:108-113), re-read DISTRIBUTED through
+    ``sinks.read_season_tgz`` (tar extract to temp, Spark CSV parse —
+    no driver-held rows, unlike the reference's parallelize-lines),
+    and aggregated per order priority.  The oracle computes the same
+    aggregate on the ORIGINAL parquet, so the graded claim is
+    export ∘ repack ∘ rescan = identity on the data: K1/K2/S2/S3 get
+    a driver-hash-checked row instead of roundtrip pytest pins only.
+    Money sums go through exact integer cents (CSV doubles re-parse
+    bit-identically — Java shortest-round-trip repr — and *100+round
+    is the same IEEE op on both engines), never float accumulation."""
+    import os
+
+    from .. import sinks as SK
+
+    orders = _t(spark, sf_dir, "orders")
+    base = _stream_state_dir("archive_rt", sf_dir)
+    tgz = os.path.join(base, "orders.tgz")
+    SK.export_season_tgz(orders, tgz, member_name="orders.csv")
+    back = SK.read_season_tgz(spark, tgz)
+    cents = F.round(F.col("o_totalprice").cast("double") * 100, 0).cast("long")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(cents).cast("long").alias("total_cents"),
+        F.min(F.col("o_orderkey").cast("long")).alias("min_key"),
+        F.max(F.col("o_orderkey").cast("long")).alias("max_key"),
+        F.countDistinct(F.col("o_custkey").cast("long")).alias("n_customers"),
+    )
+
+
+_ORACLE_ARCHIVE_ROUNDTRIP = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders GROUP BY o_orderpriority
+"""
 
 
 def dedup_semantic_retract(spark, sf_dir):

@@ -219,7 +219,11 @@ from .indexes import (
     docs_bm25_search,
     docs_bm25_streaming,
     docs_hybrid_search,
+    docs_hybrid_search_ann,
     _oracle_hybrid_sql,
+    _oracle_hybrid_ann_sql,
+    archive_roundtrip_orders,
+    _ORACLE_ARCHIVE_ROUNDTRIP,
     docs_novelty_scored,
     docs_pack_sequences,
     docs_quality_filter,
@@ -365,20 +369,55 @@ from .graph import (
 # driver-green in r1/r2 and locally pinned by tests/test_oracle_parity.py —
 # rotate to the tail.
 SPECS: list[QuerySpec] = [
-    # --- r9 rotation block (schedule pinned in test_registry_window.py) ---
+    # --- r10 rotation block (schedule pinned in test_registry_window.py) ---
     # The driver grades SPECS[:50] only.  The never-graded pending queue
     # drains TEN specs per round; specs added in round N enter the window
-    # in round N itself.  First-time graded this round — the next ten of
-    # the pending tail: events_trend, dedup_fuzzy_titles, dedup_semantic,
-    # events_retention_cohorts, events_markov_transitions,
-    # events_anomaly_hours, embedding_norm_outliers, docs_mixture_rebalance,
-    # docs_shuffle_shards, orders_profile.
-    # Out (driver-green r7/r8, still oracle-gated every round by
-    # tests/test_oracle_parity.py): events_zonemap_retract,
-    # dedup_containment, dedup_semantic_incremental,
-    # docs_repeated_spans_unaligned/_incremental/_retract,
-    # docs_novelty_scored, sources_jsd_hashed, events_k_anonymity,
-    # q11_important_stock.
+    # in round N itself.  VERDICT r9 item 1 pulled the GRAPH TIER to the
+    # queue front (legal: only the never-drained tail was reordered, so
+    # rounds 6-9 replay byte-identical) — first-time graded this round:
+    # users_cooccurrence, users_pagerank, users_triangles,
+    # users_sig_edges_incremental, users_communities,
+    # users_pagerank_personalized, window_function_census,
+    # events_value_histogram, events_user_count_approx, merge_scd2_asof.
+    # Out (driver-green r8/r9, still oracle-gated every round by
+    # tests/test_oracle_parity.py): dedup_containment_retract,
+    # q8/q9/q12/q16, dedup_minhash_lsh_salted, dedup_labels_after_delete,
+    # merge_scd2_customers, snapshot_diff_orders, events_concurrency,
+    # events_funnel, docs_tfidf_incremental.
+    QuerySpec("users_cooccurrence", users_cooccurrence, _ORACLE_COOCCURRENCE),
+    QuerySpec("users_pagerank", users_pagerank, _ORACLE_PAGERANK),
+    QuerySpec("users_triangles", users_triangles, _ORACLE_TRIANGLES),
+    QuerySpec(
+        "users_sig_edges_incremental",
+        users_sig_edges_incremental,
+        _ORACLE_SIG_EDGES_INCR,
+    ),
+    QuerySpec("users_communities", users_communities, _ORACLE_COMMUNITIES),
+    QuerySpec(
+        "users_pagerank_personalized", users_pagerank_personalized, _ORACLE_PPR
+    ),
+    QuerySpec("window_function_census", window_function_census, _ORACLE_WINDOW_CENSUS),
+    QuerySpec("events_value_histogram", events_value_histogram, _ORACLE_HISTOGRAM),
+    # HLL sketches differ across engines by construction: rows-only gate,
+    # accuracy pinned vs exact in tests (see docstring)
+    QuerySpec("events_user_count_approx", events_user_count_approx, None),
+    QuerySpec("merge_scd2_asof", merge_scd2_asof, _ORACLE_SCD2_ASOF),
+    # --- r10 births (enter the window in their birth round) ---------------
+    # hybrid retrieval with the semantic leg probing the PERSISTED IVF
+    # index (cell-pruned, adaptive √n cells) instead of the exact
+    # sibling's full-corpus cosine scan; deterministic geometry, so the
+    # oracle replays assignment/probe/fusion exactly (VERDICT r9 item 3)
+    QuerySpec(
+        "docs_hybrid_search_ann", docs_hybrid_search_ann, _oracle_hybrid_ann_sql()
+    ),
+    # export ∘ tgz-repack ∘ distributed-rescan = identity on orders —
+    # the K1/K2/S2/S3 archive surface, driver-hash-checked (r9 item 8)
+    QuerySpec(
+        "archive_roundtrip_orders",
+        archive_roundtrip_orders,
+        _ORACLE_ARCHIVE_ROUNDTRIP,
+    ),
+    # --- r9 rotation block, still resident ---------------------------------
     QuerySpec("events_trend", events_trend, _ORACLE_TREND),
     QuerySpec("dedup_fuzzy_titles", dedup_fuzzy_titles, _ORACLE_FUZZY),
     QuerySpec(
@@ -394,13 +433,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("docs_shuffle_shards", docs_shuffle_shards, _ORACLE_SHUFFLE_SHARDS),
     QuerySpec("orders_profile", orders_profile, _oracle_profile_sql()),
     # --- r9 births (enter the window in their birth round) ----------------
-    # incremental ≡ batch restricted to delta docs (df/N corpus-wide on
-    # both sides), so the oracle is the batch SQL with the restriction
-    QuerySpec(
-        "docs_tfidf_incremental",
-        docs_tfidf_incremental,
-        _ORACLE_TFIDF_INCREMENTAL,
-    ),
+    # (docs_tfidf_incremental, driver-green r9, rotated to the tail at r10)
     QuerySpec(
         "docs_snapshot_diff", docs_snapshot_diff, _ORACLE_SNAPSHOT_DIFF_DOCS
     ),
@@ -435,44 +468,11 @@ SPECS: list[QuerySpec] = [
         OE.semantic_dedup_sql(16, 0.92, planted_mod=25, tomb_mod=50, tomb_val=25, adaptive_cells=True),
     ),
     # --- r7 rotation block, still resident --------------------------------
-    # --- r8 rotation block (queue drains 10 + birth-round additions) ------
-    # First-time graded this round: the next ten of the r5 pending tail
-    # (q8/q9/q12/q16, dedup_minhash_lsh_salted, dedup_labels_after_delete,
+    # (the r8 rotation block — dedup_containment_retract, q8/q9/q12/q16,
+    # dedup_minhash_lsh_salted, dedup_labels_after_delete,
     # merge_scd2_customers, snapshot_diff_orders, events_concurrency,
-    # events_funnel) plus the r8-new dedup_containment_incremental.
-    # Out (driver-green in earlier rounds, oracle-pinned in the tail):
-    # embedding_near_dup_t90, q21, q20, docs_repetition,
-    # docs_contamination, events_asof_join/_forward, events_range_join,
-    # events_time_rollup, events_range_frame, events_gaps.
-    # retraction graded against the survivor full-recompute; max_df=4
-    # keeps the df-window re-entry leg live at the graded SFs
-    QuerySpec(
-        "dedup_containment_retract",
-        dedup_containment_retract,
-        OE.containment_retract_sql(0.5, 3, 4, tomb_mod=7, tomb_val=3),
-    ),
-    QuerySpec("q8_market_share", q8_market_share_q, _ORACLE_Q8),
-    QuerySpec("q9_product_profit", q9_product_profit_q, _ORACLE_Q9),
-    QuerySpec("q12_priority_counts", q12_priority_q, _ORACLE_Q12),
-    QuerySpec("q16_supplier_counts", q16_supplier_counts_q, _ORACLE_Q16),
-    # r5: skew guard proved result-preserving by sharing the plain
-    # join's oracle; retraction graded against the post-delete closure
-    QuerySpec(
-        "dedup_minhash_lsh_salted",
-        dedup_minhash_lsh_salted,
-        OE.minhash_lsh_sql(16, 4, 0.4, ngram=3),
-    ),
-    QuerySpec(
-        "dedup_labels_after_delete",
-        dedup_labels_after_delete,
-        _oracle_labels_after_delete_sql(),
-    ),
-    # r5 second wave: versioned-dimension maintenance and CDC recovery —
-    # the "updating datasets" model as first-class history, not overwrite
-    QuerySpec("merge_scd2_customers", merge_scd2_customers, _ORACLE_SCD2),
-    QuerySpec("snapshot_diff_orders", snapshot_diff_orders, _ORACLE_SNAPSHOT_DIFF),
-    QuerySpec("events_concurrency", events_concurrency, _ORACLE_CONCURRENCY),
-    QuerySpec("events_funnel", events_funnel, _ORACLE_FUNNEL),
+    # events_funnel — went driver-green in r8/r9 and rotated to the
+    # pytest-pinned tail at r10.)
     # --- LLM-data-pipeline tier: dedup -----------------------------------
     QuerySpec(
         "dedup_incremental",
@@ -664,12 +664,10 @@ SPECS: list[QuerySpec] = [
         dedup_clusters_incremental,
         _oracle_clusters_incremental_sql(10),
     ),
-    QuerySpec("window_function_census", window_function_census, _ORACLE_WINDOW_CENSUS),
-    QuerySpec("events_value_histogram", events_value_histogram, _ORACLE_HISTOGRAM),
-    # HLL sketches differ across engines by construction: rows-only gate,
-    # accuracy pinned vs exact in tests (see docstring)
-    QuerySpec("events_user_count_approx", events_user_count_approx, None),
-    QuerySpec("merge_scd2_asof", merge_scd2_asof, _ORACLE_SCD2_ASOF),
+    # (window_function_census, events_value_histogram,
+    # events_user_count_approx, merge_scd2_asof and the six users_*
+    # graph specs drained INTO the window at r10 — see the rotation
+    # block above.)
     QuerySpec("embedding_quantize", embedding_quantize, _ORACLE_QUANTIZE),
     QuerySpec("docs_split_assign", docs_split_assign, _ORACLE_SPLIT),
     # r5 block 4: cross-document curation (docs_boilerplate_strip holds
@@ -687,7 +685,6 @@ SPECS: list[QuerySpec] = [
     QuerySpec("sources_overlap_matrix", sources_overlap_matrix, _ORACLE_OVERLAP),
     # r5 block 6: behavioral segmentation & co-occurrence projection
     QuerySpec("events_rfm_segments", events_rfm_segments, _ORACLE_RFM),
-    QuerySpec("users_cooccurrence", users_cooccurrence, _ORACLE_COOCCURRENCE),
     QuerySpec(
         "docs_boilerplate_incremental",
         docs_boilerplate_incremental,
@@ -696,11 +693,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "docs_delta_quality_scored", docs_delta_quality_scored, _ORACLE_DELTA_QUALITY
     ),
-    # --- block 8: graph tier + probe/skyline shapes ----------------------
-    QuerySpec("users_pagerank", users_pagerank, _ORACLE_PAGERANK),
+    # --- block 8: probe/skyline shapes (graph tier rotated into the
+    # window at r10) -------------------------------------------------------
     QuerySpec("dedup_delta_bloom_probe", dedup_delta_bloom_probe, _ORACLE_BLOOM_PROBE),
     QuerySpec("orders_skyline", orders_skyline, _ORACLE_SKYLINE),
-    QuerySpec("users_triangles", users_triangles, _ORACLE_TRIANGLES),
     QuerySpec(
         "incremental_value_quantiles",
         incremental_value_quantiles,
@@ -710,16 +706,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("docs_classifier_score", docs_classifier_score, _ORACLE_CLASSIFIER),
     QuerySpec("docs_importance_resample", docs_importance_resample, _ORACLE_DSIR),
     QuerySpec("docs_bigram_logprob", docs_bigram_logprob, _ORACLE_BIGRAM_LM),
-    QuerySpec(
-        "users_sig_edges_incremental",
-        users_sig_edges_incremental,
-        _ORACLE_SIG_EDGES_INCR,
-    ),
     QuerySpec("sources_jsd_divergence", sources_jsd_divergence, _ORACLE_JSD),
-    QuerySpec("users_communities", users_communities, _ORACLE_COMMUNITIES),
-    QuerySpec(
-        "users_pagerank_personalized", users_pagerank_personalized, _ORACLE_PPR
-    ),
     QuerySpec(
         "incremental_type_quantiles",
         incremental_type_quantiles,
@@ -731,6 +718,43 @@ SPECS: list[QuerySpec] = [
         docs_weighted_sample_per_source,
         _ORACLE_WEIGHTED_SAMPLE_SRC,
     ),
+    # --- r10 evictions (driver-green r8/r9) ------------------------------
+    # incremental ≡ batch restricted to delta docs (df/N corpus-wide on
+    # both sides), so the oracle is the batch SQL with the restriction
+    QuerySpec(
+        "docs_tfidf_incremental",
+        docs_tfidf_incremental,
+        _ORACLE_TFIDF_INCREMENTAL,
+    ),
+    # retraction graded against the survivor full-recompute; max_df=4
+    # keeps the df-window re-entry leg live at the graded SFs
+    QuerySpec(
+        "dedup_containment_retract",
+        dedup_containment_retract,
+        OE.containment_retract_sql(0.5, 3, 4, tomb_mod=7, tomb_val=3),
+    ),
+    QuerySpec("q8_market_share", q8_market_share_q, _ORACLE_Q8),
+    QuerySpec("q9_product_profit", q9_product_profit_q, _ORACLE_Q9),
+    QuerySpec("q12_priority_counts", q12_priority_q, _ORACLE_Q12),
+    QuerySpec("q16_supplier_counts", q16_supplier_counts_q, _ORACLE_Q16),
+    # r5: skew guard proved result-preserving by sharing the plain
+    # join's oracle; retraction graded against the post-delete closure
+    QuerySpec(
+        "dedup_minhash_lsh_salted",
+        dedup_minhash_lsh_salted,
+        OE.minhash_lsh_sql(16, 4, 0.4, ngram=3),
+    ),
+    QuerySpec(
+        "dedup_labels_after_delete",
+        dedup_labels_after_delete,
+        _oracle_labels_after_delete_sql(),
+    ),
+    # versioned-dimension maintenance and CDC recovery — the "updating
+    # datasets" model as first-class history, not overwrite
+    QuerySpec("merge_scd2_customers", merge_scd2_customers, _ORACLE_SCD2),
+    QuerySpec("snapshot_diff_orders", snapshot_diff_orders, _ORACLE_SNAPSHOT_DIFF),
+    QuerySpec("events_concurrency", events_concurrency, _ORACLE_CONCURRENCY),
+    QuerySpec("events_funnel", events_funnel, _ORACLE_FUNNEL),
 ]
 
 
