@@ -383,7 +383,9 @@ def test_streaming_index_compaction(spark, tmp_path):
     for path in (index_path, pairs_path, docs_path):
         before, after = MNT.compact_batch_index(spark, path)
         assert after <= before
-        assert partition_dirs(path) == ["_batch_id=1"]  # one watermark tier
+        # one RESERVED compaction tier — no replayable batch id can
+        # dynamic-overwrite it (ADVICE r9 item 3)
+        assert partition_dirs(path) == ["_batch_id=-1"]
         # crash-safe swap left no staging/old residue
         assert not os.path.exists(path + ".staging")
         assert not os.path.exists(path + ".old")
@@ -396,7 +398,7 @@ def test_streaming_index_compaction(spark, tmp_path):
     log = spark.read.parquet(pairs_path)
     full = D.minhash_lsh_pairs(all_docs, ngram=3)
     assert _sorted_rows(log.select(*key), key) == _sorted_rows(full, key)
-    assert sorted(partition_dirs(index_path)) == ["_batch_id=1", "_batch_id=2"]
+    assert sorted(partition_dirs(index_path)) == ["_batch_id=-1", "_batch_id=2"]
 
 
 def test_streaming_index_delete_lifecycle(spark, tmp_path):
@@ -1612,3 +1614,54 @@ def test_bm25_state_compaction(spark, tmp_path):
     assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(
         want.select(*cols), cols
     )
+
+
+def test_compaction_survives_batch_replay(spark, tmp_path):
+    """ADVICE r9 item 3: the compactors fold history into the RESERVED
+    partition _batch_id = -1, which no micro-batch can dynamic-
+    overwrite.  A crash-replayed batch after compaction therefore
+    re-appends its own partition (a bounded DOUBLE-COUNT, the
+    compact_batch_index degraded mode the docstrings advertise) — it
+    can no longer ERASE the folded contributions of earlier batches,
+    which is exactly what the previous watermark-id retag allowed."""
+    from updating_datasets_data_engineering_spark.operators import maintenance as MNT
+    from updating_datasets_data_engineering_spark.tables import load_table
+
+    src = str(tmp_path / "rp_src")
+    paths = {k: str(tmp_path / f"rp_{k}") for k in
+             ("postings", "doclen", "df", "stats", "ranking")}
+    ckpt = str(tmp_path / "rp_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    all_docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batches = [all_docs.where(F.col("doc_id") % 2 == i) for i in range(2)]
+    n0, n1 = batches[0].count(), batches[1].count()
+
+    fn = SP.maintain_bm25_index_each_batch(
+        paths["postings"], paths["doclen"], paths["df"],
+        paths["stats"], paths["ranking"],
+    )
+    for b in batches:
+        b.write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema(b.schema).parquet(src)
+            .writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+
+    MNT.compact_additive_partials(spark, paths["stats"], [], ["n", "sumdl"])
+    stats = spark.read.parquet(paths["stats"])
+    # the fold lives in the reserved partition, visible to < N readers
+    assert stats.select("_batch_id").distinct().collect()[0][0] == -1
+    assert stats.agg(F.sum("n")).collect()[0][0] == n0 + n1
+    # crash-replay of the last committed batch (id 1) AFTER compaction:
+    # its dynamic partition overwrite rewrites _batch_id=1 only
+    fn(batches[1], 1)
+    n_after = spark.read.parquet(paths["stats"]).agg(F.sum("n")).collect()[0][0]
+    assert n_after != n1, "replay erased the folded history (the r9 bug)"
+    assert n_after == n0 + 2 * n1, "degraded mode must be a bounded double-count"

@@ -66,17 +66,28 @@ def compact_batch_index(
 
     A plain :func:`compact` would flatten the partition tier, and then
     the next micro-batch's dynamic-partition append would produce a
-    mixed layout.  Instead every committed row is re-tagged with the
-    compaction WATERMARK — the max ``_batch_id`` present — and written
-    as one partition: future batches keep appending their own
+    mixed layout.  Instead every committed row is re-tagged into the
+    RESERVED compaction partition ``_batch_id = -1`` and written as one
+    partition: future batches keep appending their own (non-negative)
     partitions, and the maintenance readers' ``_batch_id < batch_id``
-    filter still sees every compacted row (watermark < any future
-    batch id by construction).
+    filter still sees every compacted row (-1 < any real batch id by
+    construction).
 
-    Run this only between streaming runs (or behind the checkpoint's
-    committed offset): a crash-replayed COMMITTED batch would re-append
-    rows the compaction folded into the watermark partition.  The swap
-    is the same crash-safe rename-aside as :func:`compact`.
+    Why the reserved id and not the max-present watermark (ADVICE r9
+    item 3): micro-batches write their partition with DYNAMIC partition
+    overwrite, so a crash-replayed batch rewrites exactly the partition
+    carrying its own id.  Folding history into the watermark id put the
+    whole fold inside a partition a replay could legally rewrite —
+    erasing every earlier batch's contribution, a DESTRUCTIVE failure.
+    With the reserved id, no replay can ever touch the fold; the
+    remaining degraded mode is the replayed batch RE-APPENDING rows the
+    fold already absorbed (a bounded duplicate, pinned in
+    tests/test_streaming.py::test_compaction_survives_batch_replay).
+    Hence the schedule contract: run this only between streaming runs
+    behind the checkpoint's committed offset, where no replay is
+    pending; under an uncommitted crash the failure degrades to
+    double-count, never data loss.  The swap is the same crash-safe
+    rename-aside as :func:`compact`.
 
     Returns (files_before, files_after).
     """
@@ -84,8 +95,7 @@ def compact_batch_index(
     files_before, total_bytes = parquet_file_stats(spark, path)
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
     df = spark.read.parquet(path)
-    watermark = df.agg(F.max("_batch_id")).collect()[0][0]
-    compacted = df.withColumn("_batch_id", F.lit(watermark).cast("long"))
+    compacted = df.withColumn("_batch_id", F.lit(-1).cast("long"))
     staging = fs.staging_path(path)
     fs.delete(spark, staging)
     (
@@ -121,12 +131,20 @@ def compact_additive_partials(
     history.  ``keys`` may be empty (the corpus-stat store holds one
     global row).
 
-    Every folded row is re-tagged to the compaction WATERMARK (max
-    ``_batch_id`` present), so future batches keep appending their own
-    partitions and maintenance readers' ``_batch_id < batch_id``
-    filters still see every committed contribution.  Same
-    between-runs schedule contract and crash-safe swap as
-    :func:`compact_batch_index`; the fold is a pure function of the
+    Every folded row is re-tagged into the RESERVED compaction
+    partition ``_batch_id = -1`` (see :func:`compact_batch_index` for
+    why the max-present watermark id was WRONG here — ADVICE r9
+    item 3: a crash-replayed batch at the watermark id would
+    dynamic-overwrite the fold, erasing every earlier batch's
+    contribution; for an additive store that data loss is silent and
+    unrecoverable).  Future batches keep appending their own
+    non-negative partitions and maintenance readers' ``_batch_id <
+    batch_id`` filters still see the fold.  Same between-runs schedule
+    contract and crash-safe swap as :func:`compact_batch_index`; under
+    an uncommitted crash the degraded mode is the replayed batch's
+    partials double-counting into the sums (bounded, pinned in
+    tests/test_streaming.py::test_compaction_survives_batch_replay),
+    never loss of folded history.  The fold is a pure function of the
     committed partials, so a replayed compaction converges.
 
     Returns (files_before, files_after).
@@ -134,10 +152,9 @@ def compact_additive_partials(
     fs.recover_swap(spark, path)
     files_before, total_bytes = parquet_file_stats(spark, path)
     df = spark.read.parquet(path)
-    watermark = df.agg(F.max("_batch_id")).collect()[0][0]
     aggs = [F.sum(c).alias(c) for c in sums]
     folded = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
-    compacted = folded.withColumn("_batch_id", F.lit(watermark).cast("long"))
+    compacted = folded.withColumn("_batch_id", F.lit(-1).cast("long"))
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
     staging = fs.staging_path(path)
     fs.delete(spark, staging)
