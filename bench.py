@@ -216,6 +216,12 @@ HEADLINE = [
     "dedup_semantic_retract",
     "dedup_semantic_streaming",
     "docs_hybrid_search",
+    # r10 births: ANN-probed hybrid retrieval, archive round-trip,
+    # TF-IDF retract, incremental triangles
+    "docs_hybrid_search_ann",
+    "archive_roundtrip_orders",
+    "docs_tfidf_retract",
+    "users_triangles_incremental",
 ]
 
 # Every registered spec must be benched except the explicit quarantine —

@@ -423,3 +423,81 @@ def test_cooccurrence_min_support_prune_is_result_identical(spark):
     assert sorted(map(key, pairs_from(pruned_active).collect())) == sorted(
         map(key, pairs_from(active).collect())
     )
+
+
+def _tri_instances(pairs):
+    """id-ordered triangle set of an edge list, brute force."""
+    es = set(pairs)
+    nodes = sorted({n for e in pairs for n in e})
+    out = set()
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            if (x, y) not in es:
+                continue
+            for z in nodes:
+                if z > y and (x, z) in es and (y, z) in es:
+                    out.add((x, y, z))
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_delta_triangles_matches_bruteforce(spark, seed):
+    """delta_triangles(D, E) must enumerate EXACTLY the triangles of E
+    containing >=1 D edge, each once — including triangles with 2 or 3
+    delta edges (the distinct-union collapse) — on random graphs."""
+    import random
+
+    rng = random.Random(seed)
+    n = 14
+    all_pairs = [(a, b) for a in range(n) for b in range(a + 1, n)]
+    e = [p for p in all_pairs if rng.random() < 0.35]
+    d = [p for p in e if rng.random() < 0.3]
+    if not d:
+        d = e[:1]
+    expected = {t for t in _tri_instances(e) if any(
+        (t[0], t[1]) == p or (t[0], t[2]) == p or (t[1], t[2]) == p for p in d
+    )}
+    got = {
+        (r.x, r.y, r.z)
+        for r in G.delta_triangles(
+            _edges(spark, d), _edges(spark, e), "user_a", "user_b"
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_triangles_incremental_equals_full_rebuild(spark):
+    """The incremental leg's state ⊕ delta correction must equal the
+    batch users_triangles recompute on the full corpus, row for row —
+    pinned at sf0.01 (not the default sf0.001 fixture, whose delta day
+    produces ZERO edge churn and would exercise nothing): there the
+    day's lift shifts yield 118 inserted and 155 deleted edges, so
+    both correction legs are asserted live."""
+    import os
+
+    from updating_datasets_data_engineering_spark.queries import graph as GQ
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.01 fixture not present")
+
+    archive, _ = GQ._graph_day_split(spark, sf_dir)
+    sp, su, sh = GQ._graph_state(spark, sf_dir, archive)
+    old_pairs = sp.select(
+        "user_a", "user_b", F.col("sh").alias("shared_windows")
+    ).where(F.col("shared_windows") >= 2)
+    e_old = GQ._lift_from_counts(old_pairs, su, sh).select("user_a", "user_b")
+    e_new = GQ.users_sig_edges_incremental(spark, sf_dir).select("user_a", "user_b")
+    keys = ["user_a", "user_b"]
+    assert e_new.join(e_old, keys, "left_anti").count() > 0, "insert leg inert"
+    assert e_old.join(e_new, keys, "left_anti").count() > 0, "delete leg inert"
+
+    inc = {
+        r.node: (r.degree, r.triangles, r.clustering)
+        for r in Q["users_triangles_incremental"](spark, sf_dir).collect()
+    }
+    full = {
+        r.node: (r.degree, r.triangles, r.clustering)
+        for r in Q["users_triangles"](spark, sf_dir).collect()
+    }
+    assert inc == full

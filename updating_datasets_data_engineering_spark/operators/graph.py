@@ -264,6 +264,67 @@ def triangle_stats(
     )
 
 
+def delta_triangles(delta: DataFrame, edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Triangle instances ``(x < y < z)`` of ``edges`` that contain at
+    least one ``delta`` edge, each EXACTLY once — the enumeration core
+    of incremental triangle maintenance (Eppstein & Spiro's dynamic
+    h-index scheme simplified to the batch-delta case: a triangle's
+    count changes iff one of its edges changed).
+
+    Both inputs are id-ordered undirected edge lists (``src < dst``,
+    each edge once).  A qualifying triangle has its delta edge in one
+    of three slots — (x,y), (x,z), or (y,z) — so three joins, each
+    ANCHORED on the delta side (cost ∝ |delta| × adjacency, never
+    |edges|²), enumerate every qualifying triangle at least once; the
+    union's ``distinct`` collapses triangles holding 2 or 3 delta
+    edges to one row, replacing the signed inclusion–exclusion with
+    one delta-sized shuffle.  Orientation note: unlike the full-build
+    wedge plan (``triangle_stats``, degree-ordered), the delta legs
+    are bounded by the delta edge's endpoints' adjacency, so the
+    simple id-ordered form is already hub-safe for batch deltas."""
+    d = delta.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # delta in slot (x,y): close with e(x,z), z > y, and e(y,z)
+    j1 = (
+        d.alias("d")
+        .join(e.alias("e1"), F.col("d.a") == F.col("e1.a"))
+        .where(F.col("e1.b") > F.col("d.b"))
+        .join(
+            e.alias("e2"),
+            (F.col("e2.a") == F.col("d.b")) & (F.col("e2.b") == F.col("e1.b")),
+        )
+        .select(
+            F.col("d.a").alias("x"), F.col("d.b").alias("y"), F.col("e1.b").alias("z")
+        )
+    )
+    # delta in slot (x,z): close with e(x,y), y < z, and e(y,z)
+    j2 = (
+        d.alias("d")
+        .join(e.alias("e1"), F.col("d.a") == F.col("e1.a"))
+        .where(F.col("e1.b") < F.col("d.b"))
+        .join(
+            e.alias("e2"),
+            (F.col("e2.a") == F.col("e1.b")) & (F.col("e2.b") == F.col("d.b")),
+        )
+        .select(
+            F.col("d.a").alias("x"), F.col("e1.b").alias("y"), F.col("d.b").alias("z")
+        )
+    )
+    # delta in slot (y,z): close with e(x,y) and e(x,z)
+    j3 = (
+        d.alias("d")
+        .join(e.alias("e1"), F.col("e1.b") == F.col("d.a"))
+        .join(
+            e.alias("e2"),
+            (F.col("e2.a") == F.col("e1.a")) & (F.col("e2.b") == F.col("d.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("d.a").alias("y"), F.col("d.b").alias("z")
+        )
+    )
+    return j1.unionByName(j2).unionByName(j3).distinct()
+
+
 def bloom_bits(
     keys: DataFrame, key: str, m_bits: int, k_hashes: int
 ) -> DataFrame:

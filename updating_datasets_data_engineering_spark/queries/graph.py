@@ -922,6 +922,73 @@ FROM scored
 """
 
 
+def _graph_day_split(spark, sf_dir):
+    """events split into the archive and 'today's delta' (the LAST
+    calendar day) — the archive ∪ daily-delta loop the incremental
+    graph legs share."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    maxd = ev.agg(F.max("_day").alias("_maxd"))
+    ev = ev.crossJoin(F.broadcast(maxd))
+    archive = ev.where(F.col("_day") != F.col("_maxd"))
+    delta = ev.where(F.col("_day") == F.col("_maxd"))
+    return archive, delta
+
+
+def _graph_active(df):
+    """distinct (hourly window, user) activity rows."""
+    return df.select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour"),
+        "user_id",
+    ).distinct()
+
+
+def _graph_pairs(active):
+    """per-window user pair counts (a < b) from an activity frame."""
+    a, b = active.alias("a"), active.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.hour") == F.col("b.hour"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("sh"))
+    )
+
+
+def _graph_state(spark, sf_dir, archive):
+    """The three PERSISTED graph-state frames the incremental legs
+    probe (one nightly build serves the whole tier): per-pair shared
+    counts, per-(user, month) window counts — the EPOCH-LOCAL lift's
+    state (see ``_significant_edges``: the global-expectation formula
+    densifies with history length; per-month counts are just as
+    additive, since the delta day's distinct (hour, user) rows are
+    disjoint from the archive's) — and the window inventory."""
+    state_pairs = _persisted_index(
+        spark, sf_dir, "graph_pair_counts", lambda: _graph_pairs(_graph_active(archive))
+    )
+    state_users = _persisted_index(
+        spark,
+        sf_dir,
+        "graph_user_month_counts",
+        lambda: _graph_active(archive)
+        .groupBy("user_id", F.substring("hour", 1, 7).alias("month"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nu")),
+    )
+    state_hours = _persisted_index(
+        spark,
+        sf_dir,
+        "graph_hours",
+        lambda: _graph_active(archive).select("hour").distinct(),
+    )
+    return state_pairs, state_users, state_hours
+
+
 def users_sig_edges_incremental(spark, sf_dir, min_shared: int = 2, min_lift: float = 1.5):
     """Incremental maintenance of the significant-edge graph state —
     the archive ∪ daily-delta loop (scripts/spark_merge_dfs.py:82-83's
@@ -944,59 +1011,10 @@ def users_sig_edges_incremental(spark, sf_dir, min_shared: int = 2, min_lift: fl
     joined; per-user and window states merge by one outer join each
     (delta side broadcastable).  At 100 TB the archive self-join —
     the only quadratic term — is never re-executed."""
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "_day", F.date_format("ts", "yyyy-MM-dd")
-    )
-    maxd = ev.agg(F.max("_day").alias("_maxd"))
-    ev = ev.crossJoin(F.broadcast(maxd))
-    archive = ev.where(F.col("_day") != F.col("_maxd"))
-    delta = ev.where(F.col("_day") == F.col("_maxd"))
-
-    def _active(df):
-        return df.select(
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour"),
-            "user_id",
-        ).distinct()
-
-    def _pairs(active):
-        a, b = active.alias("a"), active.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col("a.hour") == F.col("b.hour"))
-                & (F.col("a.user_id") < F.col("b.user_id")),
-            )
-            .groupBy(
-                F.col("a.user_id").alias("user_a"),
-                F.col("b.user_id").alias("user_b"),
-            )
-            .agg(F.count(F.lit(1)).cast("long").alias("sh"))
-        )
-
-    state_pairs = _persisted_index(
-        spark, sf_dir, "graph_pair_counts", lambda: _pairs(_active(archive))
-    )
-    # per-(user, month) counts — the EPOCH-LOCAL lift's state (see
-    # _significant_edges: the global-expectation formula densifies with
-    # history length; per-month counts are just as additive, since the
-    # delta day's distinct (hour, user) rows are disjoint from the
-    # archive's)
-    state_users = _persisted_index(
-        spark,
-        sf_dir,
-        "graph_user_month_counts",
-        lambda: _active(archive)
-        .groupBy("user_id", F.substring("hour", 1, 7).alias("month"))
-        .agg(F.count(F.lit(1)).cast("long").alias("nu")),
-    )
-    state_hours = _persisted_index(
-        spark,
-        sf_dir,
-        "graph_hours",
-        lambda: _active(archive).select("hour").distinct(),
-    )
-    d_active = _active(delta)
-    d_pairs = _pairs(d_active)
+    archive, delta = _graph_day_split(spark, sf_dir)
+    state_pairs, state_users, state_hours = _graph_state(spark, sf_dir, archive)
+    d_active = _graph_active(delta)
+    d_pairs = _graph_pairs(d_active)
     d_users = d_active.groupBy(
         "user_id", F.substring("hour", 1, 7).alias("month")
     ).agg(F.count(F.lit(1)).cast("long").alias("nu_d"))
@@ -1018,20 +1036,31 @@ def users_sig_edges_incremental(spark, sf_dir, min_shared: int = 2, min_lift: fl
         .cast("long")
         .alias("nu"),
     )
+    hours = state_hours.unionByName(d_active.select("hour").distinct()).distinct()
+    return _lift_from_counts(merged_pairs, merged_users, hours, min_lift)
+
+
+def _lift_from_counts(pairs, users, hours, min_lift: float = 1.5):
+    """Apply the epoch-local lift threshold to ALREADY-AGGREGATED graph
+    counts — the closed-form tail shared by ``users_sig_edges_incremental``
+    (merged state ⊕ delta counts) and the state-only edge derivation in
+    ``users_triangles_incremental``.  ``pairs`` = (user_a, user_b,
+    shared_windows) already min-shared-filtered; ``users`` = (user_id,
+    month, nu); ``hours`` = distinct window inventory.  Pure columnar
+    scans + two count-table joins; the archive events are never touched."""
     wm = (
-        state_hours.unionByName(d_active.select("hour").distinct())
-        .distinct()
+        hours
         .groupBy(F.substring("hour", 1, 7).alias("month"))
         .agg(F.count(F.lit(1)).alias("wm"))
     )
     ex = (
-        merged_pairs.select("user_a", "user_b")
+        pairs.select("user_a", "user_b")
         .join(
-            merged_users.withColumnRenamed("user_id", "user_a").withColumnRenamed("nu", "na"),
+            users.withColumnRenamed("user_id", "user_a").withColumnRenamed("nu", "na"),
             "user_a",
         )
         .join(
-            merged_users.withColumnRenamed("user_id", "user_b").withColumnRenamed("nu", "nb"),
+            users.withColumnRenamed("user_id", "user_b").withColumnRenamed("nu", "nb"),
             ["user_b", "month"],
         )
         .join(F.broadcast(wm), "month")
@@ -1041,7 +1070,7 @@ def users_sig_edges_incremental(spark, sf_dir, min_shared: int = 2, min_lift: fl
         )
     )
     return (
-        merged_pairs.join(ex, ["user_a", "user_b"])
+        pairs.join(ex, ["user_a", "user_b"])
         .withColumn(
             "lift",
             F.round(F.col("shared_windows").cast("double") / F.col("ex"), 6),
@@ -1144,6 +1173,116 @@ def users_triangles(spark, sf_dir):
         spark, sf_dir, "sig_edges", lambda: _significant_edges(spark, sf_dir)
     )
     return G.triangle_stats(edges, "user_a", "user_b")
+
+
+def users_triangles_incremental(spark, sf_dir):
+    """Incremental maintenance of per-node triangle counts under the
+    archive ∪ daily-delta loop — the graph tier's second incremental
+    leg (after ``users_sig_edges_incremental``), built on the standard
+    dynamic-triangle identity: a triangle's count changes iff one of
+    its edges changed, so
+    T_new(v) = T_old(v) + |triangles of E_new with ≥1 inserted edge|(v)
+                        − |triangles of E_old with ≥1 deleted edge|(v).
+
+    State: the persisted per-node triangle/degree table on the ARCHIVE
+    significant graph (``graph_tri_stats``) plus the same three count
+    states every graph leg probes; E_old is re-derived from those
+    counts by a pure columnar lift scan (``_lift_from_counts`` — the
+    archive events are never re-joined).  E_new is the merged
+    state ⊕ delta edge set, exactly ``users_sig_edges_incremental``'s
+    graded output.  The day's lift shifts can both ADD and DROP edges
+    (new shared windows raise counts; higher user activity raises the
+    independence expectation), so the delta is two edge sets — inserts
+    and deletes — and both corrections run through
+    ``operators/graph.delta_triangles``, whose three joins are
+    ANCHORED on the delta edges (cost ∝ |Δ| × adjacency, never a
+    full-graph wedge rebuild).  Output ≡ the full ``users_triangles``
+    recompute on today's corpus, row for row — the SAME oracle.
+
+    100 TB shape: the full wedge enumeration (the quadratic term) runs
+    only in the nightly state build; the daily correction pays two
+    edge-keyed anti-joins + delta-anchored adjacency probes + one
+    node-keyed merge, all ∝ the day's lift churn."""
+    from ..caching import tracked_persist
+    from ..operators import graph as G
+
+    archive, delta = _graph_day_split(spark, sf_dir)
+    state_pairs, state_users, state_hours = _graph_state(spark, sf_dir, archive)
+    old_pairs = state_pairs.select(
+        "user_a", "user_b", F.col("sh").alias("shared_windows")
+    ).where(F.col("shared_windows") >= 2)
+    e_old = tracked_persist(
+        _lift_from_counts(old_pairs, state_users, state_hours).select(
+            "user_a", "user_b"
+        )
+    )
+    state_tri = _persisted_index(
+        spark,
+        sf_dir,
+        "graph_tri_stats",
+        lambda: G.triangle_stats(e_old, "user_a", "user_b"),
+    )
+    e_new = tracked_persist(
+        users_sig_edges_incremental(spark, sf_dir).select("user_a", "user_b")
+    )
+    keys = ["user_a", "user_b"]
+    d_ins = tracked_persist(e_new.join(e_old, keys, "left_anti"))
+    d_del = tracked_persist(e_old.join(e_new, keys, "left_anti"))
+
+    def _per_node(tris, col):
+        return (
+            tris.select(
+                F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
+            )
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias(col))
+        )
+
+    t_ins = _per_node(G.delta_triangles(d_ins, e_new, "user_a", "user_b"), "t_ins")
+    t_del = _per_node(G.delta_triangles(d_del, e_old, "user_a", "user_b"), "t_del")
+
+    def _incident(edges, col):
+        return (
+            G.symmetrize(edges, "user_a", "user_b")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias(col))
+        )
+
+    merged = (
+        state_tri.select("node", "degree", "triangles")
+        .join(_incident(d_ins, "deg_ins"), "node", "full_outer")
+        .join(_incident(d_del, "deg_del"), "node", "full_outer")
+        .join(t_ins, "node", "full_outer")
+        .join(t_del, "node", "full_outer")
+        .select(
+            "node",
+            (
+                F.coalesce("degree", F.lit(0))
+                + F.coalesce("deg_ins", F.lit(0))
+                - F.coalesce("deg_del", F.lit(0))
+            ).cast("long").alias("degree"),
+            (
+                F.coalesce("triangles", F.lit(0))
+                + F.coalesce("t_ins", F.lit(0))
+                - F.coalesce("t_del", F.lit(0))
+            ).cast("long").alias("triangles"),
+        )
+        .where(F.col("degree") >= 1)
+    )
+    return merged.select(
+        "node",
+        "degree",
+        "triangles",
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
 
 
 _ORACLE_TRIANGLES = f"""

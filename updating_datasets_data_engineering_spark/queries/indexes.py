@@ -1308,6 +1308,33 @@ SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
 """
 
 
+def _tfidf_state(spark, sf_dir, archive):
+    """The persisted TF-IDF corpus statistics both maintenance legs
+    probe (one nightly build serves the whole family, the
+    ``_bm25_state`` convention): per-term archive document frequency
+    and the archive document count."""
+    from ..functions import text as TXT
+
+    def _build_df():
+        toks = archive.select(
+            "doc_id", F.explode(TXT.words(F.col("text"))).alias("term")
+        )
+        return (
+            toks.distinct()
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("adf"))
+        )
+
+    arch_df = _persisted_index(spark, sf_dir, "tfidf_term_df", _build_df)
+    arch_n = _persisted_index(
+        spark,
+        sf_dir,
+        "tfidf_n_docs",
+        lambda: archive.agg(F.countDistinct("doc_id").cast("long").alias("an")),
+    )
+    return arch_df, arch_n
+
+
 def docs_tfidf_incremental(spark, sf_dir):
     """Incremental TF-IDF keyword scoring for the daily delta — the
     state ⊕ delta discipline applied to the retrieval-salience
@@ -1339,23 +1366,7 @@ def docs_tfidf_incremental(spark, sf_dir):
     archive = docs.where(F.col("doc_id") % 10 != 0)
     delta = docs.where(F.col("doc_id") % 10 == 0)
 
-    def _build_df():
-        toks = archive.select(
-            "doc_id", F.explode(TXT.words(F.col("text"))).alias("term")
-        )
-        return (
-            toks.distinct()
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).cast("long").alias("adf"))
-        )
-
-    arch_df = _persisted_index(spark, sf_dir, "tfidf_term_df", _build_df)
-    arch_n = _persisted_index(
-        spark,
-        sf_dir,
-        "tfidf_n_docs",
-        lambda: archive.agg(F.countDistinct("doc_id").cast("long").alias("an")),
-    )
+    arch_df, arch_n = _tfidf_state(spark, sf_dir, archive)
     toks = delta.select("doc_id", F.explode(TXT.words(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     tf = caching.tracked_persist(tf)  # feeds delta-df, doc-length, and scoring
@@ -1397,6 +1408,110 @@ def docs_tfidf_incremental(spark, sf_dir):
 # incremental ≡ batch restricted to delta docs (df/N are corpus-wide on
 # both sides; a delta doc's tf/doc-length involve only its own tokens)
 _ORACLE_TFIDF_INCREMENTAL = _ORACLE_TFIDF.replace(
+    "SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3",
+    "SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3 AND doc_id % 10 = 0",
+)
+
+
+def docs_tfidf_retract(spark, sf_dir):
+    """Delete maintenance for the TF-IDF corpus statistics — the
+    retract leg that completes keyword salience's lifecycle (batch /
+    incremental / retract, the BM25-family shape).  Scenario: the
+    nightly delta (doc_id % 10 == 0) arrives in the same maintenance
+    run that retracts the archive docs with doc_id % 9 == 4 (takedowns
+    land together with the day's crawl).  State: the SAME persisted
+    ``tfidf_term_df`` / ``tfidf_n_docs`` frames ``docs_tfidf_incremental``
+    probes — one state build serves the whole family.  Output = the
+    delta docs' top-3 keywords scored against the SURVIVOR ∪ delta
+    corpus statistics, row for row what the batch recompute on that
+    corpus would emit for the delta docs (the oracle replays exactly
+    that).
+
+    Why deletes stay delta-sized: only the tombstoned docs are
+    re-tokenized — their per-term df contributions and their doc count
+    are SUBTRACTED from the persisted state (df and N are mergeable in
+    both directions), the delta's contributions are added, and scoring
+    touches only delta tokens.  Both the archive-df slice and the
+    tombstone-df subtraction are SEMI-JOIN-PRUNED to the delta's term
+    keys before any join — a term can affect a delta doc's score only
+    if the delta doc contains it, so the GB-scale term dictionary
+    never shuffles (the span-family state-slice prune).  Terms whose
+    last surviving holder is a delta doc keep df = ddf > 0; terms held
+    only by tombstones never reach the scorer.  N is a one-row
+    broadcast; ranking reuses the doc_id exchange."""
+    from pyspark.sql import Window
+
+    from ..functions import text as TXT
+
+    docs = _td(spark, sf_dir)
+    archive = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    tomb_docs = archive.where(F.col("doc_id") % 9 == 4)
+
+    arch_df, arch_n = _tfidf_state(spark, sf_dir, archive)
+
+    toks = delta.select("doc_id", F.explode(TXT.words(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = caching.tracked_persist(tf)  # feeds delta-df, doc-length, and scoring
+    d_df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("ddf"))
+
+    # tombstone contributions: the ONLY archive re-tokenization, sized by
+    # the takedown set, then pruned to the delta's terms
+    ttoks = tomb_docs.select(
+        "doc_id", F.explode(TXT.words(F.col("text"))).alias("term")
+    ).distinct()
+    tdf = ttoks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("tdf"))
+
+    terms = d_df.select("term")
+    state_slice = arch_df.join(terms, "term", "left_semi")
+    tdf_slice = tdf.join(terms, "term", "left_semi")
+    merged_df = (
+        d_df.alias("d")
+        .join(state_slice.alias("a"), "term", "left_outer")
+        .join(tdf_slice.alias("t"), "term", "left_outer")
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("a.adf"), F.lit(0))
+                - F.coalesce(F.col("t.tdf"), F.lit(0))
+                + F.col("d.ddf")
+            ).alias("df"),
+        )
+    )
+    n_total = (
+        arch_n.crossJoin(
+            tomb_docs.agg(F.countDistinct("doc_id").cast("long").alias("tn"))
+        )
+        .crossJoin(delta.agg(F.countDistinct("doc_id").cast("long").alias("dn")))
+        .select((F.col("an") - F.col("tn") + F.col("dn")).alias("n"))
+    )
+    dl = Window.partitionBy("doc_id")
+    scored = (
+        tf.withColumn("dl", F.sum("tf").over(dl))
+        .join(merged_df, "term")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("tf") / F.col("dl")) * F.log(F.col("n") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+    )
+
+
+# retract ≡ batch recompute on the survivor ∪ delta corpus (archive minus
+# the doc_id % 9 == 4 tombstones, plus the delta), restricted to delta
+# docs (delta ids are % 10 == 0, so no delta doc is ever a tombstone)
+_ORACLE_TFIDF_RETRACT = _ORACLE_TFIDF.replace(
+    "FROM documents",
+    "FROM documents WHERE NOT (doc_id % 10 != 0 AND doc_id % 9 = 4)",
+).replace(
     "SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3",
     "SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3 AND doc_id % 10 = 0",
 )

@@ -235,6 +235,8 @@ from .indexes import (
     docs_sample_stratified,
     docs_tfidf_incremental,
     docs_tfidf_keywords,
+    docs_tfidf_retract,
+    _ORACLE_TFIDF_RETRACT,
     embedding_near_dup,
     embedding_near_dup_ann,
     embedding_near_dup_t90,
@@ -355,6 +357,7 @@ from .graph import (
     users_pagerank_personalized,
     users_sig_edges_incremental,
     users_triangles,
+    users_triangles_incremental,
 )
 
 
@@ -417,6 +420,17 @@ SPECS: list[QuerySpec] = [
         archive_roundtrip_orders,
         _ORACLE_ARCHIVE_ROUNDTRIP,
     ),
+    # the delete leg of the TF-IDF corpus statistics: same persisted
+    # df/N state as docs_tfidf_incremental, tombstones subtracted,
+    # graded against the survivor ∪ delta recompute
+    QuerySpec("docs_tfidf_retract", docs_tfidf_retract, _ORACLE_TFIDF_RETRACT),
+    # incremental triangle maintenance: persisted archive triangle
+    # state corrected by delta-anchored wedge probes over the day's
+    # edge inserts AND deletes; ≡ the full recompute, so it shares
+    # users_triangles' oracle
+    QuerySpec(
+        "users_triangles_incremental", users_triangles_incremental, _ORACLE_TRIANGLES
+    ),
     # --- r9 rotation block, still resident ---------------------------------
     QuerySpec("events_trend", events_trend, _ORACLE_TREND),
     QuerySpec("dedup_fuzzy_titles", dedup_fuzzy_titles, _ORACLE_FUZZY),
@@ -434,14 +448,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("orders_profile", orders_profile, _oracle_profile_sql()),
     # --- r9 births (enter the window in their birth round) ----------------
     # (docs_tfidf_incremental, driver-green r9, rotated to the tail at r10)
-    QuerySpec(
-        "docs_snapshot_diff", docs_snapshot_diff, _ORACLE_SNAPSHOT_DIFF_DOCS
-    ),
-    # BM25 ranked retrieval: batch builds the inverted index in-query;
-    # the incremental variant probes persisted postings/df/doclen state
-    # and must reproduce the batch ranking row-for-row (index-append ≡
-    # full rebuild), so both share the same oracle
-    QuerySpec("docs_bm25_search", docs_bm25_search, _ORACLE_BM25),
+    # BM25 ranked retrieval: the incremental variant probes persisted
+    # postings/df/doclen state and must reproduce the batch ranking
+    # row-for-row (index-append ≡ full rebuild), so it shares the batch
+    # oracle (the batch spec itself: r10-evicted to the tail)
     QuerySpec("docs_bm25_incremental", docs_bm25_incremental, _ORACLE_BM25),
     # the delete leg probes the SAME persisted postings state; graded
     # against the survivor rebuild
@@ -726,6 +736,10 @@ SPECS: list[QuerySpec] = [
         docs_tfidf_incremental,
         _ORACLE_TFIDF_INCREMENTAL,
     ),
+    QuerySpec(
+        "docs_snapshot_diff", docs_snapshot_diff, _ORACLE_SNAPSHOT_DIFF_DOCS
+    ),
+    QuerySpec("docs_bm25_search", docs_bm25_search, _ORACLE_BM25),
     # retraction graded against the survivor full-recompute; max_df=4
     # keeps the df-window re-entry leg live at the graded SFs
     QuerySpec(
