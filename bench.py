@@ -222,6 +222,7 @@ HEADLINE = [
     "archive_roundtrip_orders",
     "docs_tfidf_retract",
     "users_triangles_incremental",
+    "users_sig_edges_streaming",
 ]
 
 # Every registered spec must be benched except the explicit quarantine —

@@ -162,7 +162,8 @@ NEW_SPECS_BY_ROUND: dict[int, list[str]] = {
         "docs_bm25_retract", "docs_bm25_streaming", "dedup_semantic_streaming",
         "docs_hybrid_search"],
     10: ["docs_hybrid_search_ann", "archive_roundtrip_orders",
-         "docs_tfidf_retract", "users_triangles_incremental"],
+         "docs_tfidf_retract", "users_triangles_incremental",
+         "users_sig_edges_streaming"],
 }
 
 

@@ -1175,6 +1175,45 @@ def users_triangles(spark, sf_dir):
     return G.triangle_stats(edges, "user_a", "user_b")
 
 
+def users_sig_edges_streaming(spark, sf_dir):
+    """End-to-end STREAMING significant-edge graph parity (the
+    streaming_dedup_archive convention applied to the graph tier): the
+    events stream arrives as TWO ordered micro-batches of one
+    checkpointed availableNow run (``maxFilesPerTrigger=1``), split by
+    ``event_id % 2`` — so hourly windows are SPLIT ACROSS batches,
+    exercising the maintainer's harder no-disjoint-days path (the
+    incremental leg's disjoint-days assumption does NOT hold here;
+    ``maintain_sig_edges_each_batch`` counts each (hour, {u, v}) pair
+    instance exactly once via the new×state / new×new decomposition
+    with an anti-join re-arrival guard).  The served edge view after
+    the final batch must equal ``_significant_edges`` recomputed from
+    scratch on the full corpus — graded by the SAME oracle as the
+    incremental leg, so the streamed pair-count partials, the
+    epoch-local lift refresh, and the crash-safe view swap are
+    driver-hash-checked end to end.  Replay idempotency and the
+    three-batch prefix-equivalence variant stay pinned in
+    tests/test_streaming.py."""
+    import os
+
+    from ..streaming import pipeline as SP
+    from .indexes import _stream_state_dir, _stream_waves_available_now
+
+    ev = _t(spark, sf_dir, "events")
+    base = _stream_state_dir("sig_edges", sf_dir)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    paths = {k: os.path.join(base, k) for k in ("active", "pairs", "edges")}
+    fn = SP.maintain_sig_edges_each_batch(
+        paths["active"], paths["pairs"], paths["edges"]
+    )
+    waves = [
+        ev.where(F.col("event_id") % 2 == i).select("ts", "user_id")
+        for i in range(2)
+    ]
+    _stream_waves_available_now(spark, waves, src, os.path.join(base, "ckpt"), fn)
+    return spark.read.parquet(paths["edges"])
+
+
 def users_triangles_incremental(spark, sf_dir):
     """Incremental maintenance of per-node triangle counts under the
     archive ∪ daily-delta loop — the graph tier's second incremental

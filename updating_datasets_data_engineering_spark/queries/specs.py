@@ -356,6 +356,7 @@ from .graph import (
     users_pagerank,
     users_pagerank_personalized,
     users_sig_edges_incremental,
+    users_sig_edges_streaming,
     users_triangles,
     users_triangles_incremental,
 )
@@ -431,6 +432,13 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "users_triangles_incremental", users_triangles_incremental, _ORACLE_TRIANGLES
     ),
+    # streaming replay of the significant-edge graph through real
+    # checkpointed micro-batches (hour windows split across batches —
+    # the no-disjoint-days path); final served view ≡ full recompute,
+    # so it shares the incremental leg's oracle
+    QuerySpec(
+        "users_sig_edges_streaming", users_sig_edges_streaming, _ORACLE_SIG_EDGES_INCR
+    ),
     # --- r9 rotation block, still resident ---------------------------------
     QuerySpec("events_trend", events_trend, _ORACLE_TREND),
     QuerySpec("dedup_fuzzy_titles", dedup_fuzzy_titles, _ORACLE_FUZZY),
@@ -448,11 +456,6 @@ SPECS: list[QuerySpec] = [
     QuerySpec("orders_profile", orders_profile, _oracle_profile_sql()),
     # --- r9 births (enter the window in their birth round) ----------------
     # (docs_tfidf_incremental, driver-green r9, rotated to the tail at r10)
-    # BM25 ranked retrieval: the incremental variant probes persisted
-    # postings/df/doclen state and must reproduce the batch ranking
-    # row-for-row (index-append ≡ full rebuild), so it shares the batch
-    # oracle (the batch spec itself: r10-evicted to the tail)
-    QuerySpec("docs_bm25_incremental", docs_bm25_incremental, _ORACLE_BM25),
     # the delete leg probes the SAME persisted postings state; graded
     # against the survivor rebuild
     QuerySpec("docs_bm25_retract", docs_bm25_retract, _ORACLE_BM25_RETRACT),
@@ -739,7 +742,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "docs_snapshot_diff", docs_snapshot_diff, _ORACLE_SNAPSHOT_DIFF_DOCS
     ),
+    # BM25 batch + incremental share one oracle (index-append ≡ full
+    # rebuild); both driver-green r9, evicted to the tail by the five
+    # r10 births
     QuerySpec("docs_bm25_search", docs_bm25_search, _ORACLE_BM25),
+    QuerySpec("docs_bm25_incremental", docs_bm25_incremental, _ORACLE_BM25),
     # retraction graded against the survivor full-recompute; max_df=4
     # keeps the df-window re-entry leg live at the graded SFs
     QuerySpec(
