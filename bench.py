@@ -223,6 +223,7 @@ HEADLINE = [
     "docs_tfidf_retract",
     "users_triangles_incremental",
     "users_sig_edges_streaming",
+    "knn_ann_streaming",
 ]
 
 # Every registered spec must be benched except the explicit quarantine —

@@ -449,6 +449,7 @@ def ivf_ann_sql(
     n_cells: int = 16,
     n_probe: int = 4,
     dim: int = 64,
+    corpus_sql: str = "SELECT vec_id, embedding FROM embeddings",
 ) -> str:
     """Deterministic replay of ``similarity.ivf_ann_topk``: centroid
     set = vec_id < n_cells, nearest-cell assignment and probe choice
@@ -469,7 +470,7 @@ def ivf_ann_sql(
     self_dot = _dot_sql("embedding", "embedding", dim)
     return f"""
 WITH norms AS MATERIALIZED (
-    SELECT vec_id, embedding, sqrt({self_dot}) AS nrm FROM embeddings
+    SELECT vec_id, embedding, sqrt({self_dot}) AS nrm FROM ({corpus_sql})
 ),
 cents AS MATERIALIZED (
     SELECT vec_id AS cid, embedding, nrm FROM norms WHERE vec_id < {n_cells}

@@ -2313,6 +2313,74 @@ def dedup_semantic_streaming(spark, sf_dir):
     return spark.read.parquet(flags).select("vec_id", "cell", "is_dup")
 
 
+def knn_ann_streaming(spark, sf_dir):
+    """End-to-end STREAMING IVF/ANN index parity: the embedding corpus
+    arrives as TWO ordered micro-batches of one checkpointed
+    availableNow run — the originals first, then a MIXED batch that
+    deletes the vec_id % 50 == 25 originals and inserts their planted
+    re-crawls (+1,000,000 ids; % 50 == 25 ⊂ % 25 == 0, so every
+    tombstone's exact copy survives, exactly the dedup_semantic_retract
+    scenario) — through
+    ``streaming.pipeline.maintain_ann_index_each_batch``: frozen
+    first-batch quantizer (ids < 16, all < 25 so no tombstone can be a
+    centroid), ``_batch_id``-partitioned assignment appends, broadcast
+    anti-join retraction through the crash-safe swap.  The graded
+    result is a top-k probe SERVED FROM THE STORED STATE (vectors +
+    cell assignments read back from parquet, never recomputed), which
+    must equal the batch IVF query on the survivor corpus — the oracle
+    replays centroids, assignment, probe choice, and ranking on the
+    survivor ∪ re-crawl corpus in SQL (``ivf_ann_sql`` with the
+    survivor corpus substituted).  Replay idempotency and the
+    prefix-equivalence variants stay pinned in tests/test_streaming.py."""
+    import os
+
+    from ..streaming import pipeline as SP
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    ins = F.lit("insert").alias("op")
+    waves = [
+        emb.select("vec_id", "embedding", ins),
+        planted.select("vec_id", "embedding", ins).unionByName(
+            emb.where(F.col("vec_id") % 50 == 25).select(
+                "vec_id", "embedding", F.lit("delete").alias("op")
+            )
+        ),
+    ]
+    base = _stream_state_dir("ann", sf_dir)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    vectors, cells, cents = (
+        os.path.join(base, k) for k in ("vectors", "cells", "cents")
+    )
+    fn = SP.maintain_ann_index_each_batch(
+        vectors, cells, cents, n_cells=16, op_col="op"
+    )
+    _stream_waves_available_now(spark, waves, src, os.path.join(base, "ckpt"), fn)
+    vecs = spark.read.parquet(vectors).select("vec_id", "embedding")
+    cell_state = spark.read.parquet(cells).select("vec_id", "embedding", "cell")
+    return SIM.ivf_ann_topk(
+        vecs,
+        vecs.where(F.col("vec_id") < 5),
+        k=5,
+        n_cells=16,
+        n_probe=4,
+        cells=cell_state,
+    )
+
+
+# the streaming leg's final state ≡ the batch index on the survivor ∪
+# re-crawl corpus, so the oracle is ivf_ann_sql over that corpus
+_SURVIVOR_EMB_SQL = (
+    "SELECT vec_id, embedding FROM embeddings WHERE NOT (vec_id % 50 = 25) "
+    "UNION ALL "
+    "SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings "
+    "WHERE vec_id % 25 = 0"
+)
+
+
 def archive_roundtrip_orders(spark, sf_dir):
     """Reference archive-format round-trip — the last untested SURVEY
     §2 sink/source surface (VERDICT r9 item 8): the orders table is

@@ -243,6 +243,8 @@ from .indexes import (
     knn_ann_ivf,
     knn_ann_ivf_incremental,
     knn_ann_srp,
+    knn_ann_streaming,
+    _SURVIVOR_EMB_SQL,
     knn_bruteforce,
     multimodal_features_q,
     parts_by_brand,
@@ -439,6 +441,13 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "users_sig_edges_streaming", users_sig_edges_streaming, _ORACLE_SIG_EDGES_INCR
     ),
+    # streaming IVF/ANN maintenance with deletes, served from the
+    # stored state; final probe ≡ batch IVF on the survivor corpus
+    QuerySpec(
+        "knn_ann_streaming",
+        knn_ann_streaming,
+        OE.ivf_ann_sql(corpus_sql=_SURVIVOR_EMB_SQL),
+    ),
     # --- r9 rotation block, still resident ---------------------------------
     QuerySpec("events_trend", events_trend, _ORACLE_TREND),
     QuerySpec("dedup_fuzzy_titles", dedup_fuzzy_titles, _ORACLE_FUZZY),
@@ -465,16 +474,9 @@ SPECS: list[QuerySpec] = [
     # hybrid lexical+semantic retrieval: RRF-fuse the BM25 pool with the
     # exact-cosine pool per query (rank-only fusion, bit-deterministic)
     QuerySpec("docs_hybrid_search", docs_hybrid_search, _oracle_hybrid_sql()),
-    # the delete leg of the semantic index: graded against the survivor
-    # full recompute (tombstones = original uploads with id % 50 == 25;
-    # their planted re-crawls survive, so absorber-loss flag flips are
-    # live at the graded SFs)
-    QuerySpec(
-        "dedup_semantic_retract",
-        dedup_semantic_retract,
-        OE.semantic_dedup_sql(16, 0.92, planted_mod=25, tomb_mod=50, tomb_val=25, adaptive_cells=True),
-    ),
-    # streaming replay of the same retract scenario: shares its oracle
+    # streaming replay of the semantic retract scenario: shares the
+    # survivor-recompute oracle (the batch retract spec itself:
+    # driver-green r9, r10-evicted to the tail by the sixth birth)
     QuerySpec(
         "dedup_semantic_streaming",
         dedup_semantic_streaming,
@@ -747,6 +749,13 @@ SPECS: list[QuerySpec] = [
     # r10 births
     QuerySpec("docs_bm25_search", docs_bm25_search, _ORACLE_BM25),
     QuerySpec("docs_bm25_incremental", docs_bm25_incremental, _ORACLE_BM25),
+    # semantic delete leg: graded r9 against the survivor full
+    # recompute (tombstones = original uploads with id % 50 == 25)
+    QuerySpec(
+        "dedup_semantic_retract",
+        dedup_semantic_retract,
+        OE.semantic_dedup_sql(16, 0.92, planted_mod=25, tomb_mod=50, tomb_val=25, adaptive_cells=True),
+    ),
     # retraction graded against the survivor full-recompute; max_df=4
     # keeps the df-window re-entry leg live at the graded SFs
     QuerySpec(
