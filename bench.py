@@ -224,6 +224,7 @@ HEADLINE = [
     "users_triangles_incremental",
     "users_sig_edges_streaming",
     "knn_ann_streaming",
+    "docs_tfidf_streaming",
 ]
 
 # Every registered spec must be benched except the explicit quarantine —

@@ -163,7 +163,8 @@ NEW_SPECS_BY_ROUND: dict[int, list[str]] = {
         "docs_hybrid_search"],
     10: ["docs_hybrid_search_ann", "archive_roundtrip_orders",
          "docs_tfidf_retract", "users_triangles_incremental",
-         "users_sig_edges_streaming", "knn_ann_streaming"],
+         "users_sig_edges_streaming", "knn_ann_streaming",
+         "docs_tfidf_streaming"],
 }
 
 

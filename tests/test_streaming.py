@@ -1665,3 +1665,85 @@ def test_compaction_survives_batch_replay(spark, tmp_path):
     n_after = spark.read.parquet(paths["stats"]).agg(F.sum("n")).collect()[0][0]
     assert n_after != n1, "replay erased the folded history (the r9 bug)"
     assert n_after == n0 + 2 * n1, "degraded mode must be a bounded double-count"
+
+
+def test_streaming_tfidf_keywords_maintenance(spark, tmp_path):
+    """Streaming twin of docs_tfidf_incremental: three document
+    micro-batches maintain the additive df/N partial state and the
+    DELTA-SCOPED served keywords view; after each prefix the view must
+    equal the batch TF-IDF recomputed from scratch on everything
+    streamed so far, RESTRICTED to the latest batch's docs (the
+    maintainer's documented serving contract — ln(N/df) shifts for
+    every doc on every insert, so a whole-corpus serve would be
+    O(corpus) writes per batch).  Replaying the last batch (crash
+    recovery) must leave the view unchanged."""
+    from pyspark.sql import Window
+
+    from updating_datasets_data_engineering_spark.functions import text as TXT
+    from updating_datasets_data_engineering_spark.tables import load_table
+
+    src = str(tmp_path / "tk_src")
+    paths = {k: str(tmp_path / f"tk_{k}") for k in ("df", "stats", "keywords")}
+    ckpt = str(tmp_path / "tk_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    all_docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batches = [all_docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    fn = SP.maintain_tfidf_keywords_each_batch(
+        paths["df"], paths["stats"], paths["keywords"]
+    )
+
+    def run_increment(batch_df):
+        batch_df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+
+    def batch_tfidf(prefix, latest):
+        tf = (
+            prefix.select("doc_id", F.explode(TXT.words(F.col("text"))).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+        n = prefix.agg(F.countDistinct("doc_id").alias("n"))
+        dl = Window.partitionBy("doc_id")
+        w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+        return (
+            tf.join(latest.select("doc_id"), "doc_id", "left_semi")
+            .withColumn("dl", F.sum("tf").over(dl))
+            .join(dfreq, "term")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "doc_id",
+                "term",
+                F.round(
+                    (F.col("tf") / F.col("dl")) * F.log(F.col("n") / F.col("df")), 6
+                ).alias("tfidf"),
+            )
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= 3)
+        )
+
+    cols = ["doc_id", "term", "tfidf", "rank"]
+    streamed = None
+    for i, b in enumerate(batches):
+        run_increment(b)
+        streamed = b if streamed is None else streamed.unionByName(b)
+        got = spark.read.parquet(paths["keywords"])
+        want = batch_tfidf(streamed, b)
+        assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(
+            want.select(*cols), cols
+        ), f"prefix {i} diverged"
+    # crash replay of the final committed batch: view unchanged
+    before = _sorted_rows(spark.read.parquet(paths["keywords"]).select(*cols), cols)
+    fn(batches[-1], 2)
+    after = _sorted_rows(spark.read.parquet(paths["keywords"]).select(*cols), cols)
+    assert after == before

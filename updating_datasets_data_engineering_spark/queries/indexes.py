@@ -1517,6 +1517,45 @@ _ORACLE_TFIDF_RETRACT = _ORACLE_TFIDF.replace(
 )
 
 
+def docs_tfidf_streaming(spark, sf_dir):
+    """End-to-end STREAMING TF-IDF keyword extraction — the fourth leg
+    completing keyword salience's lifecycle to the BM25/semantic/
+    containment/span four-leg standard: the corpus arrives as TWO
+    ordered micro-batches of one checkpointed availableNow run (the
+    archive, then the doc_id % 10 == 0 daily delta — the incremental
+    leg's exact split) through
+    ``streaming.pipeline.maintain_tfidf_keywords_each_batch``: df/N as
+    ``_batch_id``-partitioned ADDITIVE partials, the served view =
+    the current batch's per-doc top-3 keywords under the full
+    streamed-prefix statistics (delta-scoped serving is the scale
+    contract — a whole-corpus keyword view would be O(corpus) writes
+    per batch since ln(N/df) shifts for every doc on every insert; the
+    maintainer docstring says why).  After the final batch the served
+    view therefore equals ``docs_tfidf_incremental``'s output, and it
+    is graded by the SAME oracle — the streamed additive df/N merge,
+    the semi-join state slice, and the crash-safe view swap are
+    driver-hash-checked end to end.  Prefix equivalence at every batch
+    and replay idempotency stay pinned in tests/test_streaming.py."""
+    import os
+
+    from ..streaming import pipeline as SP
+
+    docs = _td(spark, sf_dir).select("doc_id", "text")
+    base = _stream_state_dir("tfidf", sf_dir)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    paths = {k: os.path.join(base, k) for k in ("df", "stats", "keywords")}
+    fn = SP.maintain_tfidf_keywords_each_batch(
+        paths["df"], paths["stats"], paths["keywords"]
+    )
+    waves = [
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+    ]
+    _stream_waves_available_now(spark, waves, src, os.path.join(base, "ckpt"), fn)
+    return spark.read.parquet(paths["keywords"])
+
+
 # BM25 constants (Robertson et al., TREC-3; the k1/b defaults every
 # public engine ships — Lucene's BM25Similarity uses the same pair).
 _BM25_K1 = 1.2

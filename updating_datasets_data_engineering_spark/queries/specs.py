@@ -236,6 +236,7 @@ from .indexes import (
     docs_tfidf_incremental,
     docs_tfidf_keywords,
     docs_tfidf_retract,
+    docs_tfidf_streaming,
     _ORACLE_TFIDF_RETRACT,
     embedding_near_dup,
     embedding_near_dup_ann,
@@ -448,6 +449,11 @@ SPECS: list[QuerySpec] = [
         knn_ann_streaming,
         OE.ivf_ann_sql(corpus_sql=_SURVIVOR_EMB_SQL),
     ),
+    # streaming TF-IDF: delta-scoped served view under full-prefix
+    # stats ≡ the incremental leg's output, so it shares that oracle
+    QuerySpec(
+        "docs_tfidf_streaming", docs_tfidf_streaming, _ORACLE_TFIDF_INCREMENTAL
+    ),
     # --- r9 rotation block, still resident ---------------------------------
     QuerySpec("events_trend", events_trend, _ORACLE_TREND),
     QuerySpec("dedup_fuzzy_titles", dedup_fuzzy_titles, _ORACLE_FUZZY),
@@ -465,11 +471,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("orders_profile", orders_profile, _oracle_profile_sql()),
     # --- r9 births (enter the window in their birth round) ----------------
     # (docs_tfidf_incremental, driver-green r9, rotated to the tail at r10)
-    # the delete leg probes the SAME persisted postings state; graded
-    # against the survivor rebuild
-    QuerySpec("docs_bm25_retract", docs_bm25_retract, _ORACLE_BM25_RETRACT),
     # the streaming leg's served view after the final batch == the batch
-    # ranking on the full corpus, so it shares the batch oracle too
+    # ranking on the full corpus, so it shares the batch oracle (the
+    # retract leg: driver-green r9, r10-evicted to the tail)
     QuerySpec("docs_bm25_streaming", docs_bm25_streaming, _ORACLE_BM25),
     # hybrid lexical+semantic retrieval: RRF-fuse the BM25 pool with the
     # exact-cosine pool per query (rank-only fusion, bit-deterministic)
@@ -749,6 +753,7 @@ SPECS: list[QuerySpec] = [
     # r10 births
     QuerySpec("docs_bm25_search", docs_bm25_search, _ORACLE_BM25),
     QuerySpec("docs_bm25_incremental", docs_bm25_incremental, _ORACLE_BM25),
+    QuerySpec("docs_bm25_retract", docs_bm25_retract, _ORACLE_BM25_RETRACT),
     # semantic delete leg: graded r9 against the survivor full
     # recompute (tombstones = original uploads with id % 50 == 25)
     QuerySpec(

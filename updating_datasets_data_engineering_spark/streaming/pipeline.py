@@ -1311,6 +1311,121 @@ def maintain_bm25_index_each_batch(
     return _apply
 
 
+def maintain_tfidf_keywords_each_batch(
+    df_path: str,
+    stats_path: str,
+    keywords_path: str,
+    topk: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """foreachBatch function: STREAMING TF-IDF keyword extraction — the
+    streaming leg that completes keyword salience's lifecycle (batch /
+    incremental / retract / streaming; batch:
+    ``queries.indexes.docs_tfidf_keywords``, state layout:
+    ``_tfidf_state``).
+
+    Persisted state is ONLY the corpus statistics, both ``_batch_id``-
+    partitioned ADDITIVE partials (consumers SUM; compactable between
+    runs with ``maintenance.compact_additive_partials``):
+
+      * per-term document-frequency partials (term, df);
+      * corpus document-count partials (n) — one row per batch.
+
+    The served artifact (``keywords_path``) is the CURRENT batch's
+    per-doc top-k keywords scored with the full streamed-prefix df/N —
+    the daily keyword-extraction job, streamed.  Serving the whole
+    corpus's keywords instead would be O(corpus) writes per batch
+    (ln(N/df) shifts for every doc on every insert — there is no
+    monotonicity to exploit, unlike semantic flags), so the contract
+    is delta-scoped BY DESIGN: after ANY batch the view equals the
+    batch recompute on everything streamed so far RESTRICTED to that
+    batch's docs — exactly ``docs_tfidf_incremental``'s semantics at
+    every prefix, asserted in tests/test_streaming.py.
+
+    Per-batch work ∝ batch: tokenize the batch once, slice the df
+    state to the batch's terms with a semi-join (the GB-scale term
+    dictionary never shuffles), one-row stats fold, batch-sized
+    keyword swap, two delta-sized partial appends."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions import text as TXT
+
+    def _apply(batch_docs: DataFrame, batch_id: int) -> None:
+        spark = batch_docs.sparkSession
+        for p in (df_path, stats_path, keywords_path):
+            fs.recover_swap(spark, p)
+        delta = batch_docs.select(id_col, text_col)
+        if delta.isEmpty():
+            return
+        with caching.scope():
+            toks = delta.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(TXT.words(F.col(text_col))).alias("term"),
+            )
+            dtf = caching.tracked_persist(
+                toks.groupBy("doc_id", "term").agg(
+                    F.count(F.lit(1)).cast("long").alias("tf")
+                )
+            )
+            ddf = caching.tracked_persist(
+                dtf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+            )
+            dn = delta.agg(F.countDistinct(id_col).cast("long").alias("n"))
+            prior = F.col("_batch_id") < batch_id
+            if fs.has_parquet(spark, df_path):
+                df_state = (
+                    spark.read.parquet(df_path).where(prior).select("term", "df")
+                )
+                n_state = spark.read.parquet(stats_path).where(prior).select("n")
+            else:
+                df_state = spark.createDataFrame([], "term string, df long")
+                n_state = spark.createDataFrame([], "n long")
+            # state slice: only the batch's own terms can affect its
+            # docs' scores — the incremental leg's semi-join prune
+            state_slice = df_state.join(ddf.select("term"), "term", "left_semi")
+            merged_df = (
+                state_slice.unionByName(ddf)
+                .groupBy("term")
+                .agg(F.sum("df").cast("long").alias("df"))
+            )
+            n_total = n_state.unionByName(dn).agg(
+                F.sum("n").cast("long").alias("n")
+            )
+            dl = Window.partitionBy("doc_id")
+            w = Window.partitionBy("doc_id").orderBy(
+                F.col("tfidf").desc(), "term"
+            )
+            keywords = (
+                dtf.withColumn("dl", F.sum("tf").over(dl))
+                .join(merged_df, "term")
+                .crossJoin(F.broadcast(n_total))
+                .select(
+                    "doc_id",
+                    "term",
+                    F.round(
+                        (F.col("tf") / F.col("dl")) * F.log(F.col("n") / F.col("df")),
+                        6,
+                    ).alias("tfidf"),
+                )
+                .withColumn("rank", F.row_number().over(w).cast("long"))
+                .where(F.col("rank") <= topk)
+            )
+            _swap_in(spark, keywords, keywords_path)
+            batch_lit = F.lit(batch_id).cast("long").alias("_batch_id")
+            for df, path in ((ddf, df_path), (dn, stats_path)):
+                (
+                    df.withColumn("_batch_id", batch_lit)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_batch_id")
+                    .parquet(path)
+                )
+
+    return _apply
+
+
 def maintain_span_index_each_batch(
     posting_path: str,
     sketch_path: str,
