@@ -340,6 +340,16 @@ EXP_HEADLINE = [
     "docs_bm25_streaming",
     "dedup_semantic_retract",
     "dedup_semantic_streaming",
+    # r10 births: the new maintenance legs' growth curves (the
+    # streaming rows again carry fixed micro-batch overhead that the
+    # fit's floor adjustment + the flat incremental exponents explain)
+    "docs_hybrid_search_ann",
+    "archive_roundtrip_orders",
+    "docs_tfidf_retract",
+    "docs_tfidf_streaming",
+    "users_triangles_incremental",
+    "users_sig_edges_streaming",
+    "knn_ann_streaming",
 ]
 
 

@@ -1247,13 +1247,20 @@ def users_triangles_incremental(spark, sf_dir):
 
     archive, delta = _graph_day_split(spark, sf_dir)
     state_pairs, state_users, state_hours = _graph_state(spark, sf_dir, archive)
-    old_pairs = state_pairs.select(
-        "user_a", "user_b", F.col("sh").alias("shared_windows")
-    ).where(F.col("shared_windows") >= 2)
-    e_old = tracked_persist(
-        _lift_from_counts(old_pairs, state_users, state_hours).select(
+
+    def _build_e_old():
+        old_pairs = state_pairs.select(
+            "user_a", "user_b", F.col("sh").alias("shared_windows")
+        ).where(F.col("shared_windows") >= 2)
+        return _lift_from_counts(old_pairs, state_users, state_hours).select(
             "user_a", "user_b"
         )
+
+    # the archive edge list is itself PERSISTED state (nightly build):
+    # the daily correction must read an edge list, not re-run the lift
+    # join over the full pair-count state (the repo's biggest frame)
+    e_old = tracked_persist(
+        _persisted_index(spark, sf_dir, "sig_edges_archive", _build_e_old)
     )
     state_tri = _persisted_index(
         spark,
