@@ -485,7 +485,7 @@ def test_triangles_incremental_equals_full_rebuild(spark):
     sp, su, sh = GQ._graph_state(spark, sf_dir, archive)
     old_pairs = sp.select(
         "user_a", "user_b", F.col("sh").alias("shared_windows")
-    ).where(F.col("shared_windows") >= 2)
+    ).where(F.col("shared_windows") >= GQ._GRAPH_MIN_SHARED)
     e_old = GQ._lift_from_counts(old_pairs, su, sh).select("user_a", "user_b")
     e_new = GQ.users_sig_edges_incremental(spark, sf_dir).select("user_a", "user_b")
     keys = ["user_a", "user_b"]

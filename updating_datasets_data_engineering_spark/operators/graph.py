@@ -273,42 +273,36 @@ def delta_triangles(delta: DataFrame, edges: DataFrame, src: str, dst: str) -> D
 
     Both inputs are id-ordered undirected edge lists (``src < dst``,
     each edge once).  A qualifying triangle has its delta edge in one
-    of three slots — (x,y), (x,z), or (y,z) — so three joins, each
-    ANCHORED on the delta side (cost ∝ |delta| × adjacency, never
-    |edges|²), enumerate every qualifying triangle at least once; the
-    union's ``distinct`` collapses triangles holding 2 or 3 delta
-    edges to one row, replacing the signed inclusion–exclusion with
-    one delta-sized shuffle.  Orientation note: unlike the full-build
+    of three slots — (x,y), (x,z), or (y,z) — covered by TWO joins,
+    each ANCHORED on the delta side (cost ∝ |delta| × adjacency, never
+    |edges|²): the (x,y)/(x,z) cases share one adjacency probe (see
+    below), the (y,z) case gets its own.  Every qualifying triangle is
+    enumerated at least once; the union's ``distinct`` collapses
+    triangles holding 2 or 3 delta edges to one row, replacing the
+    signed inclusion–exclusion with one delta-sized shuffle.  Orientation note: unlike the full-build
     wedge plan (``triangle_stats``, degree-ordered), the delta legs
     are bounded by the delta edge's endpoints' adjacency, so the
     simple id-ordered form is already hub-safe for batch deltas."""
     d = delta.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # delta in slot (x,y): close with e(x,z), z > y, and e(y,z)
-    j1 = (
+    # delta in slot (x,y) or (x,z): BOTH cases share the same adjacency
+    # probe d(a,·) ⋈ e(a,·) — one join (the dominant |Δ| × adjacency
+    # term is paid once, not twice), with the wedge's open side closed
+    # by e(least, greatest): for d=(a,b), e1=(a,c), c≠b the triangle is
+    # (x=a, y=min(b,c), z=max(b,c)) and the delta edge sits in slot
+    # (x,y) when c > b, slot (x,z) when c < b — same rows either way.
+    lo = F.least(F.col("d.b"), F.col("e1.b"))
+    hi = F.greatest(F.col("d.b"), F.col("e1.b"))
+    j12 = (
         d.alias("d")
         .join(e.alias("e1"), F.col("d.a") == F.col("e1.a"))
-        .where(F.col("e1.b") > F.col("d.b"))
+        .where(F.col("e1.b") != F.col("d.b"))
+        .select(F.col("d.a").alias("x"), lo.alias("y"), hi.alias("z"))
         .join(
             e.alias("e2"),
-            (F.col("e2.a") == F.col("d.b")) & (F.col("e2.b") == F.col("e1.b")),
+            (F.col("e2.a") == F.col("y")) & (F.col("e2.b") == F.col("z")),
         )
-        .select(
-            F.col("d.a").alias("x"), F.col("d.b").alias("y"), F.col("e1.b").alias("z")
-        )
-    )
-    # delta in slot (x,z): close with e(x,y), y < z, and e(y,z)
-    j2 = (
-        d.alias("d")
-        .join(e.alias("e1"), F.col("d.a") == F.col("e1.a"))
-        .where(F.col("e1.b") < F.col("d.b"))
-        .join(
-            e.alias("e2"),
-            (F.col("e2.a") == F.col("e1.b")) & (F.col("e2.b") == F.col("d.b")),
-        )
-        .select(
-            F.col("d.a").alias("x"), F.col("e1.b").alias("y"), F.col("d.b").alias("z")
-        )
+        .select("x", "y", "z")
     )
     # delta in slot (y,z): close with e(x,y) and e(x,z)
     j3 = (
@@ -322,7 +316,7 @@ def delta_triangles(delta: DataFrame, edges: DataFrame, src: str, dst: str) -> D
             F.col("e1.a").alias("x"), F.col("d.a").alias("y"), F.col("d.b").alias("z")
         )
     )
-    return j1.unionByName(j2).unionByName(j3).distinct()
+    return j12.unionByName(j3).distinct()
 
 
 def bloom_bits(

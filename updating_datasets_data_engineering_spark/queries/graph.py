@@ -177,11 +177,18 @@ HAVING count(*) >= 2
 """
 
 
+# The significant-graph thresholds, shared by the batch derivation, the
+# incremental/streaming legs, and the triangle state's archive-edge
+# rebuild (one constant so the legs can never silently diverge).
+_GRAPH_MIN_SHARED = 2
+_GRAPH_MIN_LIFT = 1.5
+
+
 def _significant_edges(
     spark,
     sf_dir,
-    min_shared: int = 2,
-    min_lift: float = 1.5,
+    min_shared: int = _GRAPH_MIN_SHARED,
+    min_lift: float = _GRAPH_MIN_LIFT,
     bucket_cap: int | None = 4096,
     n_salts: int = 8,
 ):
@@ -989,7 +996,11 @@ def _graph_state(spark, sf_dir, archive):
     return state_pairs, state_users, state_hours
 
 
-def users_sig_edges_incremental(spark, sf_dir, min_shared: int = 2, min_lift: float = 1.5):
+def users_sig_edges_incremental(
+    spark, sf_dir,
+    min_shared: int = _GRAPH_MIN_SHARED,
+    min_lift: float = _GRAPH_MIN_LIFT,
+):
     """Incremental maintenance of the significant-edge graph state —
     the archive ∪ daily-delta loop (scripts/spark_merge_dfs.py:82-83's
     economics) applied to the graph tier: the LAST calendar day of
@@ -1040,7 +1051,7 @@ def users_sig_edges_incremental(spark, sf_dir, min_shared: int = 2, min_lift: fl
     return _lift_from_counts(merged_pairs, merged_users, hours, min_lift)
 
 
-def _lift_from_counts(pairs, users, hours, min_lift: float = 1.5):
+def _lift_from_counts(pairs, users, hours, min_lift: float = _GRAPH_MIN_LIFT):
     """Apply the epoch-local lift threshold to ALREADY-AGGREGATED graph
     counts — the closed-form tail shared by ``users_sig_edges_incremental``
     (merged state ⊕ delta counts) and the state-only edge derivation in
@@ -1251,7 +1262,7 @@ def users_triangles_incremental(spark, sf_dir):
     def _build_e_old():
         old_pairs = state_pairs.select(
             "user_a", "user_b", F.col("sh").alias("shared_windows")
-        ).where(F.col("shared_windows") >= 2)
+        ).where(F.col("shared_windows") >= _GRAPH_MIN_SHARED)
         return _lift_from_counts(old_pairs, state_users, state_hours).select(
             "user_a", "user_b"
         )

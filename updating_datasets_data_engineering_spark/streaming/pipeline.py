@@ -1249,31 +1249,40 @@ def maintain_bm25_index_each_batch(
                 F.count(F.lit(1)).cast("long").alias("n"),
                 F.sum("dl").cast("long").alias("sumdl"),
             )
+            # gate EACH store separately: a first-batch crash between
+            # any two of the four appends must replay cleanly, not
+            # wedge on a missing later path.  id type derived from the
+            # batch schema (the containment maintainer's id-type
+            # divergence guard).
+            prior = F.col("_batch_id") < batch_id
+            id_t = delta.schema[id_col].dataType.simpleString()
             if fs.has_parquet(spark, postings_path):
-                prior = F.col("_batch_id") < batch_id
                 post_state = (
                     spark.read.parquet(postings_path)
                     .where(prior)
                     .select("doc_id", "term", "tf")
                 )
+            else:
+                post_state = spark.createDataFrame(
+                    [], f"doc_id {id_t}, term string, tf long"
+                )
+            if fs.has_parquet(spark, doclen_path):
                 dl_state = (
                     spark.read.parquet(doclen_path).where(prior).select("doc_id", "dl")
                 )
+            else:
+                dl_state = spark.createDataFrame([], f"doc_id {id_t}, dl long")
+            if fs.has_parquet(spark, df_path):
                 df_state = (
                     spark.read.parquet(df_path).where(prior).select("term", "df")
                 )
+            else:
+                df_state = spark.createDataFrame([], "term string, df long")
+            if fs.has_parquet(spark, stats_path):
                 stats_state = (
                     spark.read.parquet(stats_path).where(prior).select("n", "sumdl")
                 )
             else:
-                # id type derived from the batch schema (the containment
-                # maintainer's id-type divergence guard)
-                id_t = delta.schema[id_col].dataType.simpleString()
-                post_state = spark.createDataFrame(
-                    [], f"doc_id {id_t}, term string, tf long"
-                )
-                dl_state = spark.createDataFrame([], f"doc_id {id_t}, dl long")
-                df_state = spark.createDataFrame([], "term string, df long")
                 stats_state = spark.createDataFrame([], "n long, sumdl long")
             merged_df = (
                 df_state.unionByName(ddf)
@@ -1373,14 +1382,19 @@ def maintain_tfidf_keywords_each_batch(
                 dtf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
             )
             dn = delta.agg(F.countDistinct(id_col).cast("long").alias("n"))
+            # gate EACH store separately: a first-batch crash between
+            # the df and stats appends must replay cleanly, not wedge
+            # on the missing second path
             prior = F.col("_batch_id") < batch_id
             if fs.has_parquet(spark, df_path):
                 df_state = (
                     spark.read.parquet(df_path).where(prior).select("term", "df")
                 )
-                n_state = spark.read.parquet(stats_path).where(prior).select("n")
             else:
                 df_state = spark.createDataFrame([], "term string, df long")
+            if fs.has_parquet(spark, stats_path):
+                n_state = spark.read.parquet(stats_path).where(prior).select("n")
+            else:
                 n_state = spark.createDataFrame([], "n long")
             # state slice: only the batch's own terms can affect its
             # docs' scores — the incremental leg's semi-join prune
