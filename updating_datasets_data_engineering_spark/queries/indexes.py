@@ -2248,11 +2248,23 @@ def _stream_waves_available_now(
         # ordering regardless of write-time mtime granularity
         t = t0 + i - len(wave_files)
         os.utime(f, (t, t))
+    # the one-file-per-wave ordering trick has a parallelism tax: a
+    # single parquet file arrives as a SINGLE input partition, so
+    # without a re-spread every map-side stage of the maintenance
+    # (tokenization, centroid scoring) would run on one core —
+    # measured 2× on the corpus-sized first wave at sf1.  Re-spread at
+    # the harness boundary: production micro-batches arrive as many
+    # files and never pay this.
+    par = spark.sparkContext.defaultParallelism
+
+    def _respread(df, bid):
+        return fn(df.repartition(par), bid)
+
     q = (
         spark.readStream.schema(waves[0].schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-        .writeStream.foreachBatch(fn)
+        .writeStream.foreachBatch(_respread)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .outputMode("update")

@@ -788,14 +788,30 @@ def maintain_semantic_index_each_batch(
                 delta, n_cells, id_col=id_col, vec_col=vec_col, centroids=cents
             )
             d_cells = caching.tracked_persist(d_cells)
-            d_flags = SIM.semantic_dedup_delta_flags(
-                cells_state.select(id_col, vec_col).unionByName(delta),
-                cells_state.select(id_col, vec_col, "cell"),
-                d_cells,
-                threshold=threshold,
-                id_col=id_col,
-                vec_col=vec_col,
-            )
+            if not fs.has_parquet(spark, cells_path):
+                # FIRST batch: the archive is empty, so delta-vs-
+                # (archive ∪ delta) degenerates to the batch build —
+                # semantic_dedup's single-member-frame pair join, one
+                # id-join cheaper than the delta_flags shape on what is
+                # by construction the largest batch (measured at sf1:
+                # 14.4 s vs 25.1 s for the same flags)
+                d_flags = SIM.semantic_dedup(
+                    delta,
+                    n_cells=n_cells,
+                    threshold=threshold,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    cells=d_cells,
+                )
+            else:
+                d_flags = SIM.semantic_dedup_delta_flags(
+                    cells_state.select(id_col, vec_col).unionByName(delta),
+                    cells_state.select(id_col, vec_col, "cell"),
+                    d_cells,
+                    threshold=threshold,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                )
             if has_tomb:
                 _swap_flags(flags_state.unionByName(d_flags))
                 _retire_tombstones()
