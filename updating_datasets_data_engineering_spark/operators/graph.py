@@ -271,6 +271,14 @@ def delta_triangles(delta: DataFrame, edges: DataFrame, src: str, dst: str) -> D
     h-index scheme simplified to the batch-delta case: a triangle's
     count changes iff one of its edges changed).
 
+    PRECONDITION: ``delta ⊆ edges`` (for an insert correction pass the
+    post-insert edge set, for a delete correction the pre-delete one —
+    both callers construct ``delta`` by ``left_anti`` against the other
+    snapshot, which guarantees it).  A delta edge absent from ``edges``
+    is never verified against them, so violating this emits (x, y, z)
+    rows that are not triangles of ``edges`` instead of failing
+    (ADVICE r10 item 2).
+
     Both inputs are id-ordered undirected edge lists (``src < dst``,
     each edge once).  A qualifying triangle has its delta edge in one
     of three slots — (x,y), (x,z), or (y,z) — covered by TWO joins,
@@ -317,6 +325,132 @@ def delta_triangles(delta: DataFrame, edges: DataFrame, src: str, dst: str) -> D
         )
     )
     return j12.unionByName(j3).distinct()
+
+
+def lift_from_counts(
+    pairs: DataFrame, users: DataFrame, wm: DataFrame, min_lift: float
+) -> DataFrame:
+    """Apply the epoch-local lift threshold to ALREADY-AGGREGATED graph
+    counts — the closed-form tail shared by the batch derivation
+    (``queries.graph._significant_edges``), the incremental leg's
+    state ⊕ delta merge, and the streaming maintainer's serve path
+    (``streaming.pipeline.serve_sig_edges``).
+
+    ``pairs`` = (user_a, user_b, shared_windows), already
+    min-shared-filtered; ``users`` = (user_id, month, nu) per-month
+    active-window counts; ``wm`` = (month, wm) per-month window totals.
+    E[shared] = Σ_m n_a(m)·n_b(m) / W(m) over months where BOTH
+    endpoints are active (the inner joins encode the both-active
+    restriction); lift is rounded to 6dp BEFORE the threshold compare
+    (q11 discipline).  wm is a calendar-bounded frame → broadcast; the
+    users joins stay unhinted for AQE (per-user-month counts grow with
+    the user base and must not be pinned to a broadcast at 100 TB)."""
+    ex = (
+        pairs.select("user_a", "user_b")
+        .join(
+            users.withColumnRenamed("user_id", "user_a").withColumnRenamed("nu", "na"),
+            "user_a",
+        )
+        .join(
+            users.withColumnRenamed("user_id", "user_b").withColumnRenamed("nu", "nb"),
+            ["user_b", "month"],
+        )
+        .join(F.broadcast(wm), "month")
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.sum((F.col("na") * F.col("nb")).cast("double") / F.col("wm")).alias("ex")
+        )
+    )
+    return (
+        pairs.join(ex, ["user_a", "user_b"])
+        .withColumn(
+            "lift",
+            F.round(F.col("shared_windows").cast("double") / F.col("ex"), 6),
+        )
+        .where(F.col("lift") >= min_lift)
+        .select("user_a", "user_b", "shared_windows", "lift")
+    )
+
+
+def apply_triangle_delta(
+    state_tri: DataFrame,
+    e_old: DataFrame,
+    e_new: DataFrame,
+    src: str = "user_a",
+    dst: str = "user_b",
+) -> DataFrame:
+    """Correct a persisted per-node triangle/degree table from edge
+    snapshot ``e_old`` to ``e_new`` — the dynamic-triangle identity
+    T_new(v) = T_old(v) + |triangles of e_new with ≥1 inserted edge|(v)
+                        − |triangles of e_old with ≥1 deleted edge|(v),
+    shared by ``queries.graph.users_triangles_incremental`` (archive ∪
+    daily delta) and the streaming maintainer
+    (``streaming.pipeline.maintain_triangles_each_batch``).
+
+    ``state_tri`` = (node, degree, triangles[, clustering]) on e_old.
+    Inserts and deletes are derived by edge-keyed anti-joins (which
+    also establishes ``delta_triangles``' delta ⊆ edges precondition:
+    d_ins ⊆ e_new, d_del ⊆ e_old by construction); both corrections
+    are delta-anchored (cost ∝ |Δ| × adjacency, never a full-graph
+    wedge rebuild).  Output schema matches ``triangle_stats``."""
+    keys = [src, dst]
+    d_ins = tracked_persist(e_new.join(e_old, keys, "left_anti"))
+    d_del = tracked_persist(e_old.join(e_new, keys, "left_anti"))
+
+    def _per_node(tris, col):
+        return (
+            tris.select(
+                F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
+            )
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias(col))
+        )
+
+    t_ins = _per_node(delta_triangles(d_ins, e_new, src, dst), "t_ins")
+    t_del = _per_node(delta_triangles(d_del, e_old, src, dst), "t_del")
+
+    def _incident(edges, col):
+        return (
+            symmetrize(edges, src, dst)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias(col))
+        )
+
+    merged = (
+        state_tri.select("node", "degree", "triangles")
+        .join(_incident(d_ins, "deg_ins"), "node", "full_outer")
+        .join(_incident(d_del, "deg_del"), "node", "full_outer")
+        .join(t_ins, "node", "full_outer")
+        .join(t_del, "node", "full_outer")
+        .select(
+            "node",
+            (
+                F.coalesce("degree", F.lit(0))
+                + F.coalesce("deg_ins", F.lit(0))
+                - F.coalesce("deg_del", F.lit(0))
+            ).cast("long").alias("degree"),
+            (
+                F.coalesce("triangles", F.lit(0))
+                + F.coalesce("t_ins", F.lit(0))
+                - F.coalesce("t_del", F.lit(0))
+            ).cast("long").alias("triangles"),
+        )
+        .where(F.col("degree") >= 1)
+    )
+    return merged.select(
+        "node",
+        "degree",
+        "triangles",
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
 
 
 def bloom_bits(

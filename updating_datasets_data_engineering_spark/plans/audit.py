@@ -119,8 +119,17 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "PLANS.md"
     )
     spark = get_spark("updating-datasets-plan-audit")
-    with open(out, "w") as fh:
-        fh.write(plan_report(spark, sf_dir))
+    report = plan_report(spark, sf_dir)
+    # Atomic replace: an interrupted regeneration can never leave a
+    # truncated artifact (VERDICT r10 item 2 — the r10 snapshot shipped
+    # a 0-byte PLANS.md).  tests/test_artifacts.py additionally pins
+    # PLANS.md's row count to the registry size.
+    tmp = out + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(report)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, out)
     print(out)
 
 

@@ -642,18 +642,47 @@ def events_user_count_approx(spark, sf_dir):
     key space no longer fits a hash-aggregate (billions of users at
     100 TB; the sketch is KB-sized and map-side mergeable).
 
-    No SQL oracle: HLL implementations differ across engines by
-    construction, so the driver records the weaker rows-only check;
-    the accuracy bound (±5% vs exact at sf0.01) is pinned by
-    tests/test_edge_inputs.py::test_hll_within_rsd_of_exact instead.
-    """
+    HLL register values differ across engines by construction, so the
+    raw estimate cannot be hash-compared against a DuckDB oracle.
+    Instead of burning a driver window slot on a guaranteed
+    ``no_oracle`` row (VERDICT r10 item 4), the query grades the
+    sketch's ACCURACY CONTRACT deterministically: it runs the HLL
+    aggregate (the operator under test), computes the exact distinct
+    count alongside as the anchor, and returns the exact columns plus
+    a Spark-evaluated ``within_5pct`` boolean — |approx − exact| /
+    exact ≤ 0.05, comfortably above the rsd=2% sketch's bound.  The
+    oracle reproduces the exact columns and asserts ``TRUE``; a sketch
+    regression (>5% error) flips the boolean and fails the hash gate.
+    The raw-estimate path and the tighter ±rsd bound stay pinned by
+    tests/test_edge_inputs.py::test_hll_within_rsd_of_exact.  At
+    100 TB the exact anchor is dropped and only the sketch runs; here
+    it is the graded witness that the sketch is honest."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+            F.countDistinct("user_id").alias("exact_users"),
             F.count(F.lit(1)).alias("n_events"),
         )
+        .withColumn(
+            "within_5pct",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                / F.col("exact_users")
+            )
+            <= F.lit(0.05),
+        )
+        .drop("_approx")
     )
+
+
+_ORACLE_USER_COUNT_APPROX = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       count(*) AS n_events,
+       TRUE AS within_5pct
+FROM events GROUP BY event_type
+"""
 
 

@@ -284,6 +284,7 @@ from .cohorts import (
     events_markov_transitions,
     events_retention_cohorts,
     events_user_count_approx,
+    _ORACLE_USER_COUNT_APPROX,
     events_value_histogram,
     merge_scd2_asof,
     orders_profile,
@@ -362,6 +363,7 @@ from .graph import (
     users_sig_edges_streaming,
     users_triangles,
     users_triangles_incremental,
+    users_triangles_streaming,
 )
 
 
@@ -405,10 +407,25 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec("window_function_census", window_function_census, _ORACLE_WINDOW_CENSUS),
     QuerySpec("events_value_histogram", events_value_histogram, _ORACLE_HISTOGRAM),
-    # HLL sketches differ across engines by construction: rows-only gate,
-    # accuracy pinned vs exact in tests (see docstring)
-    QuerySpec("events_user_count_approx", events_user_count_approx, None),
+    # HLL register values differ across engines by construction, so the
+    # spec grades the sketch's accuracy CONTRACT instead: exact anchor
+    # columns + a Spark-evaluated within_5pct boolean the oracle pins to
+    # TRUE (VERDICT r10 item 4 — no more guaranteed-err window slot)
+    QuerySpec(
+        "events_user_count_approx",
+        events_user_count_approx,
+        _ORACLE_USER_COUNT_APPROX,
+    ),
     QuerySpec("merge_scd2_asof", merge_scd2_asof, _ORACLE_SCD2_ASOF),
+    # --- r11 births (enter the window in their birth round) ---------------
+    # streaming triangle maintenance: sig-edges count partials feed a
+    # served edge view whose diff against the previous snapshot drives
+    # the same delta-anchored wedge correction the incremental leg is
+    # graded on; final table ≡ full recompute, so it shares the
+    # users_triangles oracle
+    QuerySpec(
+        "users_triangles_streaming", users_triangles_streaming, _ORACLE_TRIANGLES
+    ),
     # --- r10 births (enter the window in their birth round) ---------------
     # hybrid retrieval with the semantic leg probing the PERSISTED IVF
     # index (cell-pruned, adaptive √n cells) instead of the exact
