@@ -2220,7 +2220,7 @@ def _stream_state_dir(kind: str, sf_dir: str) -> str:
 
 
 def _stream_waves_available_now(
-    spark, waves, src: str, ckpt: str, fn
+    spark, waves, src: str, ckpt: str, fn, transform=None, output_mode="update"
 ) -> None:
     """Drive ``fn`` (a foreachBatch maintainer) over ``waves`` as
     ORDERED micro-batches of ONE checkpointed availableNow run
@@ -2260,14 +2260,24 @@ def _stream_waves_available_now(
     def _respread(df, bid):
         return fn(df.repartition(par), bid)
 
-    q = (
+    stream = (
         spark.readStream.schema(waves[0].schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-        .writeStream.foreachBatch(_respread)
+    )
+    sink_fn = _respread
+    if transform is not None:
+        # STATEFUL plans (watermarked windowed aggregation) go between
+        # source and sink; foreachBatch then receives the aggregate's
+        # update stream (small, already shuffled by the state store) —
+        # no re-spread needed or wanted on top of stateful output
+        stream = transform(stream)
+        sink_fn = fn
+    q = (
+        stream.writeStream.foreachBatch(sink_fn)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .outputMode("update")
+        .outputMode(output_mode)
         .start()
     )
     q.awaitTermination()

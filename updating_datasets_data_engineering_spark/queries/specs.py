@@ -72,6 +72,7 @@ from .analytics import (
     _ORACLE_GAPS,
     _ORACLE_GROUPING_SETS,
     _ORACLE_HOURLY,
+    _ORACLE_HOURLY_STREAMING,
     _ORACLE_INCREMENTAL,
     _ORACLE_INC_AVG_DISTINCT,
     _ORACLE_MOVING_AVG,
@@ -119,6 +120,7 @@ from .analytics import (
     events_funnel,
     events_gaps,
     events_hourly,
+    events_hourly_streaming,
     events_moving_avg,
     events_pivot,
     events_props_json,
@@ -426,6 +428,37 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "users_triangles_streaming", users_triangles_streaming, _ORACLE_TRIANGLES
     ),
+    # the watermarked tumbling-window aggregation run END TO END as a
+    # stateful streaming plan: two checkpointed micro-batches, wave 2
+    # entirely late (older than the advanced watermark) and DROPPED by
+    # the state store; served upsert ≡ the batch aggregate minus the
+    # late rows, which is what the oracle computes (VERDICT r10 item 8)
+    QuerySpec(
+        "events_hourly_streaming", events_hourly_streaming, _ORACLE_HOURLY_STREAMING
+    ),
+    # --- r11 rotation block (ten-spec drain of the never-graded tail;
+    # schedule pinned in test_registry_window.py).  First-time graded
+    # this round: embedding_quantize, docs_split_assign, docs_source_cap,
+    # docs_cross_doc_dup_rate, docs_epoch_plan, events_sliding_active_users,
+    # docs_dataset_card, docs_unigram_logprob, sources_overlap_matrix,
+    # events_rfm_segments.  Out (driver-green r9/r10, still oracle-gated
+    # every round by tests/test_oracle_parity.py): events_trend,
+    # dedup_fuzzy_titles, dedup_semantic, events_retention_cohorts,
+    # events_markov_transitions, events_anomaly_hours,
+    # embedding_norm_outliers, docs_mixture_rebalance, docs_shuffle_shards,
+    # docs_bm25_streaming, docs_hybrid_search, dedup_semantic_streaming. ---
+    QuerySpec("embedding_quantize", embedding_quantize, _ORACLE_QUANTIZE),
+    QuerySpec("docs_split_assign", docs_split_assign, _ORACLE_SPLIT),
+    QuerySpec("docs_source_cap", docs_source_cap, _ORACLE_SOURCE_CAP),
+    QuerySpec("docs_cross_doc_dup_rate", docs_cross_doc_dup_rate, _ORACLE_DUP_RATE),
+    QuerySpec("docs_epoch_plan", docs_epoch_plan, _ORACLE_EPOCH_PLAN),
+    QuerySpec(
+        "events_sliding_active_users", events_sliding_active_users, _ORACLE_SLIDING_USERS
+    ),
+    QuerySpec("docs_dataset_card", docs_dataset_card, _ORACLE_DATASET_CARD),
+    QuerySpec("docs_unigram_logprob", docs_unigram_logprob, _ORACLE_UNIGRAM),
+    QuerySpec("sources_overlap_matrix", sources_overlap_matrix, _ORACLE_OVERLAP),
+    QuerySpec("events_rfm_segments", events_rfm_segments, _ORACLE_RFM),
     # --- r10 births (enter the window in their birth round) ---------------
     # hybrid retrieval with the semantic leg probing the PERSISTED IVF
     # index (cell-pruned, adaptive √n cells) instead of the exact
@@ -471,38 +504,15 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "docs_tfidf_streaming", docs_tfidf_streaming, _ORACLE_TFIDF_INCREMENTAL
     ),
-    # --- r9 rotation block, still resident ---------------------------------
-    QuerySpec("events_trend", events_trend, _ORACLE_TREND),
-    QuerySpec("dedup_fuzzy_titles", dedup_fuzzy_titles, _ORACLE_FUZZY),
-    QuerySpec(
-        "dedup_semantic",
-        dedup_semantic,
-        OE.semantic_dedup_sql(16, 0.92, planted_mod=25, adaptive_cells=True),
-    ),
-    QuerySpec("events_retention_cohorts", events_retention_cohorts, _ORACLE_RETENTION),
-    QuerySpec("events_markov_transitions", events_markov_transitions, _ORACLE_MARKOV),
-    QuerySpec("events_anomaly_hours", events_anomaly_hours, _ORACLE_ANOMALY),
-    QuerySpec("embedding_norm_outliers", embedding_norm_outliers, _oracle_norm_outliers_sql()),
-    QuerySpec("docs_mixture_rebalance", docs_mixture_rebalance, _ORACLE_MIXTURE),
-    QuerySpec("docs_shuffle_shards", docs_shuffle_shards, _ORACLE_SHUFFLE_SHARDS),
+    # --- r9 rotation block remnant (events_trend, dedup_fuzzy_titles,
+    # dedup_semantic, events_retention_cohorts, events_markov_transitions,
+    # events_anomaly_hours, embedding_norm_outliers, docs_mixture_rebalance,
+    # docs_shuffle_shards: driver-green r9/r10, rotated to the
+    # pytest-pinned tail at r11) -------------------------------------------
     QuerySpec("orders_profile", orders_profile, _oracle_profile_sql()),
-    # --- r9 births (enter the window in their birth round) ----------------
-    # (docs_tfidf_incremental, driver-green r9, rotated to the tail at r10)
-    # the streaming leg's served view after the final batch == the batch
-    # ranking on the full corpus, so it shares the batch oracle (the
-    # retract leg: driver-green r9, r10-evicted to the tail)
-    QuerySpec("docs_bm25_streaming", docs_bm25_streaming, _ORACLE_BM25),
-    # hybrid lexical+semantic retrieval: RRF-fuse the BM25 pool with the
-    # exact-cosine pool per query (rank-only fusion, bit-deterministic)
-    QuerySpec("docs_hybrid_search", docs_hybrid_search, _oracle_hybrid_sql()),
-    # streaming replay of the semantic retract scenario: shares the
-    # survivor-recompute oracle (the batch retract spec itself:
-    # driver-green r9, r10-evicted to the tail by the sixth birth)
-    QuerySpec(
-        "dedup_semantic_streaming",
-        dedup_semantic_streaming,
-        OE.semantic_dedup_sql(16, 0.92, planted_mod=25, tomb_mod=50, tomb_val=25, adaptive_cells=True),
-    ),
+    # (r9 births docs_bm25_streaming, docs_hybrid_search,
+    # dedup_semantic_streaming: driver-green r9/r10, rotated to the
+    # pytest-pinned tail at r11.)
     # --- r7 rotation block, still resident --------------------------------
     # (the r8 rotation block — dedup_containment_retract, q8/q9/q12/q16,
     # dedup_minhash_lsh_salted, dedup_labels_after_delete,
@@ -550,6 +560,27 @@ SPECS: list[QuerySpec] = [
     # per-round by tests/test_registry_window.py, which also pins the 20
     # forever-resident §2-parity specs and the deterministic 5-spec block
     # schedule.  Everything below is graded by tests/test_oracle_parity.py.
+    # --- r11 evictions (driver-green r9/r10) ------------------------------
+    QuerySpec("events_trend", events_trend, _ORACLE_TREND),
+    QuerySpec("dedup_fuzzy_titles", dedup_fuzzy_titles, _ORACLE_FUZZY),
+    QuerySpec(
+        "dedup_semantic",
+        dedup_semantic,
+        OE.semantic_dedup_sql(16, 0.92, planted_mod=25, adaptive_cells=True),
+    ),
+    QuerySpec("events_retention_cohorts", events_retention_cohorts, _ORACLE_RETENTION),
+    QuerySpec("events_markov_transitions", events_markov_transitions, _ORACLE_MARKOV),
+    QuerySpec("events_anomaly_hours", events_anomaly_hours, _ORACLE_ANOMALY),
+    QuerySpec("embedding_norm_outliers", embedding_norm_outliers, _oracle_norm_outliers_sql()),
+    QuerySpec("docs_mixture_rebalance", docs_mixture_rebalance, _ORACLE_MIXTURE),
+    QuerySpec("docs_shuffle_shards", docs_shuffle_shards, _ORACLE_SHUFFLE_SHARDS),
+    QuerySpec("docs_bm25_streaming", docs_bm25_streaming, _ORACLE_BM25),
+    QuerySpec("docs_hybrid_search", docs_hybrid_search, _oracle_hybrid_sql()),
+    QuerySpec(
+        "dedup_semantic_streaming",
+        dedup_semantic_streaming,
+        OE.semantic_dedup_sql(16, 0.92, planted_mod=25, tomb_mod=50, tomb_val=25, adaptive_cells=True),
+    ),
     # --- r8 evictions (driver-green in earlier rounds) -------------------
     QuerySpec(
         "embedding_near_dup_t90",
@@ -704,23 +735,11 @@ SPECS: list[QuerySpec] = [
     # events_user_count_approx, merge_scd2_asof and the six users_*
     # graph specs drained INTO the window at r10 — see the rotation
     # block above.)
-    QuerySpec("embedding_quantize", embedding_quantize, _ORACLE_QUANTIZE),
-    QuerySpec("docs_split_assign", docs_split_assign, _ORACLE_SPLIT),
     # r5 block 4: cross-document curation (docs_boilerplate_strip holds
     # the r5 rotation slot inside the driver window above)
-    QuerySpec("docs_source_cap", docs_source_cap, _ORACLE_SOURCE_CAP),
     QuerySpec("events_moving_avg", events_moving_avg, _ORACLE_MOVING_AVG),
-    QuerySpec("docs_cross_doc_dup_rate", docs_cross_doc_dup_rate, _ORACLE_DUP_RATE),
-    QuerySpec("docs_epoch_plan", docs_epoch_plan, _ORACLE_EPOCH_PLAN),
-    QuerySpec(
-        "events_sliding_active_users", events_sliding_active_users, _ORACLE_SLIDING_USERS
-    ),
-    QuerySpec("docs_dataset_card", docs_dataset_card, _ORACLE_DATASET_CARD),
     # r5 block 5: LM quality scoring & inter-source contamination
-    QuerySpec("docs_unigram_logprob", docs_unigram_logprob, _ORACLE_UNIGRAM),
-    QuerySpec("sources_overlap_matrix", sources_overlap_matrix, _ORACLE_OVERLAP),
     # r5 block 6: behavioral segmentation & co-occurrence projection
-    QuerySpec("events_rfm_segments", events_rfm_segments, _ORACLE_RFM),
     QuerySpec(
         "docs_boilerplate_incremental",
         docs_boilerplate_incremental,

@@ -218,21 +218,34 @@ def running_user_totals(events: DataFrame, timeout_minutes: int | None = None) -
     )
 
 
-def streaming_hourly_counts(events: DataFrame, watermark_delay: str = "2 hours") -> DataFrame:
+def streaming_hourly_counts(
+    events: DataFrame, watermark_delay: str = "2 hours", with_users: bool = False
+) -> DataFrame:
     """Watermarked tumbling-window aggregate — the streaming twin of
     operators.analytics.events_hourly (same logical result on bounded
-    input)."""
+    input).  ``with_users`` adds the exact distinct-user count via
+    ``size(collect_set(user_id))`` — streaming aggregation does not
+    support ``countDistinct``, so the per-window state is the user-id
+    set itself, bounded by active users per window and evicted with
+    the window (the same exactness trade
+    ``streaming_sliding_active_users`` documents)."""
     from pyspark.sql import functions as F
 
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    ]
+    cols = ["event_type", "n_events", "sum_value"]
+    if with_users:
+        aggs.append(F.size(F.collect_set("user_id")).cast("long").alias("n_users"))
+        cols.append("n_users")
     return (
         events.withWatermark("ts", watermark_delay)
         .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(*aggs)
         .select(
             F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
-            "event_type",
-            "n_events",
-            "sum_value",
+            *cols,
         )
     )
 
