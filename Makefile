@@ -19,9 +19,19 @@ SF_PLANS  ?= /root/testdata/sf0.01
 SF_BENCH  ?= /root/testdata/sf0.1
 SF1_DIR   ?= /tmp/graft_sf1
 
-.PHONY: verify parity plans bench bench-sf1 test
+.PHONY: verify parity plans bench bench-sf1 test round-end check-artifacts
 
 verify: parity plans bench
+
+# End-of-round artifact discipline (VERDICT r10 items 2 and 7): ONE
+# gated target regenerates PLANS.md + BENCH_FULL.json together and then
+# verifies internal consistency (PLANS row count == registry size via
+# tests/test_artifacts.py), so a truncated or stale artifact can never
+# be snapshotted.  Commit the artifact set only after this passes.
+round-end: plans bench bench-sf1 check-artifacts
+
+check-artifacts:
+	python -m pytest tests/test_artifacts.py -q
 
 parity:
 	SPARK_GRAFT_TEST_SF_DIR=$(SF_PARITY) python -m pytest tests/test_oracle_parity.py -q

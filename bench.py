@@ -225,6 +225,10 @@ HEADLINE = [
     "users_sig_edges_streaming",
     "knn_ann_streaming",
     "docs_tfidf_streaming",
+    # r11 births: streaming triangle maintenance + the watermarked
+    # windowed aggregation graded end to end
+    "users_triangles_streaming",
+    "events_hourly_streaming",
 ]
 
 # Every registered spec must be benched except the explicit quarantine —
@@ -300,6 +304,9 @@ SF1_HEADLINE = [
     "docs_pack_sequences",
     "multimodal_features",
     "incremental_value_quantiles",
+    # r11 births
+    "users_triangles_streaming",
+    "events_hourly_streaming",
 ]
 
 

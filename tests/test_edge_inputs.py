@@ -314,29 +314,40 @@ def test_connected_components_two_chains_and_a_clique(spark):
 
 
 def test_hll_within_rsd_of_exact(spark, sf_dir):
-    """The HLL sketch query has no SQL oracle (implementations differ
-    across engines by construction) — its gate is this accuracy bound:
-    every per-type estimate within 5% of exact countDistinct (rsd=0.02
-    on the sketch; 2.5x headroom on the bound)."""
+    """The HLL estimate itself cannot be hash-compared across engines,
+    so the graded spec returns the exact anchor plus a Spark-evaluated
+    ``within_5pct`` boolean (VERDICT r10 item 4).  This test pins the
+    TIGHTER raw bound the boolean's 5% contract rides on: every
+    per-type ``approx_count_distinct(rsd=0.02)`` estimate within 5% of
+    exact countDistinct (2.5x headroom on the sketch's rsd), plus the
+    graded columns themselves — exact anchor equal to countDistinct
+    and the boolean true everywhere."""
     from pyspark.sql import functions as F
 
     from updating_datasets_data_engineering_spark.registry import queries
     from updating_datasets_data_engineering_spark.tables import load_table
 
+    ev = load_table(spark, sf_dir, "events")
     approx = {
-        r["event_type"]: r["approx_users"]
-        for r in queries()["events_user_count_approx"](spark, sf_dir).collect()
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n"))
+        .collect()
     }
     exact = {
         r["event_type"]: r["n"]
-        for r in load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
+        for r in ev.groupBy("event_type")
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
     assert set(approx) == set(exact)
     for t, n in exact.items():
         assert abs(approx[t] - n) <= max(1, 0.05 * n), (t, approx[t], n)
+    graded = queries()["events_user_count_approx"](spark, sf_dir).collect()
+    assert {r["event_type"] for r in graded} == set(exact)
+    for r in graded:
+        assert r["exact_users"] == exact[r["event_type"]]
+        assert r["within_5pct"] is True, r
 
 
 def test_semantic_retract_noop_tombstones(spark):

@@ -456,6 +456,17 @@ def ivf_ann_sql(
     via ROW_NUMBER over (cosine DESC, cid) — identical tie semantics
     to the Spark windows — then exact cosine inside probed cells.
 
+    PRECONDITION on ``corpus_sql`` (ADVICE r10 item 1): the corpus must
+    contain vec_ids 0 .. n_cells-1, because this oracle's centroid rule
+    is ``vec_id < n_cells`` while the Spark streaming maintainer
+    freezes its quantizer as the first batch's n_cells SMALLEST ids —
+    the two coincide exactly when ids 0..n_cells-1 are present (true
+    for every current caller: the full corpus, and the knn_ann_streaming
+    survivor corpus whose tombstones never touch ids < 16).  A future
+    corpus_sql violating this would make the oracle and the frozen
+    quantizer silently diverge — select centroids to match the
+    maintainer's smallest-ids rule instead of widening this rule.
+
     Peak-memory hardening (r8: this oracle OOM'd in the driver's
     memory-starved sandbox at 41 KB of SQL): per-vector norms are
     hoisted into one MATERIALIZED pass, so each pairwise cosine is ONE
