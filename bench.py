@@ -229,6 +229,7 @@ HEADLINE = [
     # windowed aggregation graded end to end
     "users_triangles_streaming",
     "events_hourly_streaming",
+    "users_sig_edges_retract",
 ]
 
 # Every registered spec must be benched except the explicit quarantine —
@@ -307,6 +308,7 @@ SF1_HEADLINE = [
     # r11 births
     "users_triangles_streaming",
     "events_hourly_streaming",
+    "users_sig_edges_retract",
 ]
 
 

@@ -501,3 +501,44 @@ def test_triangles_incremental_equals_full_rebuild(spark):
         for r in Q["users_triangles"](spark, sf_dir).collect()
     }
     assert inc == full
+
+
+def test_sig_edges_retract_both_directions_live(spark):
+    """The delete leg's subtraction must equal the batch recompute on
+    the survivor corpus AND exercise both lift-churn directions —
+    pinned at sf0.01, where tombstoning event_id % 50 kills 184
+    actives and the edge set both LOSES edges (shared counts drop
+    below threshold) and GAINS edges (the independence expectation
+    shrinks with the retracted activity, lifting borderline pairs over
+    1.5)."""
+    import os
+    import unittest.mock as mock
+
+    from pyspark.sql import functions as F
+
+    from updating_datasets_data_engineering_spark import registry as R
+    from updating_datasets_data_engineering_spark.queries import _base as QB
+    from updating_datasets_data_engineering_spark.queries import graph as GQ
+    from updating_datasets_data_engineering_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.01 fixture not present")
+
+    got = GQ.users_sig_edges_retract(spark, sf_dir)
+    survivors = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 50 != 0
+    )
+    with mock.patch.object(QB, "load_table", lambda s, d, name: survivors):
+        want = R._significant_edges(spark, "")
+    cols = ["user_a", "user_b", "shared_windows", "lift"]
+    got_rows = sorted(map(tuple, got.select(*cols).collect()))
+    want_rows = sorted(map(tuple, want.select(*cols).collect()))
+    assert got_rows == want_rows
+
+    full = GQ._significant_edges(spark, sf_dir)
+    keys = ["user_a", "user_b"]
+    dropped = full.select(*keys).join(got.select(*keys), keys, "left_anti").count()
+    gained = got.select(*keys).join(full.select(*keys), keys, "left_anti").count()
+    assert dropped > 0, "delete leg inert: no edge lost"
+    assert gained > 0, "expectation shift inert: no edge gained"

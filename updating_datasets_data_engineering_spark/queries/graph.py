@@ -323,6 +323,14 @@ pairs AS MATERIALIZED (
 )"""
 
 
+def _sig_edges_sql_over(src_sql: str) -> str:
+    """The ``_SIG_EDGES_SQL`` WITH-block re-rooted on an arbitrary
+    corpus subquery — the retract leg grades against the full
+    recompute on the SURVIVOR corpus (the only ``FROM events`` in the
+    block is the root ``active`` CTE)."""
+    return _SIG_EDGES_SQL.replace("FROM events", f"FROM ({src_sql})", 1)
+
+
 def docs_bigram_logprob(spark, sf_dir):
     """Bigram conditional-LM quality scoring — the order-2 step of the
     CCNet/KenLM perplexity-filter family (`docs_unigram_logprob` is
@@ -1078,6 +1086,153 @@ def _lift_from_counts(pairs, users, hours, min_lift: float = _GRAPH_MIN_LIFT):
 
 _ORACLE_SIG_EDGES_INCR = f"""
 WITH {_SIG_EDGES_SQL}
+SELECT s.ua AS user_a, s.ub AS user_b, s.sh AS shared_windows,
+       round(CAST(s.sh AS DOUBLE) / ex.ex, 6) AS lift
+FROM shared s JOIN ex ON ex.ua = s.ua AND ex.ub = s.ub
+WHERE round(CAST(s.sh AS DOUBLE) / ex.ex, 6) >= 1.5
+"""
+
+
+def users_sig_edges_retract(
+    spark, sf_dir,
+    min_shared: int = _GRAPH_MIN_SHARED,
+    min_lift: float = _GRAPH_MIN_LIFT,
+):
+    """DELETE leg of the significant-edge graph — GDPR-style event-row
+    retraction, completing the graph family's four-leg lifecycle
+    (batch / incremental / retract / streaming, the containment / BM25
+    / semantic / TF-IDF standard).  Events with ``event_id % 50 == 0``
+    are tombstoned; the persisted FULL-CORPUS counts (pair shared
+    counts, per-(user, month) window counts, window inventory — the
+    nightly-build states, raw counts so threshold-independent) are
+    corrected by SUBTRACTION, and the lift tail runs over the merged
+    counts.  Output ≡ ``_significant_edges`` recomputed on the
+    survivor corpus — the oracle.
+
+    Why correction is delta-anchored: deleting an event row kills an
+    ACTIVE (hour, user) only when no surviving event keeps it alive,
+    so the affected key set is bounded by the tombstones.  The two
+    corpus scans this leg pays are broadcast-SEMI-JOIN-pruned
+    (survivor rows restricted to the tombstones' keys; full actives
+    restricted to the dying keys' hours) — map-side filters, never a
+    shuffle of the corpus.  Lost pair instances use the streaming
+    maintainer's exactly-once decomposition in reverse: removed ×
+    (same-hour survivors-of-the-hour) plus removed × removed (a < b) —
+    each lost (hour, {u, v}) instance subtracted exactly once.  A
+    window leaves the inventory only when ALL its actives died.  The
+    full-corpus pair self-join (the quadratic term) runs only in the
+    nightly state build, never in the retraction."""
+    from ..caching import tracked_persist
+
+    ev = _t(spark, sf_dir, "events")
+    state_pairs = _persisted_index(
+        spark,
+        sf_dir,
+        "graph_pair_counts_full",
+        lambda: _graph_pairs(_graph_active(ev)),
+    )
+    state_users = _persisted_index(
+        spark,
+        sf_dir,
+        "graph_user_month_counts_full",
+        lambda: _graph_active(ev)
+        .groupBy("user_id", F.substring("hour", 1, 7).alias("month"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nu")),
+    )
+    state_hours = _persisted_index(
+        spark,
+        sf_dir,
+        "graph_hours_full",
+        lambda: _graph_active(ev).select("hour").distinct(),
+    )
+    tomb = ev.where(F.col("event_id") % 50 == 0)
+    keys = tracked_persist(_graph_active(tomb))
+    # survivors that keep an affected key active (broadcast-pruned scan)
+    surv = ev.where(F.col("event_id") % 50 != 0)
+    kept = (
+        surv.select(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias(
+                "hour"
+            ),
+            "user_id",
+        )
+        .join(F.broadcast(keys), ["hour", "user_id"], "left_semi")
+        .distinct()
+    )
+    removed = tracked_persist(keys.join(kept, ["hour", "user_id"], "left_anti"))
+    # full pre-retraction actives of the dying keys' hours (pruned scan)
+    hrs = removed.select("hour").distinct()
+    act_h = tracked_persist(
+        _graph_active(ev.join(
+            F.broadcast(hrs),
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH")
+            == F.col("hour"),
+            "left_semi",
+        ))
+    )
+    survivors_h = act_h.join(removed, ["hour", "user_id"], "left_anti")
+    r, o = removed.alias("r"), survivors_h.alias("o")
+    lost_cross = r.join(
+        o, F.col("r.hour") == F.col("o.hour")
+    ).select(
+        F.least(F.col("r.user_id"), F.col("o.user_id")).alias("user_a"),
+        F.greatest(F.col("r.user_id"), F.col("o.user_id")).alias("user_b"),
+    )
+    r2 = removed.alias("r2")
+    lost_rr = r.join(
+        r2,
+        (F.col("r.hour") == F.col("r2.hour"))
+        & (F.col("r.user_id") < F.col("r2.user_id")),
+    ).select(
+        F.col("r.user_id").alias("user_a"), F.col("r2.user_id").alias("user_b")
+    )
+    sub_pairs = (
+        lost_cross.unionByName(lost_rr)
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("sh_d"))
+    )
+    merged_pairs = (
+        state_pairs
+        .join(sub_pairs, ["user_a", "user_b"], "full_outer")
+        .select(
+            "user_a",
+            "user_b",
+            (F.coalesce("sh", F.lit(0)) - F.coalesce("sh_d", F.lit(0)))
+            .cast("long")
+            .alias("shared_windows"),
+        )
+        .where(F.col("shared_windows") >= min_shared)
+    )
+    d_users = removed.groupBy(
+        "user_id", F.substring("hour", 1, 7).alias("month")
+    ).agg(F.count(F.lit(1)).cast("long").alias("nu_d"))
+    merged_users = (
+        state_users.join(d_users, ["user_id", "month"], "full_outer")
+        .select(
+            "user_id",
+            "month",
+            (F.coalesce("nu", F.lit(0)) - F.coalesce("nu_d", F.lit(0)))
+            .cast("long")
+            .alias("nu"),
+        )
+        .where(F.col("nu") > 0)
+    )
+    dead_hours = (
+        act_h.groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("n_all"))
+        .join(
+            removed.groupBy("hour").agg(F.count(F.lit(1)).alias("n_rm")),
+            "hour",
+        )
+        .where(F.col("n_all") == F.col("n_rm"))
+        .select("hour")
+    )
+    merged_hours = state_hours.join(dead_hours, "hour", "left_anti")
+    return _lift_from_counts(merged_pairs, merged_users, merged_hours, min_lift)
+
+
+_ORACLE_SIG_EDGES_RETRACT = f"""
+WITH {_sig_edges_sql_over("SELECT * FROM events WHERE event_id % 50 <> 0")}
 SELECT s.ua AS user_a, s.ub AS user_b, s.sh AS shared_windows,
        round(CAST(s.sh AS DOUBLE) / ex.ex, 6) AS lift
 FROM shared s JOIN ex ON ex.ua = s.ua AND ex.ub = s.ub

@@ -362,6 +362,8 @@ from .graph import (
     users_pagerank,
     users_pagerank_personalized,
     users_sig_edges_incremental,
+    users_sig_edges_retract,
+    _ORACLE_SIG_EDGES_RETRACT,
     users_sig_edges_streaming,
     users_triangles,
     users_triangles_incremental,
@@ -436,6 +438,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "events_hourly_streaming", events_hourly_streaming, _ORACLE_HOURLY_STREAMING
     ),
+    # the graph family's DELETE leg: GDPR-style row retraction corrects
+    # the persisted full-corpus counts by delta-anchored subtraction;
+    # output == the full recompute on the survivor corpus (its oracle)
+    QuerySpec(
+        "users_sig_edges_retract", users_sig_edges_retract, _ORACLE_SIG_EDGES_RETRACT
+    ),
     # --- r11 rotation block (ten-spec drain of the never-graded tail;
     # schedule pinned in test_registry_window.py).  First-time graded
     # this round: embedding_quantize, docs_split_assign, docs_source_cap,
@@ -504,12 +512,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "docs_tfidf_streaming", docs_tfidf_streaming, _ORACLE_TFIDF_INCREMENTAL
     ),
-    # --- r9 rotation block remnant (events_trend, dedup_fuzzy_titles,
+    # (the whole r9 rotation block — events_trend, dedup_fuzzy_titles,
     # dedup_semantic, events_retention_cohorts, events_markov_transitions,
     # events_anomaly_hours, embedding_norm_outliers, docs_mixture_rebalance,
-    # docs_shuffle_shards: driver-green r9/r10, rotated to the
-    # pytest-pinned tail at r11) -------------------------------------------
-    QuerySpec("orders_profile", orders_profile, _oracle_profile_sql()),
+    # docs_shuffle_shards, orders_profile — went driver-green r9/r10 and
+    # rotated to the pytest-pinned tail at r11.)
     # (r9 births docs_bm25_streaming, docs_hybrid_search,
     # dedup_semantic_streaming: driver-green r9/r10, rotated to the
     # pytest-pinned tail at r11.)
@@ -561,6 +568,7 @@ SPECS: list[QuerySpec] = [
     # forever-resident §2-parity specs and the deterministic 5-spec block
     # schedule.  Everything below is graded by tests/test_oracle_parity.py.
     # --- r11 evictions (driver-green r9/r10) ------------------------------
+    QuerySpec("orders_profile", orders_profile, _oracle_profile_sql()),
     QuerySpec("events_trend", events_trend, _ORACLE_TREND),
     QuerySpec("dedup_fuzzy_titles", dedup_fuzzy_titles, _ORACLE_FUZZY),
     QuerySpec(
