@@ -230,6 +230,7 @@ HEADLINE = [
     "users_triangles_streaming",
     "events_hourly_streaming",
     "users_sig_edges_retract",
+    "users_triangles_retract",
 ]
 
 # Every registered spec must be benched except the explicit quarantine —
@@ -309,6 +310,7 @@ SF1_HEADLINE = [
     "users_triangles_streaming",
     "events_hourly_streaming",
     "users_sig_edges_retract",
+    "users_triangles_retract",
 ]
 
 

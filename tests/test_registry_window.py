@@ -166,7 +166,7 @@ NEW_SPECS_BY_ROUND: dict[int, list[str]] = {
          "users_sig_edges_streaming", "knn_ann_streaming",
          "docs_tfidf_streaming"],
     11: ["users_triangles_streaming", "events_hourly_streaming",
-         "users_sig_edges_retract"],
+         "users_sig_edges_retract", "users_triangles_retract"],
 }
 
 

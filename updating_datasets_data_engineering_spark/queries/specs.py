@@ -367,6 +367,8 @@ from .graph import (
     users_sig_edges_streaming,
     users_triangles,
     users_triangles_incremental,
+    users_triangles_retract,
+    _ORACLE_TRIANGLES_RETRACT,
     users_triangles_streaming,
 )
 
@@ -444,6 +446,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "users_sig_edges_retract", users_sig_edges_retract, _ORACLE_SIG_EDGES_RETRACT
     ),
+    # triangle counts under the same retraction: the persisted triangle
+    # table corrected across the survivor edge diff (delete-dominated
+    # churn); completes the triangle family's four-leg lifecycle
+    QuerySpec(
+        "users_triangles_retract", users_triangles_retract, _ORACLE_TRIANGLES_RETRACT
+    ),
     # --- r11 rotation block (ten-spec drain of the never-graded tail;
     # schedule pinned in test_registry_window.py).  First-time graded
     # this round: embedding_quantize, docs_split_assign, docs_source_cap,
@@ -467,14 +475,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("docs_unigram_logprob", docs_unigram_logprob, _ORACLE_UNIGRAM),
     QuerySpec("sources_overlap_matrix", sources_overlap_matrix, _ORACLE_OVERLAP),
     QuerySpec("events_rfm_segments", events_rfm_segments, _ORACLE_RFM),
-    # --- r10 births (enter the window in their birth round) ---------------
-    # hybrid retrieval with the semantic leg probing the PERSISTED IVF
-    # index (cell-pruned, adaptive √n cells) instead of the exact
-    # sibling's full-corpus cosine scan; deterministic geometry, so the
-    # oracle replays assignment/probe/fusion exactly (VERDICT r9 item 3)
-    QuerySpec(
-        "docs_hybrid_search_ann", docs_hybrid_search_ann, _oracle_hybrid_ann_sql()
-    ),
+    # --- r10 births (enter the window in their birth round;
+    # docs_hybrid_search_ann: driver-green r10, r11-evicted to the tail
+    # by the fourth r11 birth) ---------------------------------------------
     # export ∘ tgz-repack ∘ distributed-rescan = identity on orders —
     # the K1/K2/S2/S3 archive surface, driver-hash-checked (r9 item 8)
     QuerySpec(
@@ -568,6 +571,9 @@ SPECS: list[QuerySpec] = [
     # forever-resident §2-parity specs and the deterministic 5-spec block
     # schedule.  Everything below is graded by tests/test_oracle_parity.py.
     # --- r11 evictions (driver-green r9/r10) ------------------------------
+    QuerySpec(
+        "docs_hybrid_search_ann", docs_hybrid_search_ann, _oracle_hybrid_ann_sql()
+    ),
     QuerySpec("orders_profile", orders_profile, _oracle_profile_sql()),
     QuerySpec("events_trend", events_trend, _ORACLE_TREND),
     QuerySpec("dedup_fuzzy_titles", dedup_fuzzy_titles, _ORACLE_FUZZY),
