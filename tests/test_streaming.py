@@ -864,6 +864,46 @@ def test_streaming_triangles_epoch_mode_multimonth(spark, tmp_path):
     )
 
 
+def test_hourly_streaming_watermark_drop(spark, tmp_path):
+    """ADVICE r11 item 2: the late wave of the events_hourly_streaming
+    construction is ACTUALLY dropped by the watermark
+    (numRowsDroppedByWatermark == |late wave|) — pinned so the
+    epoch-agnostic dayofmonth splits can never silently degenerate to
+    an empty late wave on a fixture whose months drift."""
+    import json
+
+    from updating_datasets_data_engineering_spark.queries.indexes import (
+        _stream_waves_available_now,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    late = (F.dayofmonth("ts") < 25) & (F.col("event_id") % 37 == 0)
+    tail = F.dayofmonth("ts") >= 29
+    waves = [ev.where(~late & ~tail), ev.where(~late & tail), ev.where(late)]
+    n_late = waves[2].count()
+    assert n_late > 0, "late wave degenerated to empty — split broke"
+    src = str(tmp_path / "wd_src")
+    os.makedirs(src, exist_ok=True)
+    served = str(tmp_path / "wd_served")
+    fn = SP.upsert_each_batch(served, key=("hour", "event_type"))
+    q = _stream_waves_available_now(
+        spark, waves, src, str(tmp_path / "wd_ckpt"), fn,
+        transform=lambda s: SP.streaming_hourly_counts(
+            s, "2 hours", with_users=True
+        ),
+        output_mode="append",
+    )
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in json.loads(p.json)["stateOperators"]
+    )
+    assert dropped == n_late, (dropped, n_late)
+
+
 def test_streaming_grouped_histogram_maintenance(spark, tmp_path):
     """Grouped variant of the histogram maintainer: per-event-type
     quantile dashboards maintained from a stream equal the from-scratch

@@ -466,12 +466,14 @@ def events_hourly_streaming(spark, sf_dir):
     micro-batches of one checkpointed availableNow run, upserted into
     a served store keyed by (hour, event_type) in ``foreachBatch``.
 
-    The late-data path is exercised FOR REAL.  Waves: (1) everything
-    before Jan 29 minus a planted late subset, (2) the Jan 29-30 tail,
-    (3) the late subset — rows before Jan 25 with event_id % 37 == 0,
-    at least four days older than EITHER preceding wave's maximum
-    event time minus the 2 h delay, so the stateful aggregation DROPS
-    every wave-3 row (measured: numRowsDroppedByWatermark == |wave 3|).
+    The late-data path is exercised FOR REAL.  Waves (dayofmonth
+    splits — epoch-agnostic, so no fixture month is hardcoded; ADVICE
+    r11 item 2): (1) days 1-28 minus a planted late subset, (2) the
+    day ≥ 29 tail, (3) the late subset — day < 25 rows with
+    event_id % 37 == 0, at least four days older than EITHER preceding
+    wave's maximum event time minus the 2 h delay, so the stateful
+    aggregation DROPS every wave-3 row (numRowsDroppedByWatermark ==
+    |wave 3|, pinned in tests/test_streaming.py).
     Why three waves, with the drop margin valid against both prior
     maxima: Spark's late-input filter uses the watermark committed at
     the START of the batch — one batch behind the eviction watermark —
@@ -493,10 +495,13 @@ def events_hourly_streaming(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    late = (
-        F.col("ts") < F.lit("2024-01-25").cast("timestamp")
-    ) & (F.col("event_id") % 37 == 0)
-    tail = F.col("ts") >= F.lit("2024-01-29").cast("timestamp")
+    # epoch-agnostic splits (ADVICE r11 item 2): dayofmonth-based like
+    # users_triangles_streaming, so the late/tail waves stay non-empty
+    # on ANY fixture month(s) — a late row (day < 25) is always ≥ 4
+    # days older than the tail's (day ≥ 29) maximum minus the 2 h
+    # delay, so the watermark drop is exercised at every SF/epoch
+    late = (F.dayofmonth("ts") < 25) & (F.col("event_id") % 37 == 0)
+    tail = F.dayofmonth("ts") >= 29
     waves = [ev.where(~late & ~tail), ev.where(~late & tail), ev.where(late)]
     base = _stream_state_dir("hourly", sf_dir)
     src = os.path.join(base, "src")
@@ -520,7 +525,7 @@ def events_hourly_streaming(spark, sf_dir):
 _ORACLE_HOURLY_STREAMING = """
 WITH live AS (
     SELECT * FROM events
-    WHERE NOT (ts < TIMESTAMP '2024-01-25' AND event_id % 37 = 0)
+    WHERE NOT (date_part('day', ts) < 25 AND event_id % 37 = 0)
 ),
 wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM live)
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -327,7 +327,10 @@ def _sig_edges_sql_over(src_sql: str) -> str:
     """The ``_SIG_EDGES_SQL`` WITH-block re-rooted on an arbitrary
     corpus subquery — the retract leg grades against the full
     recompute on the SURVIVOR corpus (the only ``FROM events`` in the
-    block is the root ``active`` CTE)."""
+    block is the root ``active`` CTE — asserted, so a template edit
+    that introduces an earlier occurrence fails loudly instead of
+    silently re-rooting the wrong subquery; ADVICE r11 item 3)."""
+    assert _SIG_EDGES_SQL.count("FROM events") == 1, _SIG_EDGES_SQL
     return _SIG_EDGES_SQL.replace("FROM events", f"FROM ({src_sql})", 1)
 
 
@@ -1098,6 +1101,27 @@ def users_sig_edges_retract(
     min_shared: int = _GRAPH_MIN_SHARED,
     min_lift: float = _GRAPH_MIN_LIFT,
 ):
+    """Survivor-corpus significant edges, MATERIALIZED ONCE per
+    session (VERDICT r11 item 3): ``users_triangles_retract`` consumes
+    the same view, so without sharing, the full O(pair-state) lift
+    tail of :func:`_sig_edges_retract_compute` ran once per spec —
+    twice per bench.  ``_persisted_index`` stores the deterministic
+    result per (sf_dir, thresholds); whichever spec runs first pays
+    the build, the other reads parquet.  Values are unchanged (exact
+    parquet round-trip, incl. the float lift column)."""
+    return _persisted_index(
+        spark,
+        sf_dir,
+        f"sig_edges_retract_{min_shared}_{min_lift}",
+        lambda: _sig_edges_retract_compute(spark, sf_dir, min_shared, min_lift),
+    )
+
+
+def _sig_edges_retract_compute(
+    spark, sf_dir,
+    min_shared: int = _GRAPH_MIN_SHARED,
+    min_lift: float = _GRAPH_MIN_LIFT,
+):
     """DELETE leg of the significant-edge graph — GDPR-style event-row
     retraction, completing the graph family's four-leg lifecycle
     (batch / incremental / retract / streaming, the containment / BM25
@@ -1156,7 +1180,12 @@ def users_sig_edges_retract(
             ),
             "user_id",
         )
-        .join(F.broadcast(keys), ["hour", "user_id"], "left_semi")
+        # no broadcast hint: keys is the tombstoned active set — a
+        # corpus-proportional frame (~1/50 of all actives) that must
+        # not be pinned to the driver at 100 TB; AQE picks the
+        # strategy from runtime stats (ADVICE r11 item 1).  hrs below
+        # stays hinted — it is calendar-bounded.
+        .join(keys, ["hour", "user_id"], "left_semi")
         .distinct()
     )
     removed = tracked_persist(keys.join(kept, ["hour", "user_id"], "left_anti"))
@@ -1549,7 +1578,10 @@ def users_triangles_retract(spark, sf_dir):
     on the survivor corpus — the oracle.  100 TB shape: the full
     wedge enumeration runs only in the nightly state build; the
     retraction pays the count subtraction (broadcast-pruned, see
-    ``users_sig_edges_retract``) plus a churn-sized correction."""
+    ``users_sig_edges_retract``) plus a churn-sized correction.  The
+    survivor edge view is the SHARED ``_persisted_index`` entry both
+    retract specs read (VERDICT r11 item 3) — the lift tail is paid
+    once per session, not once per spec."""
     from ..caching import tracked_persist
     from ..operators import graph as G
 
@@ -1574,6 +1606,9 @@ def users_triangles_retract(spark, sf_dir):
     return G.apply_triangle_delta(state_tri, e_old, e_new)
 
 
+# single-occurrence guard: the re-rooting replace must hit the root
+# ``active`` CTE and nothing else (ADVICE r11 item 3)
+assert _ORACLE_TRIANGLES.count("FROM events") == 1, _ORACLE_TRIANGLES
 _ORACLE_TRIANGLES_RETRACT = _ORACLE_TRIANGLES.replace(
     "FROM events", "FROM (SELECT * FROM events WHERE event_id % 50 <> 0)", 1
 )

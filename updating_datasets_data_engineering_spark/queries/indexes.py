@@ -2221,7 +2221,7 @@ def _stream_state_dir(kind: str, sf_dir: str) -> str:
 
 def _stream_waves_available_now(
     spark, waves, src: str, ckpt: str, fn, transform=None, output_mode="update"
-) -> None:
+):
     """Drive ``fn`` (a foreachBatch maintainer) over ``waves`` as
     ORDERED micro-batches of ONE checkpointed availableNow run
     (VERDICT r9 item 4): each wave lands as a single file
@@ -2281,6 +2281,7 @@ def _stream_waves_available_now(
         .start()
     )
     q.awaitTermination()
+    return q
 
 
 def docs_bm25_streaming(spark, sf_dir):

@@ -2014,7 +2014,13 @@ def maintain_sig_edges_each_batch(
 
     Persisted state, all idempotent dynamic-overwrite appends of the
     batch's OWN ``_batch_id`` partition (crash-replay rewrites exactly
-    its own partition; readers filter ``_batch_id < batch_id``):
+    its own partition).  Two reader contracts (ADVICE r11 item 4):
+    MAINTENANCE-time reads — the next batch's state joins — filter
+    ``_batch_id < batch_id`` so a replayed batch never sees its own
+    crashed half-write; SERVE-time reads (:func:`serve_sig_edges`,
+    called after a batch's appends commit) read the stores UNFILTERED
+    on purpose — the serve reflects everything appended so far,
+    including the just-written partition:
 
       * ``active_path``  — the new distinct (hour, user_id) actives;
       * ``pairs_path``   — per-(month, pair) shared-window count
