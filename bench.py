@@ -231,6 +231,10 @@ HEADLINE = [
     "events_hourly_streaming",
     "users_sig_edges_retract",
     "users_triangles_retract",
+    # r12 births: the session-window streaming leg + the salted
+    # pair-aggregation co-occurrence variant
+    "events_sessions_streaming",
+    "users_cooccurrence_salted",
 ]
 
 # Every registered spec must be benched except the explicit quarantine —
@@ -311,6 +315,9 @@ SF1_HEADLINE = [
     "events_hourly_streaming",
     "users_sig_edges_retract",
     "users_triangles_retract",
+    # r12 births
+    "events_sessions_streaming",
+    "users_cooccurrence_salted",
 ]
 
 

@@ -156,6 +156,72 @@ def main() -> None:
     }), flush=True)
     shutil.rmtree(base, ignore_errors=True)
 
+    # ---------------- triangle snapshot tiers (VERDICT r11 item 6) --------
+    # The tri/snap stores are REPLACE tiers (one full table per batch,
+    # latest wins), pruned in-batch best-effort.  To put numbers on the
+    # prune: stream with the prune DISABLED (fs.delete no-op), measure
+    # tier count / bytes / serve cost on the accumulated state, then
+    # apply the same top-2 retention the maintainer enforces and
+    # re-measure.  Fewer batches than the additive families — each
+    # triangle batch pays a full serve + correction by design.
+    import unittest.mock as mock
+
+    from updating_datasets_data_engineering_spark import fs as FSYS
+
+    n_tri = max(6, n_batches // 5)
+    base = tempfile.mkdtemp(prefix="compaction_probe_tri_")
+    paths = {k: os.path.join(base, k) for k in ("active", "pairs", "occ", "es", "tri")}
+    fn = SP.maintain_triangles_each_batch(
+        paths["active"], paths["pairs"], paths["occ"], paths["es"], paths["tri"]
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    ).persist()
+
+    def tri_probe(reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            SP.serve_triangles(
+                spark, paths["tri"], paths["pairs"], paths["occ"]
+            ).count()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    real_delete = FSYS.delete
+    t0 = time.time()
+    with mock.patch.object(FSYS, "delete", lambda *a, **k: False):
+        for i in range(n_tri):
+            fn(events.where(F.col("event_id") % n_tri == i).select("ts", "user_id"), i)
+    stream_s = round(time.time() - t0, 1)
+    tier_stores = ("es", "tri")
+    before = {k: stats_of(paths[k]) for k in tier_stores}
+    probe_before = tri_probe()
+    # the maintainer's own retention: keep the newest tier plus the one
+    # it read from (top-2 by _batch_id)
+    t0 = time.time()
+    for k in tier_stores:
+        tiers = set()
+        for name, _sz in FSYS.list_files(spark, paths[k], suffix=".parquet"):
+            for comp in name.split("/"):
+                if comp.startswith("_batch_id="):
+                    tiers.add(int(comp.split("=", 1)[1]))
+        for tier in sorted(tiers)[:-2]:
+            real_delete(spark, f"{paths[k]}/_batch_id={tier}")
+    t_prune = round(time.time() - t0, 2)
+    after = {k: stats_of(paths[k]) for k in tier_stores}
+    probe_after = tri_probe()
+    print(json.dumps({
+        "family": "triangle_tiers", "sf_dir": sf_dir, "n_events": n_events,
+        "n_batches": n_tri, "stream_total_s": stream_s,
+        "state_before": before, "state_after": after,
+        "serve_probe_before_s": probe_before,
+        "serve_probe_after_s": probe_after,
+        "prune_s": t_prune,
+    }), flush=True)
+    events.unpersist()
+    shutil.rmtree(base, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()

@@ -38,7 +38,7 @@ from collections import deque
 from updating_datasets_data_engineering_spark.registry import SPECS
 
 DRIVER_WINDOW = 50
-CURRENT_ROUND = 11
+CURRENT_ROUND = 12
 
 # The 20 reference-parity (§2) specs that never leave the window: every
 # shot_*/merge_* parity query, the streaming + incremental + salted
@@ -167,6 +167,7 @@ NEW_SPECS_BY_ROUND: dict[int, list[str]] = {
          "docs_tfidf_streaming"],
     11: ["users_triangles_streaming", "events_hourly_streaming",
          "users_sig_edges_retract", "users_triangles_retract"],
+    12: ["events_sessions_streaming", "users_cooccurrence_salted"],
 }
 
 

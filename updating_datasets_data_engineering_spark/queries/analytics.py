@@ -539,6 +539,96 @@ GROUP BY 1, 2
 """
 
 
+def events_sessions_streaming(spark, sf_dir):
+    """End-to-end WATERMARKED SESSION-WINDOW streaming aggregation —
+    the last §2.9 window shape without a driver-graded row (VERDICT
+    r11 item 4; tumbling and sliding closed in r11 via
+    ``events_hourly_streaming`` / ``events_sliding_active_users``).
+    Dynamic-length windows are the kind tumbling/sliding cannot
+    express: per user, events merge into one session while each
+    arrives < 30 minutes after the session's current end
+    (``F.session_window`` — end = last event + gap), evicted and
+    emitted exactly once (APPEND mode) when the watermark passes the
+    session end.
+
+    Same three-wave, epoch-agnostic construction as
+    ``events_hourly_streaming`` (dayofmonth splits; the planted late
+    wave is ≥ 4 days older than either prior wave's max minus the 2 h
+    delay, so it is dropped under either batch-start/-end watermark
+    commit timing — the quirk that construction documents).  A
+    session spanning the day-28/29 wave boundary cannot double-emit:
+    it is only emitted once its end trails the watermark by 2 h, and
+    no day-29 row can merge into a session that old (2 h ≫ 30 min
+    gap).  The served table equals the gaps-and-islands batch
+    sessionization of the non-late rows restricted to FINALIZED
+    sessions (end ≤ max live event time − 2 h) — note the islands
+    split at diff ≥ gap, matching ``session_window``'s strict
+    overlap-merge ([t, t+gap) windows merge only when they overlap).
+    Prefix equivalence and replay idempotency for the session
+    maintainer stay pinned in tests/test_streaming.py."""
+    import os
+
+    from ..streaming import pipeline as SP
+    from .indexes import _stream_state_dir, _stream_waves_available_now
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    late = (F.dayofmonth("ts") < 25) & (F.col("event_id") % 37 == 0)
+    tail = F.dayofmonth("ts") >= 29
+    waves = [ev.where(~late & ~tail), ev.where(~late & tail), ev.where(late)]
+    base = _stream_state_dir("sessions", sf_dir)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    served = os.path.join(base, "served")
+    fn = SP.upsert_each_batch(served, key=("session_start", "user_id"))
+    _stream_waves_available_now(
+        spark,
+        waves,
+        src,
+        os.path.join(base, "ckpt"),
+        fn,
+        transform=lambda s: SP.streaming_session_counts(
+            s, "30 minutes", "2 hours"
+        ),
+        output_mode="append",
+    )
+    return spark.read.parquet(served)
+
+
+_ORACLE_SESSIONS_STREAMING = """
+WITH live AS (
+    SELECT * FROM events
+    WHERE NOT (date_part('day', ts) < 25 AND event_id % 37 = 0)
+),
+wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM live),
+flagged AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                     >= 30 * 60 * 1000000
+                THEN 1 ELSE 0 END AS ns
+    FROM live
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+),
+agg AS (
+    SELECT user_id,
+           min(ts) AS s_start,
+           max(ts) + INTERVAL 30 MINUTE AS s_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sess GROUP BY user_id, sid
+)
+SELECT strftime(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+       user_id, n_events, sum_value
+FROM agg WHERE s_end <= (SELECT w FROM wm)
+"""
+
+
 def sessionize(spark, sf_dir):
     return A.sessionize(_t(spark, sf_dir, "events"))
 

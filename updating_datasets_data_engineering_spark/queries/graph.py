@@ -164,6 +164,59 @@ def users_cooccurrence(
     )
 
 
+def users_cooccurrence_salted(
+    spark, sf_dir, min_windows: int = 2, bucket_cap: int | None = 4096,
+    n_salts: int = 8, n_agg_salts: int = 16,
+):
+    """``users_cooccurrence`` with the PAIR AGGREGATION run as the
+    salted two-stage reduce (VERDICT r11 item 7 — the
+    ``events_type_stats_salted`` discipline, ``operators.skew
+    .salted_agg``): partial counts per (pair, salt), then the exact
+    re-sum per pair.  Same oracle as the unsalted spec — algebraic
+    counts re-combine exactly, so the guard is result-invariant by
+    construction (the ``salted_agg`` contract, already hash-graded on
+    the events tier).
+
+    What this closes at 100×: ``users_cooccurrence`` is the repo's
+    widest-shuffle plan, and while its per-window SELF-JOIN is already
+    flash-event-guarded (``guarded_self_pairs`` salt grid), the final
+    ``groupBy(user_a, user_b)`` still sends every occurrence of one
+    pair key to one reducer — a celebrity PAIR (two accounts co-active
+    in millions of windows) would concentrate there.  Spark's partial
+    (map-side) aggregation already thins uniform duplication, but a
+    hot pair spread across many map partitions still ships one partial
+    per map task to a single reducer; the salt stage bounds any single
+    reducer's share of a hot pair at 1/n_agg_salts of its partials —
+    fan-out cost: the first-stage shuffle carries up to n_agg_salts
+    partial rows per pair (measured at sf0.1: bench-neutral; see
+    COVERAGE.md)."""
+    from ..operators import skew
+
+    ev = _t(spark, sf_dir, "events")
+    active = ev.select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour"),
+        "user_id",
+    ).distinct()
+    if min_windows > 1:
+        support = active.groupBy("user_id").agg(F.count(F.lit(1)).alias("_w"))
+        eligible = support.where(F.col("_w") >= min_windows).select("user_id")
+        active = active.join(eligible, "user_id", "left_semi")
+    pairs = skew.guarded_self_pairs(
+        active, ["hour"], "user_id", bucket_cap=bucket_cap, n_salts=n_salts
+    ).select(
+        F.col("user_id_a").alias("user_a"), F.col("user_id_b").alias("user_b")
+    )
+    counted = skew.salted_agg(
+        pairs,
+        ["user_a", "user_b"],
+        {"shared_windows": ("", "count")},
+        n_salts=n_agg_salts,
+    )
+    return counted.where(F.col("shared_windows") >= min_windows).select(
+        "user_a", "user_b", F.col("shared_windows").cast("long").alias("shared_windows")
+    )
+
+
 _ORACLE_COOCCURRENCE = """
 WITH active AS (
     SELECT DISTINCT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, user_id

@@ -73,6 +73,7 @@ from .analytics import (
     _ORACLE_GROUPING_SETS,
     _ORACLE_HOURLY,
     _ORACLE_HOURLY_STREAMING,
+    _ORACLE_SESSIONS_STREAMING,
     _ORACLE_INCREMENTAL,
     _ORACLE_INC_AVG_DISTINCT,
     _ORACLE_MOVING_AVG,
@@ -121,6 +122,7 @@ from .analytics import (
     events_gaps,
     events_hourly,
     events_hourly_streaming,
+    events_sessions_streaming,
     events_moving_avg,
     events_pivot,
     events_props_json,
@@ -359,6 +361,7 @@ from .graph import (
     sources_jsd_hashed,
     users_communities,
     users_cooccurrence,
+    users_cooccurrence_salted,
     users_pagerank,
     users_pagerank_personalized,
     users_sig_edges_incremental,
@@ -384,33 +387,65 @@ from .graph import (
 # driver-green in r1/r2 and locally pinned by tests/test_oracle_parity.py —
 # rotate to the tail.
 SPECS: list[QuerySpec] = [
-    # --- r10 rotation block (schedule pinned in test_registry_window.py) ---
-    # The driver grades SPECS[:50] only.  The never-graded pending queue
-    # drains TEN specs per round; specs added in round N enter the window
-    # in round N itself.  VERDICT r9 item 1 pulled the GRAPH TIER to the
-    # queue front (legal: only the never-drained tail was reordered, so
-    # rounds 6-9 replay byte-identical) — first-time graded this round:
-    # users_cooccurrence, users_pagerank, users_triangles,
-    # users_sig_edges_incremental, users_communities,
-    # users_pagerank_personalized, window_function_census,
-    # events_value_histogram, events_user_count_approx, merge_scd2_asof.
-    # Out (driver-green r8/r9, still oracle-gated every round by
-    # tests/test_oracle_parity.py): dedup_containment_retract,
-    # q8/q9/q12/q16, dedup_minhash_lsh_salted, dedup_labels_after_delete,
-    # merge_scd2_customers, snapshot_diff_orders, events_concurrency,
-    # events_funnel, docs_tfidf_incremental.
-    QuerySpec("users_cooccurrence", users_cooccurrence, _ORACLE_COOCCURRENCE),
-    QuerySpec("users_pagerank", users_pagerank, _ORACLE_PAGERANK),
-    QuerySpec("users_triangles", users_triangles, _ORACLE_TRIANGLES),
+    # --- r12 births (enter the window in their birth round) ---------------
+    # the watermarked SESSION-window aggregation run end to end as a
+    # stateful streaming plan — the last §2.9 window shape without a
+    # driver row: dynamic-length windows, APPEND-mode emission when the
+    # watermark passes a session's end, planted late wave dropped;
+    # served upsert ≡ gaps-and-islands batch sessionization of the
+    # non-late rows restricted to finalized sessions
     QuerySpec(
-        "users_sig_edges_incremental",
-        users_sig_edges_incremental,
-        _ORACLE_SIG_EDGES_INCR,
+        "events_sessions_streaming",
+        events_sessions_streaming,
+        _ORACLE_SESSIONS_STREAMING,
     ),
-    QuerySpec("users_communities", users_communities, _ORACLE_COMMUNITIES),
+    # users_cooccurrence with the pair aggregation as a salted
+    # two-stage reduce (skew.salted_agg — VERDICT r11 item 7): a
+    # celebrity pair can no longer concentrate one reducer; algebraic
+    # counts re-combine exactly, so it shares the unsalted oracle
     QuerySpec(
-        "users_pagerank_personalized", users_pagerank_personalized, _ORACLE_PPR
+        "users_cooccurrence_salted",
+        users_cooccurrence_salted,
+        _ORACLE_COOCCURRENCE,
     ),
+    # --- r12 rotation block (ten-spec drain of the never-graded tail;
+    # schedule pinned in test_registry_window.py — pending hits 0 at r13).
+    # First-time graded this round: dedup_delta_bloom_probe,
+    # docs_bigram_logprob, docs_boilerplate_incremental,
+    # docs_classifier_score, docs_delta_quality_scored,
+    # docs_importance_resample, incremental_type_quantiles,
+    # incremental_value_quantiles, orders_skyline, sources_jsd_divergence.
+    # Out (driver-green r10/r11, still oracle-gated every round by
+    # tests/test_oracle_parity.py): the r10-graded graph tier
+    # (users_cooccurrence/pagerank/triangles/communities/
+    # sig_edges_incremental/pagerank_personalized), the r10/r11
+    # streaming births (users_sig_edges_streaming, knn_ann_streaming,
+    # docs_tfidf_streaming, users_triangles_incremental,
+    # docs_tfidf_retract, archive_roundtrip_orders). ---------------------
+    QuerySpec("dedup_delta_bloom_probe", dedup_delta_bloom_probe, _ORACLE_BLOOM_PROBE),
+    QuerySpec("docs_bigram_logprob", docs_bigram_logprob, _ORACLE_BIGRAM_LM),
+    QuerySpec(
+        "docs_boilerplate_incremental",
+        docs_boilerplate_incremental,
+        _ORACLE_BOILERPLATE_INCR,
+    ),
+    QuerySpec("docs_classifier_score", docs_classifier_score, _ORACLE_CLASSIFIER),
+    QuerySpec(
+        "docs_delta_quality_scored", docs_delta_quality_scored, _ORACLE_DELTA_QUALITY
+    ),
+    QuerySpec("docs_importance_resample", docs_importance_resample, _ORACLE_DSIR),
+    QuerySpec(
+        "incremental_type_quantiles",
+        incremental_type_quantiles,
+        _ORACLE_TYPE_QUANTILES,
+    ),
+    QuerySpec(
+        "incremental_value_quantiles",
+        incremental_value_quantiles,
+        _ORACLE_VALUE_QUANTILES,
+    ),
+    QuerySpec("orders_skyline", orders_skyline, _ORACLE_SKYLINE),
+    QuerySpec("sources_jsd_divergence", sources_jsd_divergence, _ORACLE_JSD),
     QuerySpec("window_function_census", window_function_census, _ORACLE_WINDOW_CENSUS),
     QuerySpec("events_value_histogram", events_value_histogram, _ORACLE_HISTOGRAM),
     # HLL register values differ across engines by construction, so the
@@ -475,46 +510,6 @@ SPECS: list[QuerySpec] = [
     QuerySpec("docs_unigram_logprob", docs_unigram_logprob, _ORACLE_UNIGRAM),
     QuerySpec("sources_overlap_matrix", sources_overlap_matrix, _ORACLE_OVERLAP),
     QuerySpec("events_rfm_segments", events_rfm_segments, _ORACLE_RFM),
-    # --- r10 births (enter the window in their birth round;
-    # docs_hybrid_search_ann: driver-green r10, r11-evicted to the tail
-    # by the fourth r11 birth) ---------------------------------------------
-    # export ∘ tgz-repack ∘ distributed-rescan = identity on orders —
-    # the K1/K2/S2/S3 archive surface, driver-hash-checked (r9 item 8)
-    QuerySpec(
-        "archive_roundtrip_orders",
-        archive_roundtrip_orders,
-        _ORACLE_ARCHIVE_ROUNDTRIP,
-    ),
-    # the delete leg of the TF-IDF corpus statistics: same persisted
-    # df/N state as docs_tfidf_incremental, tombstones subtracted,
-    # graded against the survivor ∪ delta recompute
-    QuerySpec("docs_tfidf_retract", docs_tfidf_retract, _ORACLE_TFIDF_RETRACT),
-    # incremental triangle maintenance: persisted archive triangle
-    # state corrected by delta-anchored wedge probes over the day's
-    # edge inserts AND deletes; ≡ the full recompute, so it shares
-    # users_triangles' oracle
-    QuerySpec(
-        "users_triangles_incremental", users_triangles_incremental, _ORACLE_TRIANGLES
-    ),
-    # streaming replay of the significant-edge graph through real
-    # checkpointed micro-batches (hour windows split across batches —
-    # the no-disjoint-days path); final served view ≡ full recompute,
-    # so it shares the incremental leg's oracle
-    QuerySpec(
-        "users_sig_edges_streaming", users_sig_edges_streaming, _ORACLE_SIG_EDGES_INCR
-    ),
-    # streaming IVF/ANN maintenance with deletes, served from the
-    # stored state; final probe ≡ batch IVF on the survivor corpus
-    QuerySpec(
-        "knn_ann_streaming",
-        knn_ann_streaming,
-        OE.ivf_ann_sql(corpus_sql=_SURVIVOR_EMB_SQL),
-    ),
-    # streaming TF-IDF: delta-scoped served view under full-prefix
-    # stats ≡ the incremental leg's output, so it shares that oracle
-    QuerySpec(
-        "docs_tfidf_streaming", docs_tfidf_streaming, _ORACLE_TFIDF_INCREMENTAL
-    ),
     # (the whole r9 rotation block — events_trend, dedup_fuzzy_titles,
     # dedup_semantic, events_retention_cohorts, events_markov_transitions,
     # events_anomaly_hours, embedding_norm_outliers, docs_mixture_rebalance,
@@ -565,6 +560,56 @@ SPECS: list[QuerySpec] = [
     QuerySpec("q3_shipping_priority", q3, _ORACLE_Q3),
     QuerySpec("q5_regional_revenue", q5, _ORACLE_Q5),
     QuerySpec("events_hourly", events_hourly, _ORACLE_HOURLY),
+    # --- r12 evictions (driver-green r10/r11; oracle-gated every round) ---
+    # export ∘ tgz-repack ∘ distributed-rescan = identity on orders —
+    # the K1/K2/S2/S3 archive surface, driver-hash-checked (r9 item 8)
+    QuerySpec(
+        "archive_roundtrip_orders",
+        archive_roundtrip_orders,
+        _ORACLE_ARCHIVE_ROUNDTRIP,
+    ),
+    # the delete leg of the TF-IDF corpus statistics: same persisted
+    # df/N state as docs_tfidf_incremental, tombstones subtracted,
+    # graded against the survivor ∪ delta recompute
+    QuerySpec("docs_tfidf_retract", docs_tfidf_retract, _ORACLE_TFIDF_RETRACT),
+    # streaming TF-IDF: delta-scoped served view under full-prefix
+    # stats ≡ the incremental leg's output, so it shares that oracle
+    QuerySpec(
+        "docs_tfidf_streaming", docs_tfidf_streaming, _ORACLE_TFIDF_INCREMENTAL
+    ),
+    # streaming IVF/ANN maintenance with deletes, served from the
+    # stored state; final probe ≡ batch IVF on the survivor corpus
+    QuerySpec(
+        "knn_ann_streaming",
+        knn_ann_streaming,
+        OE.ivf_ann_sql(corpus_sql=_SURVIVOR_EMB_SQL),
+    ),
+    QuerySpec("users_communities", users_communities, _ORACLE_COMMUNITIES),
+    QuerySpec("users_cooccurrence", users_cooccurrence, _ORACLE_COOCCURRENCE),
+    QuerySpec("users_pagerank", users_pagerank, _ORACLE_PAGERANK),
+    QuerySpec(
+        "users_pagerank_personalized", users_pagerank_personalized, _ORACLE_PPR
+    ),
+    QuerySpec(
+        "users_sig_edges_incremental",
+        users_sig_edges_incremental,
+        _ORACLE_SIG_EDGES_INCR,
+    ),
+    # streaming replay of the significant-edge graph through real
+    # checkpointed micro-batches (hour windows split across batches —
+    # the no-disjoint-days path); final served view ≡ full recompute,
+    # so it shares the incremental leg's oracle
+    QuerySpec(
+        "users_sig_edges_streaming", users_sig_edges_streaming, _ORACLE_SIG_EDGES_INCR
+    ),
+    QuerySpec("users_triangles", users_triangles, _ORACLE_TRIANGLES),
+    # incremental triangle maintenance: persisted archive triangle
+    # state corrected by delta-anchored wedge probes over the day's
+    # edge inserts AND deletes; ≡ the full recompute, so it shares
+    # users_triangles' oracle
+    QuerySpec(
+        "users_triangles_incremental", users_triangles_incremental, _ORACLE_TRIANGLES
+    ),
     # ---- driver grading window ends here: SPECS[:50] -------------------
     # ROTATING since r6 (VERDICT r5 item 2): the first 50 names are pinned
     # per-round by tests/test_registry_window.py, which also pins the 20
@@ -752,35 +797,6 @@ SPECS: list[QuerySpec] = [
     # r5 block 4: cross-document curation (docs_boilerplate_strip holds
     # the r5 rotation slot inside the driver window above)
     QuerySpec("events_moving_avg", events_moving_avg, _ORACLE_MOVING_AVG),
-    # r5 block 5: LM quality scoring & inter-source contamination
-    # r5 block 6: behavioral segmentation & co-occurrence projection
-    QuerySpec(
-        "docs_boilerplate_incremental",
-        docs_boilerplate_incremental,
-        _ORACLE_BOILERPLATE_INCR,
-    ),
-    QuerySpec(
-        "docs_delta_quality_scored", docs_delta_quality_scored, _ORACLE_DELTA_QUALITY
-    ),
-    # --- block 8: probe/skyline shapes (graph tier rotated into the
-    # window at r10) -------------------------------------------------------
-    QuerySpec("dedup_delta_bloom_probe", dedup_delta_bloom_probe, _ORACLE_BLOOM_PROBE),
-    QuerySpec("orders_skyline", orders_skyline, _ORACLE_SKYLINE),
-    QuerySpec(
-        "incremental_value_quantiles",
-        incremental_value_quantiles,
-        _ORACLE_VALUE_QUANTILES,
-    ),
-    # --- block 9: model-based curation (classifier filter + DSIR) --------
-    QuerySpec("docs_classifier_score", docs_classifier_score, _ORACLE_CLASSIFIER),
-    QuerySpec("docs_importance_resample", docs_importance_resample, _ORACLE_DSIR),
-    QuerySpec("docs_bigram_logprob", docs_bigram_logprob, _ORACLE_BIGRAM_LM),
-    QuerySpec("sources_jsd_divergence", sources_jsd_divergence, _ORACLE_JSD),
-    QuerySpec(
-        "incremental_type_quantiles",
-        incremental_type_quantiles,
-        _ORACLE_TYPE_QUANTILES,
-    ),
     QuerySpec("docs_weighted_sample", docs_weighted_sample, _ORACLE_WEIGHTED_SAMPLE),
     QuerySpec(
         "docs_weighted_sample_per_source",
