@@ -220,7 +220,16 @@ def triangle_stats(
     # coalesced wedge production to a handful of tasks.
     n_part = edges.sparkSession.sparkContext.defaultParallelism
     o1 = o1.repartition(n_part, "u")
-    wedges = o1.join(o2, "u").where(kv < kw).select(
+    # Broadcast the wedge join's probe side too (same safety argument
+    # as the closing side below — it IS the same edge list): when the
+    # input is a cached frame, AQE's in-memory size estimate sits near
+    # the 10 MB auto-broadcast threshold and the plan flip-flopped
+    # between broadcast-hash and shuffled join across identical runs
+    # (measured 1.6 s vs 6.9 s for the same 127 k-edge build inside
+    # the streaming maintainer).  Pinning the hint locks the
+    # Suri-Vassilvitskii shape: the o1 side keeps its explicit
+    # partitioning, wedge production streams map-side.
+    wedges = o1.join(F.broadcast(o2), "u").where(kv < kw).select(
         "u", F.col("v").alias("lo2"), F.col("w").alias("hi2")
     )
     closing = oriented.select(F.col("lo").alias("lo2"), F.col("hi").alias("hi2"))
@@ -301,23 +310,30 @@ def delta_triangles(delta: DataFrame, edges: DataFrame, src: str, dst: str) -> D
     # (x,y) when c > b, slot (x,z) when c < b — same rows either way.
     lo = F.least(F.col("d.b"), F.col("e1.b"))
     hi = F.greatest(F.col("d.b"), F.col("e1.b"))
+    # Join-strategy pins (the triangle_stats discipline): the DELTA
+    # side is churn-sized — broadcast it into the adjacency probes so
+    # the full edge list never shuffles; the close joins broadcast the
+    # edge list itself, exactly the closing-side argument
+    # triangle_stats documents (two longs per row — safe far past the
+    # auto threshold, and the wedge-shaped probe output is the side
+    # that must never be sorted into an SMJ).
     j12 = (
-        d.alias("d")
+        F.broadcast(d.alias("d"))
         .join(e.alias("e1"), F.col("d.a") == F.col("e1.a"))
         .where(F.col("e1.b") != F.col("d.b"))
         .select(F.col("d.a").alias("x"), lo.alias("y"), hi.alias("z"))
         .join(
-            e.alias("e2"),
+            F.broadcast(e.alias("e2")),
             (F.col("e2.a") == F.col("y")) & (F.col("e2.b") == F.col("z")),
         )
         .select("x", "y", "z")
     )
     # delta in slot (y,z): close with e(x,y) and e(x,z)
     j3 = (
-        d.alias("d")
+        F.broadcast(d.alias("d"))
         .join(e.alias("e1"), F.col("e1.b") == F.col("d.a"))
         .join(
-            e.alias("e2"),
+            F.broadcast(e.alias("e2")),
             (F.col("e2.a") == F.col("e1.a")) & (F.col("e2.b") == F.col("d.b")),
         )
         .select(
