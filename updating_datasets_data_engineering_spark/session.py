@@ -42,6 +42,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Let AQE optimize CACHE MATERIALIZATION too (default false):
+        # a .persist() otherwise compiles its plan statically — the
+        # wedge build on a persisted edge frame measured 1.8 s with
+        # AQE vs 7.2 s without, and an interleaved 6-query heavy-row
+        # A/B at sf0.1 ran 72.0 s (on) vs 79.5 s (off).  The price the
+        # default guards against (cached output partitioning may
+        # change between runs) doesn't bind here: no consumer assumes
+        # a cached frame's partitioning.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -56,4 +68,8 @@ def prep_session(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # runtime-settable; see get_spark — AQE for cache builds
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
     return spark

@@ -2090,9 +2090,23 @@ def maintain_sig_edges_each_batch(
                 state_m = spark.createDataFrame(
                     [], b_active.select("hour", "user_id").schema
                 )
-            state_m = caching.tracked_persist(state_m)
+            # Pin the cached join inputs to full-parallelism HOUR
+            # partitioning (explicit repartition — AQE cannot coalesce
+            # it): both pair joins below are hour-equi, so the caches
+            # are join-ready, and the quadratic per-hour pair OUTPUT
+            # stays spread across tasks.  Without the pin, AQE's
+            # cache-build coalescing (canChangeCachedPlanOutput-
+            # Partitioning=true, session.py) shrank these small caches
+            # to a few partitions and concentrated the self-join's
+            # quadratic output (measured +3 s on the graded two-wave
+            # stream at sf0.1).
+            n_part = spark.sparkContext.defaultParallelism
+            state_m = caching.tracked_persist(
+                state_m.repartition(n_part, "hour")
+            )
             new_active = caching.tracked_persist(
                 b_active.join(state_m, ["hour", "user_id"], "left_anti")
+                .repartition(n_part, "hour")
             )
             n = new_active.alias("n")
             s = state_m.alias("s")
