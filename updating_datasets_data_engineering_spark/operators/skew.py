@@ -27,14 +27,30 @@ def salted_agg(
     key: Sequence[str],
     aggs: dict[str, tuple[str, str]],
     n_salts: int = 16,
+    salt_expr=None,
 ) -> DataFrame:
     """Two-stage aggregation over salted keys.
 
     ``aggs`` maps output column -> (input column, fn) with fn in
     {count, sum, min, max}: the algebraic aggregates that re-combine
     exactly (count/sum re-sum; min/max re-min/max).
-    """
-    salted = df.withColumn("_salt", F.pmod(F.hash(F.monotonically_increasing_id()), n_salts))
+
+    ``salt_expr`` (optional Column): by default each ROW draws its own
+    salt, which maximizes spread but defeats the map-side partial
+    combine (a key's rows in one partition land in up to ``n_salts``
+    partials — measured 2× on the sf1 co-occurrence pair counts).
+    When the caller knows a co-occurring attribute that is ~unique per
+    (key, row) — e.g. the hour column of a (pair, hour) stream, one
+    row per hour — salting on ``hash(attr)`` spreads a hot key just as
+    well while keeping the map-side combine intact (rows that would
+    have combined still share a salt), so the first-stage shuffle
+    never exceeds the unsalted volume."""
+    salt = (
+        F.pmod(salt_expr, F.lit(n_salts))
+        if salt_expr is not None
+        else F.pmod(F.hash(F.monotonically_increasing_id()), n_salts)
+    )
+    salted = df.withColumn("_salt", salt)
     partial_exprs = []
     final_exprs = []
     for out, (col, fn) in aggs.items():

