@@ -66,6 +66,29 @@ def test_triangle_stats_known_graph(spark):
     assert total == 3 * 4  # 4 triangles, each counted at 3 corners
 
 
+def test_triangle_stats_broadcast_gate(spark):
+    """Past ``_EDGE_BROADCAST_CEILING`` the edge-list broadcast pins
+    must drop (ADVICE r12: a corpus-proportional frame must not be
+    force-broadcast with no fallback) while the counts stay identical;
+    below or at ``None`` the pins stay (the measured flip-flop fix)."""
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = _edges(spark, k4 + [(1, 5)])
+    pinned = G.triangle_stats(edges, "user_a", "user_b")
+    gated = G.triangle_stats(
+        edges, "user_a", "user_b", edge_count=G._EDGE_BROADCAST_CEILING + 1
+    )
+    assert sorted(map(tuple, pinned.collect())) == sorted(map(tuple, gated.collect()))
+    assert "ResolvedHint" not in gated._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in pinned._jdf.queryExecution().analyzed().toString()
+    # delta path: same gate, same answers
+    d = _edges(spark, [(1, 2)])
+    dp = G.delta_triangles(d, edges, "user_a", "user_b")
+    dg = G.delta_triangles(
+        d, edges, "user_a", "user_b", edge_count=G._EDGE_BROADCAST_CEILING + 1
+    )
+    assert sorted(map(tuple, dp.collect())) == sorted(map(tuple, dg.collect()))
+
+
 def test_triangle_count_orientation_invariant(spark, sf_dir):
     """Degree-ordered orientation must count exactly the triangles the
     brute-force id-ordered 3-way join finds on the real fixture."""

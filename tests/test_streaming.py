@@ -865,13 +865,18 @@ def test_streaming_triangles_epoch_mode_multimonth(spark, tmp_path):
 
 
 def test_hourly_streaming_watermark_drop(spark, tmp_path):
-    """ADVICE r11 item 2: the late wave of the events_hourly_streaming
-    construction is ACTUALLY dropped by the watermark
-    (numRowsDroppedByWatermark == |late wave|) — pinned so the
-    epoch-agnostic dayofmonth splits can never silently degenerate to
-    an empty late wave on a fixture whose months drift."""
+    """ADVICE r11 item 2 / r12 item 1: the late wave of the
+    events_hourly_streaming construction is ACTUALLY dropped by the
+    watermark (numRowsDroppedByWatermark == |late wave|) — pinned so
+    the max(ts)-anchored splits can never silently degenerate to an
+    empty late wave on a fixture whose time span drifts.  Uses the
+    query's own ``_late_tail_waves`` helper so the test pins the
+    production split, not a copy."""
     import json
 
+    from updating_datasets_data_engineering_spark.queries.analytics import (
+        _late_tail_waves,
+    )
     from updating_datasets_data_engineering_spark.queries.indexes import (
         _stream_waves_available_now,
     )
@@ -880,9 +885,7 @@ def test_hourly_streaming_watermark_drop(spark, tmp_path):
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    late = (F.dayofmonth("ts") < 25) & (F.col("event_id") % 37 == 0)
-    tail = F.dayofmonth("ts") >= 29
-    waves = [ev.where(~late & ~tail), ev.where(~late & tail), ev.where(late)]
+    waves = _late_tail_waves(ev)
     n_late = waves[2].count()
     assert n_late > 0, "late wave degenerated to empty — split broke"
     src = str(tmp_path / "wd_src")

@@ -38,6 +38,21 @@ from ..caching import tracked_persist
 
 __all__ = ["symmetrize", "pagerank", "triangle_stats", "bloom_bits", "bloom_probe"]
 
+# Ceiling (in edges) under which pinning ``F.broadcast`` on a full
+# edge-list frame is safe.  An oriented edge row is two longs (~16 B
+# payload, ~32 B with row overhead): 10M edges ≈ 160-320 MB — far past
+# the 10 MB auto threshold the pin exists to defeat (see the flip-flop
+# note in :func:`triangle_stats`), yet comfortably inside a 4-8 GB
+# driver/executor.  Past the ceiling the hint would bypass Spark's
+# broadcast-size guard with no fallback and risk driver OOM, so the
+# triangle operators fall back to shuffle joins co-partitioned on the
+# join keys; callers that know their edge count (e.g. a maintainer
+# that just aggregated the edge view) pass it via ``edge_count`` —
+# ``None`` means "caller asserts the small/medium regime" and keeps
+# the pin, preserving the measured flip-flop fix without an extra
+# count() job on every call.
+_EDGE_BROADCAST_CEILING = 10_000_000
+
 
 def symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Undirected edge list -> both-direction directed edges (u, v)."""
@@ -169,7 +184,10 @@ def pagerank(
 
 
 def triangle_stats(
-    edges: DataFrame, src: str = "user_a", dst: str = "user_b"
+    edges: DataFrame,
+    src: str = "user_a",
+    dst: str = "user_b",
+    edge_count: int | None = None,
 ) -> DataFrame:
     """Per-node triangle count and local clustering coefficient over an
     undirected edge list (each edge once, ``src`` < ``dst``).
@@ -189,7 +207,14 @@ def triangle_stats(
     degree table is node-sized and broadcast by AQE at small scale.
 
     clustering(v) = 2·T(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2, else 0
-    — exact integer inputs, rounded to 6 for output stability."""
+    — exact integer inputs, rounded to 6 for output stability.
+
+    ``edge_count``: known |edges|, used to gate the two edge-list
+    broadcast pins against ``_EDGE_BROADCAST_CEILING`` (10M edges ≈
+    160-320 MB).  ``None`` (default) keeps the pins — the caller
+    asserts the small/medium regime; pass the real count when the
+    corpus can plausibly exceed the ceiling and the plan falls back to
+    shuffle joins co-partitioned on the join keys."""
     sym = symmetrize(edges, src, dst)
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     pairs = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -228,8 +253,15 @@ def triangle_stats(
     # (measured 1.6 s vs 6.9 s for the same 127 k-edge build inside
     # the streaming maintainer).  Pinning the hint locks the
     # Suri-Vassilvitskii shape: the o1 side keeps its explicit
-    # partitioning, wedge production streams map-side.
-    wedges = o1.join(F.broadcast(o2), "u").where(kv < kw).select(
+    # partitioning, wedge production streams map-side.  Both edge-list
+    # hints are gated on ``edge_count`` vs ``_EDGE_BROADCAST_CEILING``
+    # (ADVICE r12): past ~10M edges the pin would force a broadcast far
+    # beyond driver memory, so the plan falls back to shuffle joins
+    # co-partitioned on the join keys — the regime the closing-side
+    # note below describes.
+    pin = edge_count is None or edge_count <= _EDGE_BROADCAST_CEILING
+    o2_side = F.broadcast(o2) if pin else o2.repartition(n_part, "u")
+    wedges = o1.join(o2_side, "u").where(kv < kw).select(
         "u", F.col("v").alias("lo2"), F.col("w").alias("hi2")
     )
     closing = oriented.select(F.col("lo").alias("lo2"), F.col("hi").alias("hi2"))
@@ -241,10 +273,12 @@ def triangle_stats(
     # An edge list broadcasts far beyond that threshold safely (two
     # longs per row: 10M edges ≈ 160 MB), and keeping the wedge side
     # shuffle-free is exactly the Suri-Vassilvitskii MapReduce plan.
-    # At edge counts past executor memory, partition BOTH sides on
-    # (lo2, hi2) instead — that regime needs graph partitioning, not a
-    # bigger broadcast, and is beyond this operator's contract.
-    tris = wedges.join(F.broadcast(closing), ["lo2", "hi2"])
+    # At edge counts past ``_EDGE_BROADCAST_CEILING`` the hint is
+    # dropped and BOTH sides shuffle-partition on (lo2, hi2) — the
+    # sort cost on the wedge side is the price of not holding a
+    # >ceiling edge list on the driver.
+    closing_side = F.broadcast(closing) if pin else closing
+    tris = wedges.join(closing_side, ["lo2", "hi2"])
     per_node = (
         tris.select(
             F.explode(F.array(F.col("u"), F.col("lo2"), F.col("hi2"))).alias("u")
@@ -273,7 +307,13 @@ def triangle_stats(
     )
 
 
-def delta_triangles(delta: DataFrame, edges: DataFrame, src: str, dst: str) -> DataFrame:
+def delta_triangles(
+    delta: DataFrame,
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    edge_count: int | None = None,
+) -> DataFrame:
     """Triangle instances ``(x < y < z)`` of ``edges`` that contain at
     least one ``delta`` edge, each EXACTLY once — the enumeration core
     of incremental triangle maintenance (Eppstein & Spiro's dynamic
@@ -316,14 +356,23 @@ def delta_triangles(delta: DataFrame, edges: DataFrame, src: str, dst: str) -> D
     # edge list itself, exactly the closing-side argument
     # triangle_stats documents (two longs per row — safe far past the
     # auto threshold, and the wedge-shaped probe output is the side
-    # that must never be sorted into an SMJ).
+    # that must never be sorted into an SMJ).  The edge-list close
+    # hints share triangle_stats' ``edge_count`` gate: past
+    # ``_EDGE_BROADCAST_CEILING`` the close joins fall back to shuffle
+    # (the delta-side broadcast stays — delta is churn-sized by
+    # contract, never corpus-proportional).
+    pin = edge_count is None or edge_count <= _EDGE_BROADCAST_CEILING
+
+    def _close(frame: DataFrame) -> DataFrame:
+        return F.broadcast(frame) if pin else frame
+
     j12 = (
         F.broadcast(d.alias("d"))
         .join(e.alias("e1"), F.col("d.a") == F.col("e1.a"))
         .where(F.col("e1.b") != F.col("d.b"))
         .select(F.col("d.a").alias("x"), lo.alias("y"), hi.alias("z"))
         .join(
-            F.broadcast(e.alias("e2")),
+            _close(e.alias("e2")),
             (F.col("e2.a") == F.col("y")) & (F.col("e2.b") == F.col("z")),
         )
         .select("x", "y", "z")
@@ -333,7 +382,7 @@ def delta_triangles(delta: DataFrame, edges: DataFrame, src: str, dst: str) -> D
         F.broadcast(d.alias("d"))
         .join(e.alias("e1"), F.col("e1.b") == F.col("d.a"))
         .join(
-            F.broadcast(e.alias("e2")),
+            _close(e.alias("e2")),
             (F.col("e2.a") == F.col("e1.a")) & (F.col("e2.b") == F.col("d.b")),
         )
         .select(
@@ -394,6 +443,7 @@ def apply_triangle_delta(
     e_new: DataFrame,
     src: str = "user_a",
     dst: str = "user_b",
+    edge_count: int | None = None,
 ) -> DataFrame:
     """Correct a persisted per-node triangle/degree table from edge
     snapshot ``e_old`` to ``e_new`` — the dynamic-triangle identity
@@ -422,8 +472,8 @@ def apply_triangle_delta(
             .agg(F.count(F.lit(1)).cast("long").alias(col))
         )
 
-    t_ins = _per_node(delta_triangles(d_ins, e_new, src, dst), "t_ins")
-    t_del = _per_node(delta_triangles(d_del, e_old, src, dst), "t_del")
+    t_ins = _per_node(delta_triangles(d_ins, e_new, src, dst, edge_count), "t_ins")
+    t_del = _per_node(delta_triangles(d_del, e_old, src, dst, edge_count), "t_del")
 
     def _incident(edges, col):
         return (

@@ -44,7 +44,12 @@ def salted_agg(
     row per hour — salting on ``hash(attr)`` spreads a hot key just as
     well while keeping the map-side combine intact (rows that would
     have combined still share a salt), so the first-stage shuffle
-    never exceeds the unsalted volume."""
+    never exceeds the unsalted volume.  Stage one is not the whole
+    bill: the per-(key, salt) partials are reshuffled for the exact
+    re-sum, so the plan's TOTAL exchanged bytes run up to ~2× the
+    unsalted aggregation's (measured on the co-occurrence pair counts,
+    COVERAGE.md) — the explicit price of capping any reducer's share
+    of a hot key at 1/n_salts."""
     salt = (
         F.pmod(salt_expr, F.lit(n_salts))
         if salt_expr is not None

@@ -456,6 +456,32 @@ GROUP BY 1, 2
 """
 
 
+def _late_tail_waves(ev):
+    """Three-wave split for the watermarked streaming constructions,
+    anchored to the corpus max event time (ADVICE r12 item 1): the
+    drop/finalize guarantees must hold on ANY month span, which the
+    earlier dayofmonth splits did not (on a multi-month corpus,
+    earlier months' day ≥ 29 rows trail the watermark set by wave 1's
+    final-month maximum and get dropped while a dayofmonth oracle
+    keeps them; a corpus ending before day 29 loses the drop margin
+    entirely).
+
+    tail = ts ≥ max(ts) − 2 days; late = ts < max(ts) − 6 days with
+    event_id % 37 == 0.  Every late row is ≥ ~4 days older than wave
+    1's maximum (wave 1 extends to just under max − 2 days on any
+    fixture with continuous coverage) minus the 2 h delay, so the
+    drop holds under either watermark-commit timing; the oracles
+    mirror the split with a scalar ``max(ts)`` subquery.  The anchor
+    is read with a single-row aggregate collect — the sanctioned
+    watermark-read pattern, one cheap column-scan job."""
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    late = (F.col("ts") < F.lit(mx) - F.expr("INTERVAL 6 DAYS")) & (
+        F.col("event_id") % 37 == 0
+    )
+    tail = F.col("ts") >= F.lit(mx) - F.expr("INTERVAL 2 DAYS")
+    return [ev.where(~late & ~tail), ev.where(~late & tail), ev.where(late)]
+
+
 def events_hourly_streaming(spark, sf_dir):
     """End-to-end WATERMARKED windowed streaming aggregation — the
     last §2.9 surface ungraded through the driver (VERDICT r10 item 8):
@@ -466,11 +492,14 @@ def events_hourly_streaming(spark, sf_dir):
     micro-batches of one checkpointed availableNow run, upserted into
     a served store keyed by (hour, event_type) in ``foreachBatch``.
 
-    The late-data path is exercised FOR REAL.  Waves (dayofmonth
-    splits — epoch-agnostic, so no fixture month is hardcoded; ADVICE
-    r11 item 2): (1) days 1-28 minus a planted late subset, (2) the
-    day ≥ 29 tail, (3) the late subset — day < 25 rows with
-    event_id % 37 == 0, at least four days older than EITHER preceding
+    The late-data path is exercised FOR REAL.  Waves (anchored to the
+    corpus max event time — truly epoch-agnostic on ANY month span;
+    ADVICE r12 item 1 replaced the earlier dayofmonth splits, whose
+    drop guarantee held only for a single-month corpus extending past
+    day 28): (1) everything older than max(ts) − 2 days minus a
+    planted late subset, (2) the ts ≥ max(ts) − 2 days tail, (3) the
+    late subset — ts < max(ts) − 6 days rows with
+    event_id % 37 == 0, at least ~4 days older than EITHER preceding
     wave's maximum event time minus the 2 h delay, so the stateful
     aggregation DROPS every wave-3 row (numRowsDroppedByWatermark ==
     |wave 3|, pinned in tests/test_streaming.py).
@@ -495,14 +524,7 @@ def events_hourly_streaming(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    # epoch-agnostic splits (ADVICE r11 item 2): dayofmonth-based like
-    # users_triangles_streaming, so the late/tail waves stay non-empty
-    # on ANY fixture month(s) — a late row (day < 25) is always ≥ 4
-    # days older than the tail's (day ≥ 29) maximum minus the 2 h
-    # delay, so the watermark drop is exercised at every SF/epoch
-    late = (F.dayofmonth("ts") < 25) & (F.col("event_id") % 37 == 0)
-    tail = F.dayofmonth("ts") >= 29
-    waves = [ev.where(~late & ~tail), ev.where(~late & tail), ev.where(late)]
+    waves = _late_tail_waves(ev)
     base = _stream_state_dir("hourly", sf_dir)
     src = os.path.join(base, "src")
     os.makedirs(src)
@@ -525,9 +547,13 @@ def events_hourly_streaming(spark, sf_dir):
 _ORACLE_HOURLY_STREAMING = """
 WITH live AS (
     SELECT * FROM events
-    WHERE NOT (date_part('day', ts) < 25 AND event_id % 37 = 0)
+    WHERE NOT (ts < (SELECT max(ts) - INTERVAL 6 DAY FROM events)
+               AND event_id % 37 = 0)
 ),
-wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM live)
+-- Spark's event-time watermark is millisecond-truncated (micros/1000
+-- in EventTimeWatermarkExec), so the oracle floors max(ts) to ms
+-- before subtracting the delay (ADVICE r12 item 3)
+wm AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 2 HOUR AS w FROM live)
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type,
        count(*) AS n_events,
@@ -552,13 +578,14 @@ def events_sessions_streaming(spark, sf_dir):
     session end.
 
     Same three-wave, epoch-agnostic construction as
-    ``events_hourly_streaming`` (dayofmonth splits; the planted late
-    wave is ≥ 4 days older than either prior wave's max minus the 2 h
-    delay, so it is dropped under either batch-start/-end watermark
-    commit timing — the quirk that construction documents).  A
-    session spanning the day-28/29 wave boundary cannot double-emit:
+    ``events_hourly_streaming`` (max(ts)-anchored splits via
+    ``_late_tail_waves``; the planted late wave is ≥ ~4 days older
+    than either prior wave's max minus the 2 h delay, so it is
+    dropped under either batch-start/-end watermark commit timing —
+    the quirk that construction documents).  A
+    session spanning the wave-1/wave-2 boundary cannot double-emit:
     it is only emitted once its end trails the watermark by 2 h, and
-    no day-29 row can merge into a session that old (2 h ≫ 30 min
+    no tail row can merge into a session that old (2 h ≫ 30 min
     gap).  The served table equals the gaps-and-islands batch
     sessionization of the non-late rows restricted to FINALIZED
     sessions (end ≤ max live event time − 2 h) — note the islands
@@ -572,9 +599,7 @@ def events_sessions_streaming(spark, sf_dir):
     from .indexes import _stream_state_dir, _stream_waves_available_now
 
     ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
-    late = (F.dayofmonth("ts") < 25) & (F.col("event_id") % 37 == 0)
-    tail = F.dayofmonth("ts") >= 29
-    waves = [ev.where(~late & ~tail), ev.where(~late & tail), ev.where(late)]
+    waves = _late_tail_waves(ev)
     base = _stream_state_dir("sessions", sf_dir)
     src = os.path.join(base, "src")
     os.makedirs(src)
@@ -597,9 +622,14 @@ def events_sessions_streaming(spark, sf_dir):
 _ORACLE_SESSIONS_STREAMING = """
 WITH live AS (
     SELECT * FROM events
-    WHERE NOT (date_part('day', ts) < 25 AND event_id % 37 = 0)
+    WHERE NOT (ts < (SELECT max(ts) - INTERVAL 6 DAY FROM events)
+               AND event_id % 37 = 0)
 ),
-wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM live),
+-- ms-truncated watermark: session ends carry microseconds (last event
+-- + 30 min), and Spark's watermark is floor_ms(max event time) - delay,
+-- so a sub-ms-precision oracle watermark could finalize a session Spark
+-- still holds (ADVICE r12 item 3)
+wm AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 2 HOUR AS w FROM live),
 flagged AS (
     SELECT user_id, event_id, ts, value,
            CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL

@@ -1382,7 +1382,7 @@ def docs_tfidf_incremental(spark, sf_dir):
     )
     n_total = (
         arch_n.crossJoin(
-            delta.agg(F.countDistinct("doc_id").cast("long").alias("dn"))
+            F.broadcast(delta.agg(F.countDistinct("doc_id").cast("long").alias("dn")))
         ).select((F.col("an") + F.col("dn")).alias("n"))
     )
     dl = Window.partitionBy("doc_id")
@@ -1480,9 +1480,9 @@ def docs_tfidf_retract(spark, sf_dir):
     )
     n_total = (
         arch_n.crossJoin(
-            tomb_docs.agg(F.countDistinct("doc_id").cast("long").alias("tn"))
+            F.broadcast(tomb_docs.agg(F.countDistinct("doc_id").cast("long").alias("tn")))
         )
-        .crossJoin(delta.agg(F.countDistinct("doc_id").cast("long").alias("dn")))
+        .crossJoin(F.broadcast(delta.agg(F.countDistinct("doc_id").cast("long").alias("dn"))))
         .select((F.col("an") - F.col("tn") + F.col("dn")).alias("n"))
     )
     dl = Window.partitionBy("doc_id")
@@ -1786,7 +1786,7 @@ def bm25_incremental_rank(post, adf, adl, astats, dtf) -> DataFrame:
     asum = F.coalesce(F.col("asumdl"), F.lit(0))
     dn = F.coalesce(F.col("dn"), F.lit(0))
     dsum = F.coalesce(F.col("dsumdl"), F.lit(0))
-    stats = astats.crossJoin(dstats).select(
+    stats = astats.crossJoin(F.broadcast(dstats)).select(
         (an + dn).alias("n"),
         ((asum + dsum) / (an + dn)).alias("avgdl"),
     )
@@ -1862,7 +1862,7 @@ def bm25_retract_rank(post, adf, adl, astats, ttf) -> DataFrame:
         .where(F.col("df") > 0)
     )
     qterms = adj_df.orderBy(F.col("df").desc(), "term").limit(_BM25_NQ)
-    stats = astats.crossJoin(tstats).select(
+    stats = astats.crossJoin(F.broadcast(tstats)).select(
         (F.col("an") - F.coalesce(F.col("tn"), F.lit(0))).alias("n"),
         (
             (F.col("asumdl") - F.coalesce(F.col("tsumdl"), F.lit(0)))
