@@ -38,7 +38,7 @@ from collections import deque
 from updating_datasets_data_engineering_spark.registry import SPECS
 
 DRIVER_WINDOW = 50
-CURRENT_ROUND = 12
+CURRENT_ROUND = 13
 
 # The 20 reference-parity (§2) specs that never leave the window: every
 # shot_*/merge_* parity query, the streaming + incremental + salted

@@ -446,8 +446,15 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec("orders_skyline", orders_skyline, _ORACLE_SKYLINE),
     QuerySpec("sources_jsd_divergence", sources_jsd_divergence, _ORACLE_JSD),
-    QuerySpec("window_function_census", window_function_census, _ORACLE_WINDOW_CENSUS),
-    QuerySpec("events_value_histogram", events_value_histogram, _ORACLE_HISTOGRAM),
+    # r13 drain (the FINAL two never-driver-graded specs — pending hits
+    # 0; window_function_census / events_value_histogram evicted, both
+    # driver-green r12, oracle-gated below)
+    QuerySpec("docs_weighted_sample", docs_weighted_sample, _ORACLE_WEIGHTED_SAMPLE),
+    QuerySpec(
+        "docs_weighted_sample_per_source",
+        docs_weighted_sample_per_source,
+        _ORACLE_WEIGHTED_SAMPLE_SRC,
+    ),
     # HLL register values differ across engines by construction, so the
     # spec grades the sketch's accuracy CONTRACT instead: exact anchor
     # columns + a Spark-evaluated within_5pct boolean the oracle pins to
@@ -797,12 +804,9 @@ SPECS: list[QuerySpec] = [
     # r5 block 4: cross-document curation (docs_boilerplate_strip holds
     # the r5 rotation slot inside the driver window above)
     QuerySpec("events_moving_avg", events_moving_avg, _ORACLE_MOVING_AVG),
-    QuerySpec("docs_weighted_sample", docs_weighted_sample, _ORACLE_WEIGHTED_SAMPLE),
-    QuerySpec(
-        "docs_weighted_sample_per_source",
-        docs_weighted_sample_per_source,
-        _ORACLE_WEIGHTED_SAMPLE_SRC,
-    ),
+    # --- r13 evictions (driver-green r12) --------------------------------
+    QuerySpec("window_function_census", window_function_census, _ORACLE_WINDOW_CENSUS),
+    QuerySpec("events_value_histogram", events_value_histogram, _ORACLE_HISTOGRAM),
     # --- r10 evictions (driver-green r8/r9) ------------------------------
     # incremental ≡ batch restricted to delta docs (df/N corpus-wide on
     # both sides), so the oracle is the batch SQL with the restriction
