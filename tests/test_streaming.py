@@ -760,13 +760,16 @@ def test_streaming_triangles_epoch_mode_multimonth(spark, tmp_path):
     * prefix equivalence — after every month's wave the served
       triangle table equals the from-scratch recompute on everything
       streamed so far;
-    * backfill correctness — users 9001/9002 are heavily active in
-      DISJOINT January hours (n=40 each, ex_Jan ≈ 2.2) and first
-      co-occur in February (sh=2, ex_Feb ≈ 0.006): with the January
-      backfill term their lift ≈ 0.9 < 1.5 (edge excluded); a
+    * cross-epoch expectation terms — users 9001/9002 are heavily
+      active in DISJOINT January hours (n=40 each, ex_Jan ≈ 2.2) and
+      first co-occur in February (sh=2, ex_Feb ≈ 0.006): with the
+      January term their lift ≈ 0.9 < 1.5 (edge excluded); a
       maintainer that served only touched-month terms would compute
       lift ≈ 336 and wrongly include the edge, so equality here
-      proves the untouched-epoch expectation terms are served;
+      proves the untouched-epoch expectation terms are served (the r13
+      redesign gets them from the occupancy store's per-month n_u/W
+      partials inside ``lift_from_counts`` — every month a pair is
+      both-active in contributes, co-occurrence or not);
     * write scoping — after the February and March waves the January
       month tier still carries its original ``_batch_id`` (untouched
       epochs are read, never rewritten)."""
@@ -862,6 +865,99 @@ def test_streaming_triangles_epoch_mode_multimonth(spark, tmp_path):
         snap.where((F.col("user_a") == 9001) & (F.col("user_b") == 9002)).count()
         == 0
     )
+
+
+def test_streaming_triangles_auto_mode_upgrade(spark, tmp_path):
+    """mode="auto" (the r13 default — VERDICT r12 item 1: mode
+    selection keys off the corpus's epoch count, not a caller flag)
+    must start global, upgrade to epoch EXACTLY when the observed
+    month count reaches ``epoch_min_months``, migrate the global
+    snapshot lineage into the epoch layout, and stay prefix-equivalent
+    to the from-scratch recompute across the switch."""
+    import unittest.mock as mock
+
+    from updating_datasets_data_engineering_spark import fs
+    from updating_datasets_data_engineering_spark import registry as R
+    from updating_datasets_data_engineering_spark.operators import graph as G
+
+    src = str(tmp_path / "ta_src")
+    paths = {
+        k: str(tmp_path / f"ta_{k}")
+        for k in ("active", "pairs", "occ", "edges_snap", "tri")
+    }
+    ckpt = str(tmp_path / "ta_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    m0 = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    m1 = m0.select(
+        (F.col("ts") + F.expr("INTERVAL 31 DAYS")).alias("ts"),
+        ((F.col("user_id") * 7 + 3) % 50).alias("user_id"),
+    )
+    m2 = m0.select(
+        (F.col("ts") + F.expr("INTERVAL 60 DAYS")).alias("ts"),
+        ((F.col("user_id") * 11 + 5) % 50).alias("user_id"),
+    )
+    waves = [m0, m1, m2]
+    marker = paths["edges_snap"].rstrip("/") + "_epoch_marker"
+
+    def run_increment(batch_df):
+        batch_df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                SP.maintain_triangles_each_batch(
+                    paths["active"], paths["pairs"], paths["occ"],
+                    paths["edges_snap"], paths["tri"],
+                    mode="auto", epoch_min_months=2,
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination()
+
+    streamed = None
+    cols = ["node", "degree", "triangles", "clustering"]
+    for i, b in enumerate(waves):
+        run_increment(b)
+        streamed = b if streamed is None else streamed.unionByName(b)
+        if i == 0:
+            # one month seen: still global — marker absent, the
+            # snapshot tier lives directly under the root
+            assert not fs.exists(spark, marker)
+            assert fs.has_parquet(spark, paths["edges_snap"])
+            assert not fs.exists(
+                spark, os.path.join(paths["edges_snap"], "snap")
+            )
+        else:
+            # second month crossed the threshold: upgraded, migrated
+            # (root tiers handed to the epoch snap store and deleted)
+            assert fs.exists(spark, marker)
+            assert fs.has_parquet(
+                spark, os.path.join(paths["edges_snap"], "snap")
+            )
+            root_tiers = [
+                name
+                for name, _sz in fs.list_files(
+                    spark, paths["edges_snap"], suffix=".parquet"
+                )
+                if name.split(paths["edges_snap"].rstrip("/") + "/", 1)[-1]
+                .split("/", 1)[0]
+                .startswith("_batch_id=")
+            ]
+            assert root_tiers == [], root_tiers
+        got = SP.serve_triangles(
+            spark, paths["tri"], paths["pairs"], paths["occ"]
+        )
+        with mock.patch.object(QB, "load_table", lambda s, d, name: streamed):
+            edges = R._significant_edges(spark, "")
+        want = G.triangle_stats(edges, "user_a", "user_b")
+        assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(
+            want.select(*cols), cols
+        )
 
 
 def test_hourly_streaming_watermark_drop(spark, tmp_path):

