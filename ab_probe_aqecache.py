@@ -12,7 +12,7 @@ The conf is runtime-settable (SQLConf, non-static), so flipping it
 between runs changes cache-materialization planning for every
 ``tracked_persist`` inside the query's foreachBatch maintainers.
 
-Usage: python ab_probe_aqecache.py [sf_dir] [runs_per_arm]
+Usage: python ab_probe_aqecache.py [sf_dir] [runs_per_arm] [names_csv]
 Prints one JSON line per query; numbers land in COVERAGE.md.
 """
 
@@ -27,24 +27,33 @@ import time
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    names_arg = sys.argv[3] if len(sys.argv) > 3 else None
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pyspark.sql import functions as F
 
     from bench import force
-    from updating_datasets_data_engineering_spark.registry import QUERIES
+    from updating_datasets_data_engineering_spark.registry import queries
     from updating_datasets_data_engineering_spark.session import get_spark
 
     conf = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
-    names = [
-        "users_sig_edges_incremental",
-        "streaming_dedup_archive",
-        "knn_ann_streaming",
-        "dedup_semantic_retract",
-        "events_hourly_streaming",
-    ]
+    # default: the five BENCH_SF1 drift rows; pass a comma-separated
+    # list as argv[3] to A/B other rows (e.g. the sf0.1 win list the
+    # config was adopted on)
+    names = (
+        names_arg.split(",")
+        if names_arg
+        else [
+            "users_sig_edges_incremental",
+            "streaming_dedup_archive",
+            "knn_ann_streaming",
+            "dedup_semantic_retract",
+            "events_hourly_streaming",
+        ]
+    )
 
     spark = get_spark("ab-aqe-cache")
+    qs = queries()
 
     def floor_probe() -> float:
         spark.sparkContext._jvm.System.gc()
@@ -61,7 +70,7 @@ def main() -> None:
         return time.perf_counter() - t0
 
     for name in names:
-        q = QUERIES[name]
+        q = qs[name]
         # one unmeasured warm run (state-dir creation, file cache)
         spark.conf.set(conf, "true")
         force(q(spark, sf_dir))

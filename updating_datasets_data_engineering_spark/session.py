@@ -42,18 +42,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Let AQE optimize CACHE MATERIALIZATION too (default false):
-        # a .persist() otherwise compiles its plan statically — the
-        # wedge build on a persisted edge frame measured 1.8 s with
-        # AQE vs 7.2 s without, and an interleaved 6-query heavy-row
-        # A/B at sf0.1 ran 72.0 s (on) vs 79.5 s (off).  The price the
-        # default guards against (cached output partitioning may
-        # change between runs) doesn't bind here: no consumer assumes
-        # a cached frame's partitioning.
-        .config(
-            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-            "true",
-        )
+        # canChangeCachedPlanOutputPartitioning stays at Spark's
+        # default (false) since r13: the r12 session-wide adoption was
+        # confounded with the simultaneous broadcast pins and
+        # single-consumer persist drops, and the isolated interleaved
+        # A/Bs (ab_probe_aqecache.py, COVERAGE.md) measured the
+        # config's MARGINAL effect as ±0.25 s at sf1 on the five
+        # BENCH_SF1 drift rows (the drifts were ambient load) and
+        # neutral-to-harmful at sf0.1 on its own former evidence rows
+        # — up to +3.0 s on users_triangles_streaming, where
+        # AQE-coalesced cache builds fight the explicit hour
+        # repartition pins.  The 1.8-vs-7.2 s wedge-build quirk the
+        # config once addressed is fixed in code (no single-consumer
+        # persists on that path), not config.
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -68,8 +69,7 @@ def prep_session(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    # runtime-settable; see get_spark — AQE for cache builds
-    spark.conf.set(
-        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
-    )
+    # canChangeCachedPlanOutputPartitioning deliberately NOT set — see
+    # get_spark: the r13 isolated A/Bs measured it neutral-to-harmful
+    # with the broadcast/repartition pins in place
     return spark

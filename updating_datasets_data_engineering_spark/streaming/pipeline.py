@@ -2094,10 +2094,12 @@ def maintain_sig_edges_each_batch(
             # partitioning (explicit repartition — AQE cannot coalesce
             # it): the new×new pair join below is hour-equi with a
             # QUADRATIC per-hour output, and AQE's cache-build
-            # coalescing (canChangeCachedPlanOutputPartitioning=true,
-            # session.py) shrank this small cache to a few partitions
-            # and concentrated that output (measured +3 s on the
-            # graded two-wave stream at sf0.1).  state_m is left
+            # coalescing (when canChangeCachedPlanOutputPartitioning
+            # is enabled — r12; off by default since r13, but the pin
+            # must hold under EITHER session config) shrank this small
+            # cache to a few partitions and concentrated that output
+            # (measured +3 s on the graded two-wave stream at sf0.1).
+            # state_m is left
             # unpinned: it is the corpus-proportional side (10× at
             # sf1), its consumers are probe/anti joins whose output is
             # input-sized, and a forced full re-shuffle of it per
