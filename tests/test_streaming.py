@@ -958,6 +958,26 @@ def test_streaming_triangles_auto_mode_upgrade(spark, tmp_path):
         assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(
             want.select(*cols), cols
         )
+    # crash-replay idempotency ACROSS the upgrade: re-applying the
+    # final batch directly (the exact call a checkpointed foreachBatch
+    # replay makes after a crash) must leave the served table
+    # byte-identical — the epoch maintainer's < batch_id reads, the
+    # dynamic-overwrite tier writes, and the marker check all replay
+    # to the same state
+    before = _sorted_rows(
+        SP.serve_triangles(spark, paths["tri"], paths["pairs"], paths["occ"]),
+        cols,
+    )
+    fn = SP.maintain_triangles_each_batch(
+        paths["active"], paths["pairs"], paths["occ"],
+        paths["edges_snap"], paths["tri"], mode="auto", epoch_min_months=2,
+    )
+    fn(waves[-1], len(waves) - 1)
+    after = _sorted_rows(
+        SP.serve_triangles(spark, paths["tri"], paths["pairs"], paths["occ"]),
+        cols,
+    )
+    assert before == after
 
 
 def test_hourly_streaming_watermark_drop(spark, tmp_path):
