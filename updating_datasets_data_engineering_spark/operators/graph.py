@@ -463,43 +463,48 @@ def apply_triangle_delta(
     d_ins = tracked_persist(e_new.join(e_old, keys, "left_anti"))
     d_del = tracked_persist(e_old.join(e_new, keys, "left_anti"))
 
-    def _per_node(tris, col):
-        return (
-            tris.select(
-                F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
-            )
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).cast("long").alias(col))
+    # The node-keyed merge is ONE hash aggregate over a union of signed
+    # additive contribution rows (r13, guide §2.4 — remove shuffles
+    # outright).  The previous shape pre-aggregated each correction
+    # term (4 groupBys) and folded them into the state with 4
+    # full_outer joins — ≥8 node-keyed Exchanges for what is
+    # algebraically a single signed sum per node; the union form pays
+    # exactly one Exchange, with map-side partial aggregation doing the
+    # combining the inner groupBys used to.  Per-node totals are
+    # identical: full_outer + coalesce-to-0 arithmetic ≡ groupBy-sum
+    # over the same signed terms.
+    zero = F.lit(0).cast("long")
+
+    def _tri_nodes(tris, sign):
+        return tris.select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node"),
+            zero.alias("d_deg"),
+            F.lit(sign).cast("long").alias("d_tri"),
         )
 
-    t_ins = _per_node(delta_triangles(d_ins, e_new, src, dst, edge_count), "t_ins")
-    t_del = _per_node(delta_triangles(d_del, e_old, src, dst, edge_count), "t_del")
-
-    def _incident(edges, col):
-        return (
-            symmetrize(edges, src, dst)
-            .groupBy(F.col("u").alias("node"))
-            .agg(F.count(F.lit(1)).cast("long").alias(col))
+    def _deg_nodes(edges, sign):
+        return symmetrize(edges, src, dst).select(
+            F.col("u").alias("node"),
+            F.lit(sign).cast("long").alias("d_deg"),
+            zero.alias("d_tri"),
         )
 
-    merged = (
-        state_tri.select("node", "degree", "triangles")
-        .join(_incident(d_ins, "deg_ins"), "node", "full_outer")
-        .join(_incident(d_del, "deg_del"), "node", "full_outer")
-        .join(t_ins, "node", "full_outer")
-        .join(t_del, "node", "full_outer")
-        .select(
+    contrib = (
+        state_tri.select(
             "node",
-            (
-                F.coalesce("degree", F.lit(0))
-                + F.coalesce("deg_ins", F.lit(0))
-                - F.coalesce("deg_del", F.lit(0))
-            ).cast("long").alias("degree"),
-            (
-                F.coalesce("triangles", F.lit(0))
-                + F.coalesce("t_ins", F.lit(0))
-                - F.coalesce("t_del", F.lit(0))
-            ).cast("long").alias("triangles"),
+            F.col("degree").cast("long").alias("d_deg"),
+            F.col("triangles").cast("long").alias("d_tri"),
+        )
+        .unionByName(_deg_nodes(d_ins, 1))
+        .unionByName(_deg_nodes(d_del, -1))
+        .unionByName(_tri_nodes(delta_triangles(d_ins, e_new, src, dst, edge_count), 1))
+        .unionByName(_tri_nodes(delta_triangles(d_del, e_old, src, dst, edge_count), -1))
+    )
+    merged = (
+        contrib.groupBy("node")
+        .agg(
+            F.sum("d_deg").cast("long").alias("degree"),
+            F.sum("d_tri").cast("long").alias("triangles"),
         )
         .where(F.col("degree") >= 1)
     )
