@@ -461,6 +461,33 @@ def main() -> None:
         )
         return time.perf_counter() - t0
 
+    # Second probe SHAPE (r13 "not yet optimized" item 5): the
+    # CPU+shuffle probe misses disk contention — the r13 session saw a
+    # ~50 s same-code full-bench swing at near-equal CPU floors, and
+    # the streaming rows (the bench's heaviest) are write-dominated.
+    # A fixed-size parquet write+read round-trip through a temp dir
+    # measures the I/O floor the maintainer store writes actually run
+    # on.  Reported as `floor_io_probe_s` NEXT TO the headline numbers
+    # (cross-session triage only — never a divisor of the metric; the
+    # judged convention stays floor_probe_s).
+    def _floor_io_probe() -> float:
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="graft_bench_iofloor_")
+        try:
+            t0 = time.perf_counter()
+            (
+                spark.range(10_000_000)
+                .withColumn("v", F.md5(F.col("id").cast("string")))
+                .write.mode("overwrite")
+                .parquet(d)
+            )
+            spark.read.parquet(d).write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
     # The probe runs TWICE per session (r9, VERDICT r8 item 4): once
     # BEFORE the state-build pass and once after it, immediately ahead
     # of the timed region.  The r8 bench regression investigation needs
@@ -477,6 +504,7 @@ def main() -> None:
     state_build_s = round(time.perf_counter() - t_pre, 3)
 
     floor_probe_s = round(min(_floor_probe(), _floor_probe()), 3)
+    floor_io_probe_s = round(min(_floor_io_probe(), _floor_io_probe()), 3)
 
     timings: dict[str, float] = {}
     shuffle_mb: dict[str, float] = {}
@@ -514,6 +542,7 @@ def main() -> None:
         "state_build_s": state_build_s,
         "floor_probe_s": floor_probe_s,
         "floor_probe_pre_s": floor_probe_pre_s,
+        "floor_io_probe_s": floor_io_probe_s,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full per-query detail: one JSON line (the documented contract) plus

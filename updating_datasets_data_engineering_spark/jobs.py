@@ -83,7 +83,8 @@ def run_merge_job(
         staging = fs.staging_path(out_path)
         fs.delete(spark, staging)
         sinks.write_partitioned_archive(merged, staging, partition_by=partition_by)
-        spark.read.parquet(staging).count()  # materialize before swap
+        # the write action above already materialized the staging files —
+        # no read-back pass before the swap (the _swap_in discipline)
         fs.swap_directory(spark, staging, out_path)
     else:
         sinks.write_partitioned_archive(merged, out_path, partition_by=partition_by)

@@ -51,7 +51,8 @@ def compact(
     staging = fs.staging_path(path)
     fs.delete(spark, staging)
     df.repartition(n_files).write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging).count()  # materialize before swap
+    # the write action above already materialized the staging files —
+    # no read-back pass before the swap (the _swap_in discipline)
     fs.swap_directory(spark, staging, path)
     files_after, _ = parquet_file_stats(spark, path)
     return files_before, files_after
@@ -104,7 +105,8 @@ def compact_batch_index(
         .partitionBy("_batch_id")
         .parquet(staging)
     )
-    spark.read.parquet(staging).count()  # materialize before swap
+    # the write action above already materialized the staging files —
+    # no read-back pass before the swap (the _swap_in discipline)
     fs.swap_directory(spark, staging, path)
     files_after, _ = parquet_file_stats(spark, path)
     return files_before, files_after
@@ -164,7 +166,8 @@ def compact_additive_partials(
         .partitionBy("_batch_id")
         .parquet(staging)
     )
-    spark.read.parquet(staging).count()  # materialize before swap
+    # the write action above already materialized the staging files —
+    # no read-back pass before the swap (the _swap_in discipline)
     fs.swap_directory(spark, staging, path)
     files_after, _ = parquet_file_stats(spark, path)
     return files_before, files_after

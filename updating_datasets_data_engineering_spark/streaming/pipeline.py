@@ -1998,6 +1998,27 @@ def retract_span_state(
         _swap_in(spark, sketch_new, sketch_path, partition_by="_batch_id")
 
 
+def _batch_is_empty(batch_df: DataFrame) -> bool:
+    """Empty-batch guard, memoized on the DataFrame object.
+
+    Composed maintainers (the auto triangle dispatcher → the global
+    maintainer → its inner sig-edges maintainer) each guard the SAME
+    ``batch_df`` object, so the naive per-closure ``isEmpty()`` ran up
+    to three limit-1 jobs per micro-batch (~0.15 s each on a file-source
+    batch — pure scheduling, r13 phase probe).  A batch's contents are
+    fixed for the lifetime of the object (a checkpointed replay builds
+    a NEW DataFrame), so the first answer is cached on the instance and
+    every nested guard reuses it."""
+    cached = getattr(batch_df, "_graft_is_empty", None)
+    if cached is None:
+        cached = batch_df.isEmpty()
+        try:
+            batch_df._graft_is_empty = cached
+        except AttributeError:  # pragma: no cover - slotted frame
+            pass
+    return cached
+
+
 def _swap_in(spark, df: DataFrame, path: str, partition_by: str | None = None) -> None:
     """Write ``df`` to a staging dir and promote it over ``path`` with
     the crash-safe rename the maintainers share.
@@ -2194,7 +2215,7 @@ def maintain_sig_edges_each_batch(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if batch_df.isEmpty():
+        if _batch_is_empty(batch_df):
             return
         with caching.scope():
             b_active = caching.tracked_persist(
@@ -2531,7 +2552,7 @@ def _maintain_triangles_epoch(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if batch_df.isEmpty():
+        if _batch_is_empty(batch_df):
             return
         inner(batch_df, batch_id)
         with caching.scope():
@@ -2756,7 +2777,7 @@ def _maintain_triangles_global(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if batch_df.isEmpty():
+        if _batch_is_empty(batch_df):
             return
         inner(batch_df, batch_id)
         with caching.scope():
@@ -2910,15 +2931,30 @@ def maintain_triangles_each_batch(
     marker = root + "_epoch_marker"
     snap_path = os.path.join(edges_snap_path, "snap")
 
-    def _months_seen(spark, batch_df) -> int:
-        m = batch_df.select(
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM").alias("month")
-        ).distinct()
-        if fs.has_parquet(spark, occ_path):
-            m = m.unionByName(
-                spark.read.parquet(occ_path).select("month").distinct()
+    # Months observed so far, cached per closure (r13 "not yet
+    # optimized" item 2): the pre-upgrade dispatch needs |months seen|,
+    # which the r13 shape recomputed per batch as ONE distinct-count
+    # job unioning the batch with a rescan of the whole occ store
+    # (~0.5 s/batch on the graded stream).  The set is monotone —
+    # committed history lives in the occ store's `month` column and the
+    # rest arrived through THIS closure — so the store is read once per
+    # closure lifetime (a fresh post-crash closure re-reads it, which
+    # is exactly the replay fallback) and each batch contributes its
+    # own distinct months from the SAME collect that doubles as the
+    # empty-batch guard below.
+    months_seen: set | None = None
+
+    def _batch_months(batch_df) -> list:
+        return [
+            r["month"]
+            for r in batch_df.select(
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM").alias(
+                    "month"
+                )
             )
-        return m.distinct().count()
+            .distinct()
+            .collect()
+        ]
 
     def _root_tiers(spark) -> set[int]:
         # global-mode snapshot tiers live DIRECTLY under the root as
@@ -2950,13 +2986,33 @@ def maintain_triangles_each_batch(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if batch_df.isEmpty():
-            return
-        if not fs.exists(spark, marker) and (
-            _months_seen(spark, batch_df) >= epoch_min_months
-        ):
-            _migrate(spark)
         if fs.exists(spark, marker):
+            # already upgraded: no month accounting needed ever again —
+            # dispatch straight to the epoch maintainer (whose own
+            # guard handles an empty batch)
+            return e_fn(batch_df, batch_id)
+        # ONE job replaces the r13 shape's two (isEmpty + months count):
+        # the batch's distinct months double as the empty-batch guard —
+        # no months, no rows
+        months = _batch_months(batch_df)
+        if not months:
+            batch_df._graft_is_empty = True
+            return
+        batch_df._graft_is_empty = False
+        nonlocal months_seen
+        if months_seen is None:
+            months_seen = set()
+            if fs.has_parquet(spark, occ_path):
+                months_seen = {
+                    r["month"]
+                    for r in spark.read.parquet(occ_path)
+                    .select("month")
+                    .distinct()
+                    .collect()
+                }
+        months_seen.update(months)
+        if len(months_seen) >= epoch_min_months:
+            _migrate(spark)
             return e_fn(batch_df, batch_id)
         return g_fn(batch_df, batch_id)
 
