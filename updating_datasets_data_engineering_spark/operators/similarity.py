@@ -889,6 +889,15 @@ def semantic_dedup_retract(
     — exactly what a full recompute on the survivor corpus returns
     (the registered query shares the batch oracle restricted to
     survivors, and that equality is the correctness claim).
+
+    The re-verify probe side is the FLAGGED survivors only (r13):
+    deletion removes witnesses and never adds one, so a survivor whose
+    is_dup was false keeps an empty witness set and freezes at false —
+    only is_dup=true rows can flip, and only they are re-scored.  The
+    within-cell pair join is therefore |cell| × |flagged ∩ cell| per
+    affected cell (the delta_flags asymmetric shape), not |cell|²; the
+    full survivor membership still feeds the WITNESS side, because a
+    still-true row's surviving witness may itself be any row.
     """
     tomb = tombstones.select(F.col(tombstones.columns[0]).alias(id_col))
     affected = (
@@ -899,14 +908,36 @@ def semantic_dedup_retract(
         id_col, "cell", "is_dup"
     )
     hot = survivors.join(F.broadcast(affected), "cell", "left_semi").select(
-        id_col, "cell"
+        id_col, "cell", "is_dup"
     )
-    hot_vecs = corpus.join(hot.select(id_col), id_col, "left_semi")
-    recomputed = semantic_dedup(
-        hot_vecs,
-        threshold=threshold,
-        id_col=id_col,
-        vec_col=vec_col,
-        cells=hot.select(id_col, "cell"),
+    hot_false = hot.where(~F.col("is_dup")).select(id_col, "cell", "is_dup")
+    hot_true = hot.where(F.col("is_dup")).select(id_col, "cell")
+    vecs = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        V.norm(F.col(vec_col)).alias("nrm"),
     )
-    return frozen.unionByName(recomputed)
+    member = hot.select(F.col(id_col).alias("id"), "cell").join(vecs, "id")
+    probe = hot_true.select(F.col(id_col).alias("id"), "cell").join(vecs, "id")
+    cos = V.dot(F.col("sa.vec"), F.col("sb.vec")) / (F.col("sa.nrm") * F.col("sb.nrm"))
+    absorbed = (
+        member.alias("sa")
+        .join(
+            probe.alias("sb"),
+            (F.col("sa.cell") == F.col("sb.cell")) & (F.col("sa.id") < F.col("sb.id")),
+        )
+        .where(cos >= threshold)
+        .select(F.col("sb.id").alias("id"))
+        .distinct()
+    )
+    recomputed = (
+        hot_true.join(
+            absorbed.withColumn("_dup", F.lit(True)),
+            F.col(id_col) == F.col("id"),
+            "left",
+        )
+        .select(
+            id_col, "cell", F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup")
+        )
+    )
+    return frozen.unionByName(hot_false).unionByName(recomputed)
