@@ -2091,3 +2091,51 @@ def test_streaming_tfidf_keywords_maintenance(spark, tmp_path):
     fn(batches[-1], 2)
     after = _sorted_rows(spark.read.parquet(paths["keywords"]).select(*cols), cols)
     assert after == before
+
+
+def test_append_finalized_matches_upsert_and_replays(spark, tmp_path):
+    """The r13 append-only served store for APPEND-mode stateful
+    streams (append_finalized_each_batch): same final rows as the
+    merge-and-swap upsert path on the same batch sequence, idempotent
+    under crash replay, and the all-empty bootstrap leaves a readable
+    schema-bearing store that upgrades cleanly to the partitioned
+    layout on the first non-empty batch."""
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    # finalized-window stand-ins: disjoint key slices per batch (the
+    # exactly-once-per-key guarantee APPEND mode provides)
+    batches = [
+        ev.where(F.col("event_id") % 3 == i)
+        .groupBy("event_type", (F.col("event_id") % 3).alias("slot"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        for i in range(3)
+    ]
+    cols = ["event_type", "slot", "n"]
+
+    app_path = str(tmp_path / "served_app")
+    ups_path = str(tmp_path / "served_ups")
+    app = SP.append_finalized_each_batch(app_path)
+    ups = SP.upsert_each_batch(ups_path, key=("event_type", "slot"))
+
+    # all-empty bootstrap: batch 0 emits nothing, store must still read
+    empty = batches[0].limit(0)
+    app(empty, 0)
+    assert spark.read.parquet(app_path).drop("_batch_id").count() == 0
+    for i, b in enumerate(batches):
+        app(b, i + 1)
+        ups(b, i + 1)
+    got = spark.read.parquet(app_path).drop("_batch_id")
+    want = spark.read.parquet(ups_path)
+    assert _sorted_rows(got.select(*cols), cols) == _sorted_rows(
+        want.select(*cols), cols
+    )
+    # crash replay of the last committed batch: byte-identical row set
+    before = _sorted_rows(spark.read.parquet(app_path).drop("_batch_id"), cols)
+    app(batches[-1], len(batches))
+    after = _sorted_rows(spark.read.parquet(app_path).drop("_batch_id"), cols)
+    assert after == before
+    # an empty non-bootstrap batch appends nothing
+    app(batches[0].limit(0), 99)
+    assert _sorted_rows(
+        spark.read.parquet(app_path).drop("_batch_id"), cols
+    ) == before

@@ -529,7 +529,11 @@ def events_hourly_streaming(spark, sf_dir):
     src = os.path.join(base, "src")
     os.makedirs(src)
     served = os.path.join(base, "served")
-    fn = SP.upsert_each_batch(served, key=("hour", "event_type"))
+    # APPEND-mode emission is exactly-once per (hour, event_type), so
+    # the served store is maintained by delta-sized partition appends
+    # (append_finalized_each_batch), not a per-batch merge-and-swap of
+    # the whole store — same rows, O(|batch|) writes (r13)
+    fn = SP.append_finalized_each_batch(served)
     _stream_waves_available_now(
         spark,
         waves,
@@ -541,7 +545,7 @@ def events_hourly_streaming(spark, sf_dir):
         ),
         output_mode="append",
     )
-    return spark.read.parquet(served)
+    return spark.read.parquet(served).drop("_batch_id")
 
 
 _ORACLE_HOURLY_STREAMING = """
@@ -604,7 +608,10 @@ def events_sessions_streaming(spark, sf_dir):
     src = os.path.join(base, "src")
     os.makedirs(src)
     served = os.path.join(base, "served")
-    fn = SP.upsert_each_batch(served, key=("session_start", "user_id"))
+    # exactly-once append-mode emission per (session_start, user_id) —
+    # delta-sized partition appends replace the whole-store merge-and-
+    # swap, as in events_hourly_streaming (r13)
+    fn = SP.append_finalized_each_batch(served)
     _stream_waves_available_now(
         spark,
         waves,
@@ -616,7 +623,7 @@ def events_sessions_streaming(spark, sf_dir):
         ),
         output_mode="append",
     )
-    return spark.read.parquet(served)
+    return spark.read.parquet(served).drop("_batch_id")
 
 
 _ORACLE_SESSIONS_STREAMING = """

@@ -173,6 +173,57 @@ def upsert_each_batch(
     return _apply
 
 
+def append_finalized_each_batch(served_path: str):
+    """foreachBatch function for APPEND-mode stateful streams: the
+    upstream watermark evicts each window/session exactly once, so
+    every emitted key is FINAL and serving needs no merge at all — the
+    batch output lands as its own ``_batch_id`` partition via dynamic
+    partition overwrite (a crash-replayed batch rewrites exactly its
+    own partition, byte-identically).  This replaces the
+    O(|served store|) per-batch stage-and-swap ``upsert_each_batch``
+    pays (correct for UPDATE-mode/CDC streams, where a key can re-emit,
+    but pure overhead here): per-batch write cost is O(|batch output|)
+    regardless of how much history the store holds — the same
+    delta-append discipline as the bm25/sig-edges partial stores.
+
+    Readers drop the ``_batch_id`` partition column; the row set equals
+    the upsert path's exactly because append-mode emission is
+    exactly-once per key (a duplicate key would have been a no-op merge
+    there and would fail the batch-recompute oracle here).
+
+    Bootstrap/empty edges: the first write goes through ``_swap_in`` so
+    an all-empty prefix still leaves a schema-bearing (flat, empty)
+    store; the first non-empty batch over that flat store re-swaps it
+    into the partitioned layout (it holds zero rows by construction —
+    only the empty edge writes flat).  No per-batch ``isEmpty`` probe:
+    a dynamic-overwrite write of an empty frame touches no partitions,
+    so the batch plan executes exactly once either way."""
+
+    from pyspark.sql import functions as F
+
+    def _apply(delta: DataFrame, batch_id: int) -> None:
+        spark = delta.sparkSession
+        delta = delta.drop("event_time")
+        fs.recover_swap(spark, served_path)
+        tagged = delta.withColumn(
+            "_batch_id", F.lit(batch_id).cast("long")
+        )
+        if fs.has_parquet(spark, served_path) and any(
+            "_batch_id=" in p
+            for p, _ in fs.list_files(spark, served_path, ".parquet")
+        ):
+            (
+                tagged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(served_path)
+            )
+        else:
+            _swap_in(spark, tagged, served_path, partition_by="_batch_id")
+
+    return _apply
+
+
 def run_available_now(
     stream_df: DataFrame,
     archive_path: str,
