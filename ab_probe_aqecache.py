@@ -32,7 +32,7 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pyspark.sql import functions as F
 
-    from bench import force
+    from bench import force, shuffle_totals
     from updating_datasets_data_engineering_spark.registry import queries
     from updating_datasets_data_engineering_spark.session import get_spark
 
@@ -76,15 +76,23 @@ def main() -> None:
         force(q(spark, sf_dir))
         f_pre = round(min(floor_probe(), floor_probe()), 3)
         best = {"true": float("inf"), "false": float("inf")}
+        # r14: per-arm shuffle-write bytes (load-independent plan
+        # evidence — VERDICT r13 item 1 asks for byte-level attribution,
+        # not wall time).  Identical runs per arm, so delta/runs is the
+        # arm's per-run shuffle.
+        sh = {"true": 0, "false": 0}
         # interleave arms within each repetition so ambient drift hits
         # both arms equally (quirk #4: cross-minute A/Bs are invalid)
         for _ in range(runs):
             for arm in ("true", "false"):
                 spark.conf.set(conf, arm)
                 spark.sparkContext._jvm.System.gc()
+                _, w0 = shuffle_totals(spark)
                 t0 = time.perf_counter()
                 force(q(spark, sf_dir))
                 best[arm] = min(best[arm], time.perf_counter() - t0)
+                _, w1 = shuffle_totals(spark)
+                sh[arm] += w1 - w0
         f_post = round(min(floor_probe(), floor_probe()), 3)
         spark.conf.set(conf, "true")
         print(
@@ -96,6 +104,8 @@ def main() -> None:
                     "on_s": round(best["true"], 2),
                     "off_s": round(best["false"], 2),
                     "delta_s": round(best["true"] - best["false"], 2),
+                    "on_shuffle_mb": round(sh["true"] / runs / 1e6, 2),
+                    "off_shuffle_mb": round(sh["false"] / runs / 1e6, 2),
                     "floor_pre_s": f_pre,
                     "floor_post_s": f_post,
                     "runs_per_arm": runs,

@@ -34,3 +34,27 @@ def test_sf1_and_exp_subsets_are_registered():
     names = {s.name for s in SPECS}
     assert set(bench.SF1_HEADLINE) <= names
     assert set(bench.EXP_HEADLINE) <= names
+
+
+def test_compact_set_is_registered_unique_and_fits():
+    """COMPACT_SET (VERDICT r13 item 2) is the deterministic final-line
+    subset: every name registered, no dupes, and the serialized line
+    fits the driver's ~1900-char capture window at representative value
+    widths — so in practice no name is ever trimmed and consecutive
+    rounds' compact lines carry the SAME query set."""
+    import json
+
+    names = {s.name for s in SPECS}
+    assert set(bench.COMPACT_SET) <= names
+    assert len(bench.COMPACT_SET) == len(set(bench.COMPACT_SET))
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": 999.999,
+        "unit": "sec",
+        "floor_probe_s": 9.999,
+        "queries": {n: 99.999 for n in bench.COMPACT_SET},
+        "n_queries": 999,
+        "detail": "BENCH_FULL.json",
+        "sf": 0.1,
+    }
+    assert len(json.dumps(payload, separators=(",", ":"))) <= 1900

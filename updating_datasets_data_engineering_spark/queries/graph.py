@@ -1428,7 +1428,11 @@ def users_triangles(spark, sf_dir):
         f"sig_edges_{_GRAPH_MIN_SHARED}_{_GRAPH_MIN_LIFT}",
         lambda: _significant_edges(spark, sf_dir),
     )
-    return G.triangle_stats(edges, "user_a", "user_b")
+    # Gate the operator's edge-list broadcast pins on the REAL edge
+    # count (VERDICT r13 item 3: the ceiling fallback was dead code —
+    # no production caller passed edge_count).  The state is a plain
+    # parquet read, so count() is a footer-metadata job, not a scan.
+    return G.triangle_stats(edges, "user_a", "user_b", edge_count=edges.count())
 
 
 def users_sig_edges_streaming(spark, sf_dir):
@@ -1597,14 +1601,22 @@ def users_triangles_incremental(spark, sf_dir):
     # so a threshold change must key a fresh build, never silently
     # reuse on-disk state built under the old constants.
     tag = f"{_GRAPH_MIN_SHARED}_{_GRAPH_MIN_LIFT}"
-    e_old = tracked_persist(
-        _persisted_index(spark, sf_dir, f"sig_edges_archive_{tag}", _build_e_old)
+    e_old_store = _persisted_index(
+        spark, sf_dir, f"sig_edges_archive_{tag}", _build_e_old
     )
+    # persisted-STORE row count (VERDICT r13 item 3/4): gates the
+    # operator's edge-list broadcast pins against the 10M-edge ceiling.
+    # The store is a plain parquet read — count() is footer metadata.
+    # The day's churn is delta-sized by contract, so the archive count
+    # also bounds e_new's regime (the ceiling has orders-of-magnitude
+    # headroom over any churn).
+    n_edges = e_old_store.count()
+    e_old = tracked_persist(e_old_store)
     state_tri = _persisted_index(
         spark,
         sf_dir,
         f"graph_tri_stats_{tag}",
-        lambda: G.triangle_stats(e_old, "user_a", "user_b"),
+        lambda: G.triangle_stats(e_old, "user_a", "user_b", edge_count=n_edges),
     )
     e_new = tracked_persist(
         users_sig_edges_incremental(spark, sf_dir).select("user_a", "user_b")
@@ -1612,7 +1624,7 @@ def users_triangles_incremental(spark, sf_dir):
     # delta derivation + the two delta-anchored corrections + the
     # node-keyed merge live in operators.graph.apply_triangle_delta —
     # the tail shared with the streaming leg (users_triangles_streaming)
-    return G.apply_triangle_delta(state_tri, e_old, e_new)
+    return G.apply_triangle_delta(state_tri, e_old, e_new, edge_count=n_edges)
 
 
 _ORACLE_TRIANGLES = f"""
@@ -1662,24 +1674,27 @@ def users_triangles_retract(spark, sf_dir):
     from ..operators import graph as G
 
     tag = f"{_GRAPH_MIN_SHARED}_{_GRAPH_MIN_LIFT}"
-    e_old = tracked_persist(
-        _persisted_index(
-            spark,
-            sf_dir,
-            f"sig_edges_{tag}",
-            lambda: _significant_edges(spark, sf_dir),
-        ).select("user_a", "user_b")
+    e_old_store = _persisted_index(
+        spark,
+        sf_dir,
+        f"sig_edges_{tag}",
+        lambda: _significant_edges(spark, sf_dir),
     )
+    # persisted-store row count gates the broadcast pins (VERDICT r13
+    # item 3/4); retraction churn is delta-sized, so the full-corpus
+    # count bounds the survivor regime too (footer-metadata job)
+    n_edges = e_old_store.count()
+    e_old = tracked_persist(e_old_store.select("user_a", "user_b"))
     state_tri = _persisted_index(
         spark,
         sf_dir,
         f"graph_tri_stats_full_{tag}",
-        lambda: G.triangle_stats(e_old, "user_a", "user_b"),
+        lambda: G.triangle_stats(e_old, "user_a", "user_b", edge_count=n_edges),
     )
     e_new = tracked_persist(
         users_sig_edges_retract(spark, sf_dir).select("user_a", "user_b")
     )
-    return G.apply_triangle_delta(state_tri, e_old, e_new)
+    return G.apply_triangle_delta(state_tri, e_old, e_new, edge_count=n_edges)
 
 
 # single-occurrence guard: the re-rooting replace must hit the root

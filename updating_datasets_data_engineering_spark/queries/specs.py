@@ -877,8 +877,75 @@ def _released(fn: Callable[[SparkSession, str], DataFrame]):
     return wrapped
 
 
+# Specs whose builder RUNS a structured stream (foreachBatch
+# maintainers execute inside the build call).  These stay on Spark's
+# default cached-plan compilation: the r13 isolated A/Bs
+# (ab_probe_aqecache.py, COVERAGE.md) measured
+# canChangeCachedPlanOutputPartitioning=true neutral-to-harmful on this
+# tier (+1–3 s at sf0.1, up to +3.0 s on users_triangles_streaming —
+# AQE-coalesced cache builds fight the maintainers' explicit
+# hour-repartition pins and concentrate the quadratic pair joins).
+_STREAMING_SPECS = frozenset(
+    {
+        "streaming_dedup_archive",
+        "docs_bm25_streaming",
+        "docs_tfidf_streaming",
+        "dedup_semantic_streaming",
+        "knn_ann_streaming",
+        "users_sig_edges_streaming",
+        "users_triangles_streaming",
+        "events_hourly_streaming",
+        "events_sessions_streaming",
+    }
+)
+
+# The AQE-cache conf is consulted at ``.persist()`` time (Spark's
+# CacheManager compiles the InMemoryRelation's physical plan when the
+# cache is REGISTERED, choosing then whether to keep AQE), and every
+# operator-internal persist in this repo happens inside the query
+# builder — so scoping the conf around the BUILD is sufficient and
+# leaks nothing into the caller's session (verified by
+# ab_probe_aqecache.py: the scoped build reproduces the conf-on
+# shuffle bytes exactly; see OPTIMIZATION_r14.md).
+_AQE_CACHE_CONF = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+
+
+def _aqe_cached_builds(fn: Callable[[SparkSession, str], DataFrame]):
+    """Compile this query's cached plans WITH AQE (VERDICT r13 item 1).
+
+    The r13 session-wide revert of the AQE-cache conf to Spark's
+    default (false) was A/B'd on 12 streaming-side rows but taxed the
+    persisted-state BATCH tier: cached subtrees lost their runtime
+    broadcast/coalesce conversions and the downstream joins fell back
+    to shuffles — plan-real regressions the load-independent shuffle
+    counters pinned (users_pagerank 0.16→2.14 MB, docs_hybrid_search
+    3.44→5.19, dedup_containment 20.3→26.3; full r14 interleaved A/B
+    table in COVERAGE.md: conf-on restores every row to its r12 bytes
+    and wall, −0.9 to −2.7 s each at sf0.1).  The conf is
+    runtime-settable, so it is scoped per query build: batch specs get
+    AQE cache compilation, the streaming specs (where the same A/B
+    protocol measured it harmful) keep Spark's default."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        prev = spark.conf.get(_AQE_CACHE_CONF, "false")
+        spark.conf.set(_AQE_CACHE_CONF, "true")
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            spark.conf.set(_AQE_CACHE_CONF, prev)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {s.name: _released(s.fn) for s in SPECS}
+    return {
+        s.name: (
+            _released(s.fn)
+            if s.name in _STREAMING_SPECS
+            else _aqe_cached_builds(_released(s.fn))
+        )
+        for s in SPECS
+    }
 
 
 def oracle_sql() -> dict[str, str]:

@@ -2720,6 +2720,9 @@ def _maintain_triangles_epoch(
                     "user_a", "user_b"
                 )
             )
+            # broadcast-ceiling gate + cache materializer, exactly the
+            # global maintainer's discipline (VERDICT r13 item 3)
+            n_edges = e_new.count()
             prev_tier = None
             if fs.has_parquet(spark, snap_path):
                 snap = spark.read.parquet(snap_path).where(
@@ -2729,7 +2732,9 @@ def _maintain_triangles_epoch(
                 if wm_tier is not None:
                     prev_tier = wm_tier
             if prev_tier is None:
-                tri_new = G.triangle_stats(e_new, "user_a", "user_b")
+                tri_new = G.triangle_stats(
+                    e_new, "user_a", "user_b", edge_count=n_edges
+                )
             else:
                 e_old = caching.tracked_persist(
                     spark.read.parquet(snap_path)
@@ -2741,7 +2746,9 @@ def _maintain_triangles_epoch(
                     .where(F.col("_batch_id") == prev_tier)
                     .drop("_batch_id")
                 )
-                tri_new = G.apply_triangle_delta(tri_old, e_old, e_new)
+                tri_new = G.apply_triangle_delta(
+                    tri_old, e_old, e_new, edge_count=n_edges
+                )
             # tri_new is NOT persisted: its single consumer is the tier
             # write, and a .persist() here compiles the wedge/correction
             # plan as a cache build WITHOUT AQE (Spark keeps cached-plan
@@ -2837,13 +2844,22 @@ def _maintain_triangles_global(
                     spark, pairs_path, occ_path, min_shared, min_lift
                 ).select("user_a", "user_b")
             )
+            # Real edge count for the operator's broadcast-ceiling gate
+            # (VERDICT r13 item 3: no production caller passed it).
+            # The count() doubles as the cache materializer: the two
+            # overlapped tier writes below previously raced on the
+            # BlockManager load lock to build this cache — now both
+            # read it.
+            n_edges = e_new.count()
             prev = None
             if fs.has_parquet(spark, edges_snap_path):
                 prev = _latest_tier(
                     spark.read.parquet(edges_snap_path), batch_id
                 )
             if prev is None:
-                tri_new = G.triangle_stats(e_new, "user_a", "user_b")
+                tri_new = G.triangle_stats(
+                    e_new, "user_a", "user_b", edge_count=n_edges
+                )
             else:
                 e_old, wm = prev
                 e_old = caching.tracked_persist(e_old.select("user_a", "user_b"))
@@ -2852,7 +2868,11 @@ def _maintain_triangles_global(
                     .where(F.col("_batch_id") == wm)
                     .drop("_batch_id")
                 )
-                tri_new = G.apply_triangle_delta(tri_old, e_old, e_new)
+                # e_old is the previous batch's served view — within
+                # churn of n_edges, far under the 10M ceiling's headroom
+                tri_new = G.apply_triangle_delta(
+                    tri_old, e_old, e_new, edge_count=n_edges
+                )
             # tri_new is NOT persisted: its single consumer is the tier
             # write, and a .persist() here compiles the wedge/correction
             # plan as a cache build WITHOUT AQE (Spark keeps cached-plan
@@ -3096,4 +3116,8 @@ def serve_triangles(
     edges = serve_sig_edges(
         spark, pairs_path, occ_path, min_shared, min_lift
     ).select("user_a", "user_b")
+    # edge_count=None is the deliberate small-regime assertion here:
+    # this fallback only runs when NO batch has ever produced a
+    # significant edge (near-empty prefixes), so the edge view is tiny
+    # by construction and counting it would double-execute the serve.
     return G.triangle_stats(edges, "user_a", "user_b")
